@@ -1,0 +1,143 @@
+"""End-to-end document pipeline as one shuffle-free Arrow-batched stage.
+
+    docs(doc_id, spans[]) --mapInPandas--> (span_seq, markdown, doctags,
+        html, etree, validation metrics, parse diagnostics)
+
+Design for 10^12-doc scale (SURVEY.md §4.3):
+  - **No shuffle on the hot path**: every transform is per-document. The
+    only optional exchange is a salted `repartition(P, pmod(xxhash64(doc_id),
+    P))` to spread pathological documents; AQE handles residual skew.
+  - **Arrow batches bounded** via spark.sql.execution.arrow.maxRecordsPerBatch
+    so one many-span document cannot blow an executor's memory.
+  - **Zero per-row Python UDFs**: a single `mapInPandas` iterator works on
+    whole Arrow record batches; per-document tree work is intrinsic (the
+    reference semantics are per-document DFS) and bounded by document size.
+  - Validation failures are *data* (metric columns), never exceptions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schema as S
+from .model import doc as D
+from .parse.spans import parse_span_doc
+from .serialize.common import SerParams
+from .serialize.doctags import export_to_doctags
+from .serialize.etree import export_to_element_tree
+from .serialize.html import export_to_html
+from .serialize.markdown import serialize_markdown
+from .serialize.spanseq import span_seq_from_result
+
+
+def process_doc(doc_id: str, spans) -> dict:
+    """Parse + normalize + validate + serialize one document (pure)."""
+    if spans is None:
+        spans = []
+    else:
+        # Arrow hands array<struct> columns back as numpy arrays of dicts
+        spans = list(spans)
+    doc, diags = parse_span_doc(doc_id, spans)
+    tree_valid = D.validate_tree(doc, doc["body"]) and D.validate_tree(
+        doc, doc["furniture"]
+    )
+    md_res = serialize_markdown(doc)
+    seq = span_seq_from_result(md_res)
+    anomalies = (
+        diags["unknown_kind"]
+        + diags["unbalanced_close"]
+        + diags["dangling_caption"]
+        + diags["bad_table"]
+    )
+    return {
+        "doc_id": doc_id,
+        "span_seq": [
+            {"kind": k, "text": t, "media_ref": m, "order": o}
+            for (k, t, m, o) in seq
+        ],
+        "markdown": md_res.text,
+        "doctags": export_to_doctags(doc),
+        "html": export_to_html(doc),
+        "etree": export_to_element_tree(doc),
+        "n_items": sum(
+            len(doc[a])
+            for a in ("texts", "tables", "pictures", "groups",
+                      "key_value_items", "form_items")
+        ),
+        "n_pages": len(doc["pages"]),
+        "tree_valid": bool(tree_valid),
+        "n_violations": int(not tree_valid) + diags["bad_table"],
+        "n_normalized_lists": diags.get("n_normalized_lists", 0),
+        "n_spans_in": diags["n_spans"],
+        "parse_anomalies": anomalies,
+    }
+
+
+def _process_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            process_doc(doc_id, spans)
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"])
+        ]
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in S.PIPELINE_OUT_SCHEMA.fields]
+        )
+
+
+def run_pipeline(
+    docs: DataFrame,
+    salt_partitions: Optional[int] = None,
+) -> DataFrame:
+    """The engine's hot path. `salt_partitions` spreads documents by
+    hashed doc_id (north rule: salted repartitioning on doc_id hash);
+    leave None to keep the input partitioning (no shuffle at all)."""
+    df = docs
+    if salt_partitions:
+        df = df.repartition(
+            salt_partitions,
+            F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions)),
+        )
+    return df.mapInPandas(_process_batches, schema=S.PIPELINE_OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic corpus as a DataFrame (deterministic; see fixtures.py)
+# ---------------------------------------------------------------------------
+
+def synth_docs(
+    spark: SparkSession,
+    n: int,
+    partitions: int = 32,
+    include_shapes: bool = True,
+    prefix: str = "doc",
+) -> DataFrame:
+    """Generate the deterministic synthetic docs table distributedly:
+    spark.range -> mapInPandas(gen_spans). Each row depends only on its
+    doc_id, so generation is embarrassingly parallel and reproducible."""
+    from .fixtures import SHAPE_IDS, gen_spans
+
+    shape_ids = list(SHAPE_IDS) if include_shapes else []
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                did = (
+                    shape_ids[i]
+                    if i < len(shape_ids)
+                    else f"{prefix}-{i - len(shape_ids):08d}"
+                )
+                out.append({"doc_id": did, "spans": gen_spans(did)})
+            yield pd.DataFrame(out, columns=["doc_id", "spans"])
+
+    total = n + len(shape_ids)
+    return (
+        spark.range(0, total, numPartitions=partitions)
+        .mapInPandas(gen, schema=S.DOCS_SCHEMA)
+    )
