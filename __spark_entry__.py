@@ -109,17 +109,6 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting + char stats, fully JVM-side."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
-        "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
-        "lang",
-    )
-
-
 def _q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.groupBy("lang").agg(
@@ -173,13 +162,39 @@ def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from docling_core_spark.corpus import (
+        dedup as CD,
+        multimodal as CM,
+        similarity as CS,
+        textstats as CT,
+    )
+
     return {
+        # document engine (SURVEY.md §2; parity gate = tests/)
         "pipeline_span_seq": _q_pipeline_span_seq,
         "pipeline_exports": _q_pipeline_exports,
         "pipeline_metrics": _q_pipeline_metrics,
-        "dedup_exact": _q_dedup_exact,
-        "token_stats": _q_token_stats,
+        # text analysis
+        "token_stats": CT.q_token_stats,
+        "lang_id": CT.q_lang_id,
+        "quality_score": CT.q_quality,
+        "fingerprint": CT.q_fingerprint,
         "lang_stats": _q_lang_stats,
+        # deduplication
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signatures": CD.q_minhash_signatures,
+        "lsh_buckets": CD.q_lsh_buckets,
+        "neardup_pairs": CD.q_neardup_pairs,
+        "simhash": CD.q_simhash,
+        # similarity search
+        "knn_bruteforce": CS.q_knn_bruteforce,
+        "lsh_bucket_stats": CS.q_lsh_bucket_stats,
+        "ann_lsh_topk": CS.q_ann_lsh_topk,
+        "neardup_cosine": CS.q_neardup_cosine,
+        # multimodal plumbing
+        "decode_features": CM.q_decode_features,
+        "frame_sample": CM.q_frame_sample,
+        # relational sanity (scan/filter/agg/broadcast-join)
         "tpch_q1": _q_tpch_q1,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
@@ -187,6 +202,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from docling_core_spark.corpus import (
+        dedup as CD,
+        multimodal as CM,
+        similarity as CS,
+        textstats as CT,
+    )
+
     return {
         # pipeline_* are non-SQL-expressible (per-doc tree transforms);
         # their correctness gate is reference-parity pytest (tests/).
@@ -196,13 +218,20 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1
         """,
-        "token_stats": r"""
-            SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-                   length(text) AS n_chars_actual,
-                   lang
-            FROM documents
-        """,
+        "token_stats": CT.sql_token_stats(),
+        "lang_id": CT.sql_lang_id(),
+        "quality_score": CT.sql_quality(),
+        "fingerprint": CT.sql_fingerprint(),
+        "minhash_signatures": CD.sql_minhash_signatures(),
+        "lsh_buckets": CD.sql_lsh_buckets(),
+        "neardup_pairs": CD.sql_neardup_pairs(),
+        "simhash": CD.sql_simhash(),
+        "knn_bruteforce": CS.sql_knn_bruteforce(),
+        "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),
+        "ann_lsh_topk": CS.sql_ann_lsh_topk(),
+        "neardup_cosine": CS.sql_neardup_cosine(),
+        "decode_features": CM.sql_decode_features(),
+        "frame_sample": CM.sql_frame_sample(),
         "lang_stats": """
             SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
                    min(n_chars) AS min_chars, max(n_chars) AS max_chars

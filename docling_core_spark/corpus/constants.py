@@ -1,0 +1,96 @@
+"""Shared deterministic constants for corpus operators.
+
+Both the Spark implementation and the DuckDB oracle SQL are generated from
+these values, so the two sides cannot drift. All randomness is a fixed
+LCG evaluated at import time (never at job time) — reproducible across
+processes and engines.
+"""
+
+from __future__ import annotations
+
+# --- base hashing ---------------------------------------------------------
+# H30(s): take md5 hex, first 15 nibbles -> 60-bit int, mod 2^30.
+# Computable identically in Spark SQL (conv/substr/md5) and DuckDB
+# (('0x'||substr(md5,1,15))::BIGINT). 30-bit range keeps a*h+b < 2^63
+# in both engines (DuckDB raises on BIGINT overflow; Java wraps — we must
+# stay in range so neither path is exercised).
+H30_MOD = 1 << 30
+MINHASH_P = 1_000_000_007
+
+# --- MinHash --------------------------------------------------------------
+SHINGLE_K = 3          # word-shingle width
+NUM_PERMS = 16
+LSH_BANDS = 4
+ROWS_PER_BAND = NUM_PERMS // LSH_BANDS
+JACCARD_THRESHOLD = 0.5
+
+
+def _lcg(seed: int):
+    state = seed & 0x7FFFFFFF
+    while True:
+        state = (1103515245 * state + 12345) & 0x7FFFFFFF
+        yield state
+
+
+def _gen_perms(n: int):
+    g = _lcg(20240613)
+    perms = []
+    for _ in range(n):
+        a = (next(g) % (H30_MOD - 1)) | 1   # odd, < 2^30
+        b = next(g) % H30_MOD
+        perms.append((a, b))
+    return perms
+
+
+MINHASH_PERMS = _gen_perms(NUM_PERMS)
+
+# --- SimHash --------------------------------------------------------------
+SIMHASH_BITS = 32
+
+# --- embedding LSH (random-hyperplane, Rademacher ±1) ---------------------
+EMB_DIM = 64
+NUM_HYPERPLANES = 4
+
+
+def _gen_hyperplanes(n: int, dim: int):
+    """Balanced ±1 planes via deterministic Fisher-Yates. Balance (sum=0)
+    makes the projection insensitive to a common mean component, and the
+    shuffle avoids the LCG low-bit parity artifact (raw `state % 2`
+    alternates, which collapses all planes onto two buckets)."""
+    g = _lcg(77000321)
+    out = []
+    for _ in range(n):
+        p = [1] * (dim // 2) + [-1] * (dim // 2)
+        for i in range(dim - 1, 0, -1):
+            j = next(g) % (i + 1)
+            p[i], p[j] = p[j], p[i]
+        out.append(p)
+    return out
+
+
+HYPERPLANES = _gen_hyperplanes(NUM_HYPERPLANES, EMB_DIM)
+
+# the synthetic embedding clusters are loose (max pairwise cos ~0.45), so
+# the "near-dup" gate is set where it actually separates planted structure
+COSINE_NEARDUP_THRESHOLD = 0.30
+KNN_K = 5
+ANN_K = 3
+KNN_NUM_QUERIES = 8     # vec_id < 8 are the query set
+
+# --- fingerprinting (MOD-p selection over char k-grams) -------------------
+FP_CHARGRAM_K = 5
+FP_SELECT_MOD = 8
+
+# --- tokenization / language-ID / quality ---------------------------------
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+STOPWORDS = {
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist",
+           "nicht"],
+    "en": ["the", "of", "and", "to", "in", "is", "was", "that", "for",
+           "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "del"],
+    "fr": ["le", "les", "des", "et", "une", "du", "est", "dans", "pour",
+           "que"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic CASE order: de, en, es, fr

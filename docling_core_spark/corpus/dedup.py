@@ -1,0 +1,303 @@
+"""Near-duplicate detection: MinHash signatures, LSH banding, candidate
+verification by exact shingle Jaccard, and SimHash.
+
+Scale design (the 100 TB story):
+  - Shingling/hashing/signatures are narrow per-row JVM expressions — no
+    shuffle, full whole-stage codegen, columns pruned to (doc_id, text).
+  - LSH banding turns O(n^2) pair search into `explode(bands)` +
+    `groupBy(band_id, band_key)` — ONE shuffle keyed by band hash, which
+    is uniformly distributed by construction (md5 of minhashes), so no
+    skew. Bucket sizes are bounded because only true near-duplicates
+    collide in a band.
+  - Pairwise Jaccard verification runs ONLY on LSH candidates (a tiny
+    fraction of n^2); the shingle sets are re-joined by doc_id, an
+    AQE-managed shuffle join at most the size of the candidate set.
+
+Every op has a DuckDB oracle generated from the same constants
+(`constants.py`) so the driver's gate verifies values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import constants as C
+from .textstats import TOKENS_DUCK, TOKENS_SPARK, _h30_duck, _h30_spark
+
+# ---------------------------------------------------------------------------
+# shingle + signature fragments
+# ---------------------------------------------------------------------------
+
+
+def _shingles_spark() -> str:
+    """Distinct word k-shingles; docs shorter than k tokens fall back to
+    one whole-text shingle (both dialects guard identically — Spark's
+    sequence(1, 0) is a DESCENDING range, not empty, so the guard is
+    mandatory)."""
+    k = C.SHINGLE_K
+    parts = ", ".join(
+        f"element_at(toks, i + {j})" for j in range(k)
+    )
+    return (
+        f"CASE WHEN size(toks) < {k} THEN array(concat_ws(' ', toks)) "
+        f"ELSE array_distinct(transform(sequence(1, size(toks) - {k - 1}),"
+        f" i -> concat_ws(' ', {parts}))) END"
+    )
+
+
+def _shingles_duck() -> str:
+    k = C.SHINGLE_K
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len(toks) < {k} THEN [array_to_string(toks, ' ')] "
+        f"ELSE list_distinct(list_transform(generate_series(1,"
+        f" len(toks) - {k - 1}), i -> {parts})) END"
+    )
+
+
+def _sig_exprs_spark() -> list[str]:
+    return [
+        f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {C.MINHASH_P}))"
+        for (a, b) in C.MINHASH_PERMS
+    ]
+
+
+def _sig_exprs_duck() -> list[str]:
+    return [
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {C.MINHASH_P}))"
+        for (a, b) in C.MINHASH_PERMS
+    ]
+
+
+def _with_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
+        .select("doc_id", F.expr(_shingles_spark()).alias("sh"))
+        .select(
+            "doc_id",
+            "sh",
+            F.expr(f"transform(sh, g -> {_h30_spark('g')})").alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.size("sh").alias("n_shingles"),
+            *[
+                F.expr(e).alias(f"mh_{i}")
+                for i, e in enumerate(_sig_exprs_spark())
+            ],
+        )
+    )
+
+
+_SIG_CTE_DUCK = """
+    toks AS (SELECT doc_id, {tokens} AS toks FROM documents),
+    shs AS (SELECT doc_id, {shingles} AS sh FROM toks),
+    hss AS (SELECT doc_id, sh,
+                   list_transform(sh, g -> {h30}) AS hs FROM shs),
+    sig AS (SELECT doc_id, len(sh) AS n_shingles, {sigs} FROM hss)
+"""
+
+
+def _sig_cte_duck() -> str:
+    return _SIG_CTE_DUCK.format(
+        tokens=TOKENS_DUCK,
+        shingles=_shingles_duck(),
+        h30=_h30_duck("g"),
+        sigs=", ".join(
+            f"{e} AS mh_{i}" for i, e in enumerate(_sig_exprs_duck())
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash signatures
+# ---------------------------------------------------------------------------
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_signatures(spark, sf_dir)
+
+
+def sql_minhash_signatures() -> str:
+    return f"WITH {_sig_cte_duck()} SELECT * FROM sig"
+
+
+# ---------------------------------------------------------------------------
+# LSH buckets (banding)
+# ---------------------------------------------------------------------------
+
+def _band_key_spark(b: int) -> str:
+    cols = ", ".join(
+        f"cast(mh_{b * C.ROWS_PER_BAND + r} as string)"
+        for r in range(C.ROWS_PER_BAND)
+    )
+    return f"md5(encode(concat_ws('-', {cols}), 'utf-8'))"
+
+
+def _band_key_duck(b: int) -> str:
+    cols = " || '-' || ".join(
+        f"mh_{b * C.ROWS_PER_BAND + r}::VARCHAR"
+        for r in range(C.ROWS_PER_BAND)
+    )
+    return f"md5({cols})"
+
+
+def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _with_signatures(spark, sf_dir)
+    band_structs = ", ".join(
+        f"struct({b} as band_id, {_band_key_spark(b)} as band_key)"
+        for b in range(C.LSH_BANDS)
+    )
+    return sig.select(
+        "doc_id", F.expr(f"explode(array({band_structs}))").alias("bd")
+    ).select("doc_id", "bd.band_id", "bd.band_key")
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Colliding LSH buckets = near-duplicate clusters (candidates)."""
+    bands = _bands_df(spark, sf_dir)
+    return (
+        bands.groupBy("band_id", "band_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.expr(
+                "md5(encode(concat_ws(',', transform("
+                "sort_array(collect_list(doc_id)),"
+                " d -> cast(d as string))), 'utf-8'))"
+            ).alias("cluster_md5"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def sql_lsh_buckets() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {_band_key_duck(b)} AS band_key"
+        f" FROM sig"
+        for b in range(C.LSH_BANDS)
+    )
+    return f"""
+        WITH {_sig_cte_duck()},
+        bands AS ({band_selects})
+        SELECT band_id, band_key, count(*) AS n_docs,
+               min(doc_id) AS min_doc,
+               md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id))
+                   AS cluster_md5
+        FROM bands GROUP BY band_id, band_key HAVING count(*) >= 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# near-dup pairs: LSH candidates -> exact shingle-Jaccard verification
+# ---------------------------------------------------------------------------
+
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _bands_df(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    ).select("doc_id", F.expr(_shingles_spark()).alias("sh"))
+    pairs = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "round(size(array_intersect(sa.sh, sb.sh)) /"
+                " cast(size(sa.sh) + size(sb.sh)"
+                " - size(array_intersect(sa.sh, sb.sh)) as double), 6)"
+            ).alias("jaccard"),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= C.JACCARD_THRESHOLD)
+
+
+def sql_neardup_pairs() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {_band_key_duck(b)} AS band_key"
+        f" FROM sig"
+        for b in range(C.LSH_BANDS)
+    )
+    return f"""
+        WITH {_sig_cte_duck()},
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                         / (len(sa.sh) + len(sb.sh)
+                            - len(list_intersect(sa.sh, sb.sh))), 6)
+                       AS jaccard
+            FROM cand
+            JOIN shs sa ON cand.doc_a = sa.doc_id
+            JOIN shs sb ON cand.doc_b = sb.doc_id
+        )
+        SELECT * FROM pairs WHERE jaccard >= {C.JACCARD_THRESHOLD}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over token hashes (occurrence-weighted bit votes)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hs = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform({TOKENS_SPARK}, t -> {_h30_spark('t')})"
+        ).alias("hs"),
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN aggregate(hs, 0, (acc, h) -> acc"
+        f" + (cast(shiftright(h, {b}) & 1 as int) * 2 - 1)) > 0"
+        f" THEN {1 << b}L ELSE 0L END)"
+        for b in range(C.SIMHASH_BITS)
+    )
+    return hs.select(
+        "doc_id",
+        F.expr(bit_terms).alias("simhash"),
+        F.size("hs").alias("n_tokens"),
+    )
+
+
+def sql_simhash() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs,"
+        f" h -> ((h >> {b}) & 1) * 2 - 1)) > 0"
+        f" THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(C.SIMHASH_BITS)
+    )
+    return f"""
+        WITH hss AS (
+            SELECT doc_id,
+                   list_transform({TOKENS_DUCK}, t -> {_h30_duck('t')}) AS hs
+            FROM documents
+        )
+        SELECT doc_id, {bit_terms} AS simhash, len(hs) AS n_tokens
+        FROM hss
+    """

@@ -1,0 +1,153 @@
+"""Multimodal column plumbing: opaque `binary` payloads + typed metadata,
+decoded / feature-extracted through Arrow-batched pandas UDFs.
+
+The container has no image/audio codecs, so the decode step is a
+DETERMINISTIC STAND-IN (sha256-derived features) with the real decode
+marked by `decode_real()` raising NotImplementedError. What IS real and
+tested end-to-end is the Spark-side plumbing that matters at 100 TB:
+  - binary column + metadata struct schema,
+  - `mapInPandas` over Arrow batches (bytes arrive as pd.Series of
+    bytes; one Python roundtrip per BATCH, not per row),
+  - bounded batch sizes via spark.sql.execution.arrow.maxRecordsPerBatch
+    so one huge payload cannot blow an executor,
+  - frame sampling as a JVM-side posexplode (no Python).
+
+Because the stand-in features are pure functions of the payload, the
+DuckDB oracle recomputes them in SQL and the driver's gate verifies the
+whole multimodal path by value.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_KINDS = ["image", "audio", "video"]
+
+
+def media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the media table from `documents`: payload bytes are the
+    utf-8 text (a deterministic opaque blob), kind cycles by doc_id, and
+    the metadata struct mimics decoded-media headers."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kinds = ", ".join(f"'{k}'" for k in MEDIA_KINDS)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            f"element_at(array({kinds}), cast(doc_id % 3 as int) + 1)"
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.expr("cast(320 + doc_id % 320 as int)").alias("width"),
+            F.expr("cast(240 + doc_id % 240 as int)").alias("height"),
+            F.expr("cast(n_chars / 16 as int)").alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+def decode_real(payload: bytes, kind: str):
+    """Real decoder entry point — requires PIL/ffmpeg, absent here."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "decode_features uses the deterministic sha256 stand-in"
+    )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sha_hex", T.StringType()),
+        T.StructField("sig_md5", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        shas = [hashlib.sha256(p).hexdigest() for p in pdf["payload"]]
+        sigs = [
+            hashlib.md5(
+                ",".join(
+                    str(int(s[2 * i: 2 * i + 2], 16)) for i in range(8)
+                ).encode()
+            ).hexdigest()
+            for s in shas
+        ]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "sha_hex": shas,
+                "sig_md5": sigs,
+                "width": [m["width"] for m in pdf["meta"]],
+                "height": [m["height"] for m in pdf["meta"]],
+            }
+        )
+
+
+def q_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal feature-extraction stage: Arrow batches -> pandas
+    -> per-payload features. Stand-in for image resize / audio
+    fingerprint / embedding extraction."""
+    return media_df(spark, sf_dir).mapInPandas(
+        _decode_batches, schema=FEATURES_SCHEMA
+    )
+
+
+def sql_decode_features() -> str:
+    sig8 = ", ".join(
+        f"(('0x' || substr(sha256(text), {2 * i + 1}, 2))::INT)::VARCHAR"
+        for i in range(8)
+    )
+    kinds = ", ".join(f"'{k}'" for k in MEDIA_KINDS)
+    return f"""
+        SELECT doc_id AS media_id,
+               ([{kinds}])[(doc_id % 3)::INT + 1] AS kind,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS sha_hex,
+               md5(concat_ws(',', {sig8})) AS sig_md5,
+               (320 + doc_id % 320)::INT AS width,
+               (240 + doc_id % 240)::INT AS height
+        FROM documents
+    """
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video rows: JVM-side posexplode of the sampled
+    timeline — the Python decoder is only ever invoked per sampled frame
+    downstream, never per video."""
+    media = media_df(spark, sf_dir)
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.posexplode(
+                F.expr("sequence(0, greatest(meta.duration_s - 1, 0), 4)")
+            ).alias("frame_idx", "frame_ts"),
+        )
+    )
+
+
+def sql_frame_sample() -> str:
+    return """
+        SELECT doc_id AS media_id,
+               (unnest(generate_series(0,
+                    greatest((n_chars // 16)::INT - 1, 0), 4))
+                // 4)::INT AS frame_idx,
+               unnest(generate_series(0,
+                    greatest((n_chars // 16)::INT - 1, 0), 4)) AS frame_ts
+        FROM documents
+        WHERE doc_id % 3 = 2
+    """

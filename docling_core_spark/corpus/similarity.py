@@ -1,0 +1,276 @@
+"""Similarity search over the embeddings table (array<float> column):
+brute-force cosine top-k (baseline), random-hyperplane LSH bucketing
+(scale path), bucketed ANN top-k, and bucket-blocked cosine near-dup
+pairs.
+
+Scale design:
+  - Brute-force path broadcasts the (small) query set against a narrow
+    scan of the corpus — no shuffle except the final per-query top-k,
+    which partitions by query id.
+  - The LSH path computes a bucket id per row with pure JVM expressions
+    (the hyperplanes are ±1 literal arrays baked from `constants.py`),
+    then joins ONLY within buckets — an equi-join Catalyst shuffles on
+    the uniformly-distributed bucket key; at 10^12 rows this is the
+    standard ANN blocking strategy (IVF-style coarse quantization).
+  - All arithmetic is float32 -> float64 widened THEN combined in a fixed
+    left-to-right order so the DuckDB oracle reproduces bit-identical
+    doubles before the final round(×, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import constants as C
+
+# ---------------------------------------------------------------------------
+# expression fragments
+# ---------------------------------------------------------------------------
+
+_EMB_D_SPARK = "transform(embedding, x -> cast(x as double))"
+
+
+def _dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double),"
+        f" (acc, v) -> acc + v)"
+    )
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _norm2_spark(a: str) -> str:
+    return _dot_spark(a, a)
+
+
+def _norm2_duck(a: str) -> str:
+    return _dot_duck(a, a)
+
+
+def _plane_lit_spark(plane: list[int]) -> str:
+    return "array(" + ", ".join(f"cast({s} as double)" for s in plane) + ")"
+
+
+def _plane_lit_duck(plane: list[int]) -> str:
+    return "[" + ", ".join(f"{s}::DOUBLE" for s in plane) + "]"
+
+
+def _bucket_spark() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_spark('emb', _plane_lit_spark(p))} > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(C.HYPERPLANES)
+    )
+    return terms
+
+
+def _bucket_duck() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> embedding[i]::DOUBLE * {_plane_lit_duck(p)}[i])) > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(C.HYPERPLANES)
+    )
+    return terms
+
+
+def _emb_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.expr(_EMB_D_SPARK).alias("emb"),
+        )
+        .select(
+            "vec_id", "emb", F.expr(f"sqrt({_norm2_spark('emb')})").alias("nrm")
+        )
+    )
+
+
+_COS_SPARK = "round({dot} / (a.nrm * b.nrm), 6)"
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k: broadcast the query rows against the full corpus."""
+    from pyspark.sql.window import Window
+
+    e = _emb_df(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < C.KNN_NUM_QUERIES)
+    joined = (
+        F.broadcast(q).alias("a")
+        .crossJoin(e.alias("b"))
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("q_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.expr(
+                _COS_SPARK.format(dot=_dot_spark("a.emb", "b.emb"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= C.KNN_K)
+        .select("q_id", "neighbor_id", F.col("rnk").alias("rank"), "cos_sim")
+    )
+
+
+def sql_knn_bruteforce() -> str:
+    dot = _dot_duck("a.embedding", "b.embedding")
+    na = _norm2_duck("a.embedding")
+    nb = _norm2_duck("b.embedding")
+    return f"""
+        WITH p AS (
+            SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+                   round({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < {C.KNN_NUM_QUERIES} AND a.vec_id != b.vec_id
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id
+            ) AS rnk FROM p
+        )
+        SELECT q_id, neighbor_id, rnk AS rank, cos_sim
+        FROM r WHERE rnk <= {C.KNN_K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket assignment
+# ---------------------------------------------------------------------------
+
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket histogram — the data-distribution check an operator would
+    run before trusting the ANN path (skew detection)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.expr(_EMB_D_SPARK).alias("emb")
+    )
+    b = e.select("vec_id", F.expr(_bucket_spark()).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def sql_lsh_bucket_stats() -> str:
+    return f"""
+        WITH b AS (
+            SELECT vec_id, {_bucket_duck()} AS bucket FROM embeddings
+        )
+        SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+        FROM b GROUP BY bucket
+    """
+
+
+# ---------------------------------------------------------------------------
+# bucketed ANN top-k
+# ---------------------------------------------------------------------------
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _emb_df(spark, sf_dir).withColumn("bucket", F.expr(_bucket_spark()))
+    q = e.filter(F.col("vec_id") < C.KNN_NUM_QUERIES)
+    joined = (
+        q.alias("a")
+        .join(e.alias("b"), on="bucket")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("q_id"),
+            F.col("bucket"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.expr(
+                _COS_SPARK.format(dot=_dot_spark("a.emb", "b.emb"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= C.ANN_K)
+        .select(
+            "q_id", "bucket", "neighbor_id", F.col("rnk").alias("rank"),
+            "cos_sim",
+        )
+    )
+
+
+def sql_ann_lsh_topk() -> str:
+    dot = _dot_duck("a.embedding", "b.embedding")
+    na = _norm2_duck("a.embedding")
+    nb = _norm2_duck("b.embedding")
+    return f"""
+        WITH bk AS (
+            SELECT vec_id, embedding, {_bucket_duck()} AS bucket
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS q_id, a.bucket, b.vec_id AS neighbor_id,
+                   round({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim
+            FROM bk a JOIN bk b
+              ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+             AND a.vec_id < {C.KNN_NUM_QUERIES}
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id
+            ) AS rnk FROM p
+        )
+        SELECT q_id, bucket, neighbor_id, rnk AS rank, cos_sim
+        FROM r WHERE rnk <= {C.ANN_K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# bucket-blocked cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_df(spark, sf_dir).withColumn("bucket", F.expr(_bucket_spark()))
+    joined = (
+        e.alias("a")
+        .join(e.alias("b"), on="bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.expr(
+                _COS_SPARK.format(dot=_dot_spark("a.emb", "b.emb"))
+            ).alias("cos_sim"),
+        )
+    )
+    return joined.filter(F.col("cos_sim") >= C.COSINE_NEARDUP_THRESHOLD)
+
+
+def sql_neardup_cosine() -> str:
+    dot = _dot_duck("a.embedding", "b.embedding")
+    na = _norm2_duck("a.embedding")
+    nb = _norm2_duck("b.embedding")
+    return f"""
+        WITH bk AS (
+            SELECT vec_id, embedding, {_bucket_duck()} AS bucket
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim
+            FROM bk a JOIN bk b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT * FROM p WHERE cos_sim >= {C.COSINE_NEARDUP_THRESHOLD}
+    """

@@ -1,0 +1,287 @@
+"""Text-analysis operators: token counting, language-ID, quality scoring,
+document fingerprinting. Spark side is pure JVM expressions (whole-stage
+codegen; no Python UDFs); each op ships a DuckDB oracle generated from the
+same constants in `constants.py`.
+
+Reference analog: docling-core has no corpus analytics; these are the
+training-data-pipeline companions the 100 TB deployment needs (lang-ID /
+quality filtering / token budgeting / fingerprint dedup prep).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import constants as C
+
+# ---------------------------------------------------------------------------
+# shared expression fragments (Spark SQL dialect)
+# ---------------------------------------------------------------------------
+
+TOKENS_SPARK = r"split(lower(trim(text)), '\\s+')"
+TOKENS_DUCK = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+def _spark_re(pattern: str) -> str:
+    """Escape a regex for embedding in a Spark SQL single-quoted literal
+    (Spark's parser treats backslash as an escape; DuckDB's does not)."""
+    return pattern.replace("\\", "\\\\")
+
+
+def _h30_spark(s: str) -> str:
+    return (
+        f"pmod(cast(conv(substring(md5(encode({s}, 'utf-8')), 1, 15), 16, 10)"
+        f" as bigint), {C.H30_MOD})"
+    )
+
+
+def _h30_duck(s: str) -> str:
+    return f"(('0x' || substr(md5({s}), 1, 15))::BIGINT % {C.H30_MOD})"
+
+
+def _sw_array_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in C.STOPWORDS[lang]) + "]"
+
+
+def _sw_array_spark(lang: str) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in C.STOPWORDS[lang]) + ")"
+
+
+# ---------------------------------------------------------------------------
+# token_stats
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts and repetition ratio."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({TOKENS_SPARK})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({TOKENS_SPARK}))").alias(
+            "n_distinct_tokens"
+        ),
+        F.expr(
+            f"size(regexp_extract_all(lower(text),"
+            f" '{_spark_re(C.BPE_TOKEN_RE)}', 0))"
+        ).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.expr(
+            f"round(size(array_distinct({TOKENS_SPARK})) /"
+            f" cast(size({TOKENS_SPARK}) as double), 6)"
+        ).alias("repetition_ratio"),
+    )
+
+
+def sql_token_stats() -> str:
+    return rf"""
+        SELECT doc_id,
+               len({TOKENS_DUCK}) AS n_tokens,
+               len(list_distinct({TOKENS_DUCK})) AS n_distinct_tokens,
+               len(regexp_extract_all(lower(text), '{C.BPE_TOKEN_RE}'))
+                   AS n_bpe_tokens,
+               length(text) AS n_chars_actual,
+               round(len(list_distinct({TOKENS_DUCK}))::DOUBLE
+                     / len({TOKENS_DUCK}), 6) AS repetition_ratio
+        FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# language-ID (stopword n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+def _lang_case(score_col) -> str:
+    """Deterministic argmax with alphabetical tie-break; identical CASE
+    text works in both dialects given per-lang score columns s_<lang>."""
+    langs = C.LANGS
+    clauses = []
+    for i, lang in enumerate(langs):
+        rest = langs[i + 1:]
+        if rest:
+            cond = " AND ".join(
+                f"{score_col(lang)} >= {score_col(o)}" for o in rest
+            )
+            clauses.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            clauses.append(f"ELSE '{lang}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_scores = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"size({TOKENS_SPARK})").alias("n_tokens"),
+        *[
+            F.expr(
+                f"size(filter({TOKENS_SPARK},"
+                f" t -> array_contains({_sw_array_spark(lang)}, t)))"
+            ).alias(f"s_{lang}")
+            for lang in C.LANGS
+        ],
+    )
+    case = _lang_case(lambda lg: f"s_{lg}")
+    return with_scores.select(
+        "doc_id",
+        F.expr(case).alias("pred_lang"),
+        *[F.col(f"s_{lg}") for lg in C.LANGS],
+        F.when(F.expr(case) == F.col("lang"), 1).otherwise(0).alias(
+            "matches_meta"
+        ),
+    )
+
+
+def sql_lang_id() -> str:
+    score_exprs = ",\n               ".join(
+        f"len(list_filter({TOKENS_DUCK},"
+        f" t -> list_contains({_sw_array_sql(lang)}, t))) AS s_{lang}"
+        for lang in C.LANGS
+    )
+    case = _lang_case(lambda lg: f"s_{lg}")
+    score_cols = ", ".join(f"s_{lg}" for lg in C.LANGS)
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+               {score_exprs}
+            FROM documents
+        )
+        SELECT doc_id, {case} AS pred_lang, {score_cols},
+               CASE WHEN ({case}) = lang THEN 1 ELSE 0 END AS matches_meta
+        FROM scored
+    """
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    en_sw = _sw_array_spark("en")
+    base = docs.select(
+        "doc_id",
+        F.expr(f"size({TOKENS_SPARK})").alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform({TOKENS_SPARK}, t -> length(t)),"
+            f" 0, (acc, x) -> acc + x)"
+        ).alias("sum_token_len"),
+        F.expr(
+            f"size(filter({TOKENS_SPARK},"
+            f" t -> array_contains({en_sw}, t)))"
+        ).alias("n_stopwords"),
+        F.expr("length(regexp_replace(text, '[^0-9]', ''))").alias("n_digits"),
+        F.expr(
+            r"length(regexp_replace(lower(text), '[a-z0-9\\s]', ''))"
+        ).alias("n_punct"),
+        F.expr(f"size(array_distinct({TOKENS_SPARK}))").alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "round(sum_token_len / cast(n_tokens as double), 6)"
+        ).alias("mean_token_len"),
+        F.expr(
+            "round(n_stopwords / cast(n_tokens as double), 6)"
+        ).alias("stopword_ratio"),
+        F.expr("round(n_digits / cast(n_chars as double), 6)").alias(
+            "digit_ratio"
+        ),
+        F.expr("round(n_punct / cast(n_chars as double), 6)").alias(
+            "punct_ratio"
+        ),
+        F.expr(
+            "round(n_distinct / cast(n_tokens as double), 6)"
+        ).alias("repetition_ratio"),
+        F.expr(
+            "round("
+            " least(n_tokens / 64.0, 1.0) * 0.25"
+            " + least(n_stopwords / cast(n_tokens as double) * 4.0, 1.0)"
+            "   * 0.25"
+            " + (1.0 - n_digits / cast(n_chars as double)) * 0.25"
+            " + (n_distinct / cast(n_tokens as double)) * 0.25, 6)"
+        ).alias("quality_score"),
+    )
+
+
+def sql_quality() -> str:
+    en_sw = _sw_array_sql("en")
+    return rf"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({TOKENS_DUCK}) AS n_tokens,
+                   list_sum(list_transform({TOKENS_DUCK},
+                            t -> length(t)))::BIGINT AS sum_token_len,
+                   len(list_filter({TOKENS_DUCK},
+                       t -> list_contains({en_sw}, t))) AS n_stopwords,
+                   length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       AS n_digits,
+                   length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
+                       AS n_punct,
+                   len(list_distinct({TOKENS_DUCK})) AS n_distinct,
+                   length(text) AS n_chars
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               round(sum_token_len / n_tokens::DOUBLE, 6) AS mean_token_len,
+               round(n_stopwords / n_tokens::DOUBLE, 6) AS stopword_ratio,
+               round(n_digits / n_chars::DOUBLE, 6) AS digit_ratio,
+               round(n_punct / n_chars::DOUBLE, 6) AS punct_ratio,
+               round(n_distinct / n_tokens::DOUBLE, 6) AS repetition_ratio,
+               round(least(n_tokens / 64.0, 1.0) * 0.25
+                     + least(n_stopwords / n_tokens::DOUBLE * 4.0, 1.0)
+                       * 0.25
+                     + (1.0 - n_digits / n_chars::DOUBLE) * 0.25
+                     + (n_distinct / n_tokens::DOUBLE) * 0.25, 6)
+                   AS quality_score
+        FROM base
+    """
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (MOD-p selected char k-gram rolling hashes)
+# ---------------------------------------------------------------------------
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: hash every char k-gram, keep the
+    0-mod-p subset, emit sorted-distinct digest. Two docs sharing text
+    share fingerprints — this is the cheap pre-filter before pairwise
+    dedup at scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k, m = C.FP_CHARGRAM_K, C.FP_SELECT_MOD
+    grams = (
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
+        f" i -> substring(text, i, {k}))"
+    )
+    hashes = f"transform({grams}, g -> {_h30_spark('g')})"
+    selected = f"array_sort(array_distinct(filter({hashes}, h -> h % {m} = 0)))"
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({selected})").alias("n_fingerprints"),
+        F.expr(
+            f"md5(encode(concat_ws(',', transform({selected},"
+            f" h -> cast(h as string))), 'utf-8'))"
+        ).alias("fingerprint_md5"),
+    )
+
+
+def sql_fingerprint() -> str:
+    k, m = C.FP_CHARGRAM_K, C.FP_SELECT_MOD
+    grams = (
+        f"list_transform(generate_series(1, greatest(length(text) - {k - 1},"
+        f" 1)), i -> substr(text, i, {k}))"
+    )
+    hashes = f"list_transform({grams}, g -> {_h30_duck('g')})"
+    selected = (
+        f"list_sort(list_distinct(list_filter({hashes}, h -> h % {m} = 0)))"
+    )
+    return f"""
+        SELECT doc_id,
+               len({selected}) AS n_fingerprints,
+               md5(array_to_string(list_transform({selected},
+                   h -> h::VARCHAR), ',')) AS fingerprint_md5
+        FROM documents
+    """

@@ -1,0 +1,130 @@
+"""Spark-vs-DuckDB parity for the corpus training-data operators.
+
+Each operator ships a DuckDB oracle generated from the same constants;
+this test runs both on sf0.001 and compares the order-insensitive value
+multiset — the same check the driver's correctness gate performs.
+"""
+
+import datetime
+import decimal
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, decimal.Decimal):
+        return f"{v.normalize():f}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(list(r)[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _pairs():
+    from docling_core_spark.corpus import (
+        dedup as CD,
+        multimodal as CM,
+        similarity as CS,
+        textstats as CT,
+    )
+
+    return {
+        "token_stats": (CT.q_token_stats, CT.sql_token_stats),
+        "lang_id": (CT.q_lang_id, CT.sql_lang_id),
+        "quality": (CT.q_quality, CT.sql_quality),
+        "fingerprint": (CT.q_fingerprint, CT.sql_fingerprint),
+        "minhash_signatures": (
+            CD.q_minhash_signatures, CD.sql_minhash_signatures,
+        ),
+        "lsh_buckets": (CD.q_lsh_buckets, CD.sql_lsh_buckets),
+        "neardup_pairs": (CD.q_neardup_pairs, CD.sql_neardup_pairs),
+        "simhash": (CD.q_simhash, CD.sql_simhash),
+        "knn_bruteforce": (CS.q_knn_bruteforce, CS.sql_knn_bruteforce),
+        "lsh_bucket_stats": (CS.q_lsh_bucket_stats, CS.sql_lsh_bucket_stats),
+        "ann_lsh_topk": (CS.q_ann_lsh_topk, CS.sql_ann_lsh_topk),
+        "neardup_cosine": (CS.q_neardup_cosine, CS.sql_neardup_cosine),
+        "decode_features": (CM.q_decode_features, CM.sql_decode_features),
+        "frame_sample": (CM.q_frame_sample, CM.sql_frame_sample),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_pairs()))
+def test_corpus_op_matches_oracle(name, spark, duck):
+    q, sql = _pairs()[name]
+    df = q(spark, SF_DIR)
+    rows = [tuple(r) for r in df.collect()]
+    cols = df.columns
+    orc = duck.execute(sql())
+    ocols = [d[0] for d in orc.description]
+    orows = orc.fetchall()
+    assert sorted(cols) == sorted(ocols)
+    a = _normalize(rows, cols)
+    b = _normalize(orows, ocols)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    assert a == b, f"{name}: value mismatch"
+
+
+def test_neardup_pairs_find_planted_duplicates(spark):
+    """The driver's synthetic corpus plants near-duplicate documents;
+    MinHash-LSH + Jaccard verification must surface them (non-empty) and
+    every surviving pair must clear the threshold."""
+    from docling_core_spark.corpus import constants as C
+    from docling_core_spark.corpus import dedup as CD
+
+    rows = CD.q_neardup_pairs(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r["jaccard"] >= C.JACCARD_THRESHOLD for r in rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_knn_is_superset_quality_of_ann(spark):
+    """ANN results are drawn from the same bucket only; every ANN
+    neighbor's cosine must be <= the true (brute-force) best at the same
+    rank — sanity that the approximation never 'beats' exact search."""
+    from docling_core_spark.corpus import similarity as CS
+
+    knn = {
+        (r["q_id"], r["rank"]): r["cos_sim"]
+        for r in CS.q_knn_bruteforce(spark, SF_DIR).collect()
+    }
+    ann = CS.q_ann_lsh_topk(spark, SF_DIR).collect()
+    assert len(ann) > 0
+    for r in ann:
+        exact = knn.get((r["q_id"], r["rank"]))
+        if exact is not None:
+            assert r["cos_sim"] <= exact + 1e-9
+
+
+def test_decode_real_is_gated():
+    from docling_core_spark.corpus import multimodal as CM
+
+    with pytest.raises(NotImplementedError):
+        CM.decode_real(b"bytes", "image")
