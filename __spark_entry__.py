@@ -97,6 +97,12 @@ def _q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_doctags_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pipeline import doctags_roundtrip
+
+    return doctags_roundtrip(_synth(spark, sf_dir))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (hash-groupBy; map-side combine)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -174,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_span_seq": _q_pipeline_span_seq,
         "pipeline_exports": _q_pipeline_exports,
         "pipeline_metrics": _q_pipeline_metrics,
+        "pipeline_doctags_roundtrip": _q_pipeline_doctags_roundtrip,
         # text analysis
         "token_stats": CT.q_token_stats,
         "lang_id": CT.q_lang_id,

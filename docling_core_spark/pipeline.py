@@ -105,6 +105,39 @@ def run_pipeline(
     return df.mapInPandas(_process_batches, schema=S.PIPELINE_OUT_SCHEMA)
 
 
+def _roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    from .parse.doctags import parse_doctags
+    from .serialize.doctags import export_to_doctags as ex
+
+    for pdf in batches:
+        out = []
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            doc, _ = parse_span_doc(doc_id, list(spans) if spans is not None else [])
+            s1 = ex(doc)
+            s2 = ex(parse_doctags(s1, name=doc_id))
+            s3 = ex(parse_doctags(s2, name=doc_id))
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "reload_md5": hashlib.md5(s2.encode()).hexdigest(),
+                    "stable": s2 == s3,
+                }
+            )
+        yield pd.DataFrame(out, columns=["doc_id", "reload_md5", "stable"])
+
+
+def doctags_roundtrip(docs: DataFrame) -> DataFrame:
+    """DocTags adapter exercised distributedly: serialize -> parse ->
+    re-serialize must reach a fixed point after one (lossy, reference-
+    faithful) reload. `stable` must be uniformly true."""
+    return docs.mapInPandas(
+        _roundtrip_batches,
+        schema="doc_id string, reload_md5 string, stable boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Synthetic corpus as a DataFrame (deterministic; see fixtures.py)
 # ---------------------------------------------------------------------------
