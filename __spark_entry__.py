@@ -103,6 +103,18 @@ def _q_pipeline_doctags_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     return doctags_roundtrip(_synth(spark, sf_dir))
 
 
+def _q_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pipeline import chunk_docs
+
+    return chunk_docs(_synth(spark, sf_dir), hybrid=False)
+
+
+def _q_pipeline_chunks_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pipeline import chunk_docs
+
+    return chunk_docs(_synth(spark, sf_dir), hybrid=True, max_tokens=64)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (hash-groupBy; map-side combine)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -181,6 +193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_exports": _q_pipeline_exports,
         "pipeline_metrics": _q_pipeline_metrics,
         "pipeline_doctags_roundtrip": _q_pipeline_doctags_roundtrip,
+        "pipeline_chunks": _q_pipeline_chunks,
+        "pipeline_chunks_hybrid": _q_pipeline_chunks_hybrid,
         # text analysis
         "token_stats": CT.q_token_stats,
         "lang_id": CT.q_lang_id,

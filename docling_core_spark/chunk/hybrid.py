@@ -1,0 +1,236 @@
+"""Hybrid chunker: hierarchical chunks refined under a token budget.
+
+Parity target: HybridChunker (transforms/chunker/hybrid_chunker.py):
+  - `_split_by_doc_items` (:175-218): greedy inclusive window over a
+    chunk's doc_items; each candidate window is re-serialized and its
+    CONTEXTUALIZED text token-counted against max_tokens; an oversized
+    single item passes through (the plain-text splitter handles it);
+  - `_split_using_plain_text` (:220-244): budget = max_tokens minus the
+    non-text (headings) share; oversized text is split by a greedy
+    paragraph/sentence/word packer. The reference delegates this step to
+    the `semchunk` library (unavailable here); our packer is a
+    deterministic stand-in with the same contract (each piece fits the
+    budget; pieces concatenate to the original text modulo separator
+    normalization);
+  - `_merge_chunks_with_matching_metadata` (:246-293): adjacent chunks
+    with identical headings re-merge while the contextualized total
+    stays within budget.
+
+Tokenizer: deterministic regex word/punct counter by default; a
+HuggingFace tokenizer is used when `transformers` is importable and a
+model name is configured (hybrid_chunker.py:43-50 defaults to
+sentence-transformers/all-MiniLM-L6-v2).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+from .hierarchical import (
+    CHUNKING_VTABLE,
+    Chunk,
+    chunk_doc,
+    chunking_params,
+    contextualize,
+)
+from ..serialize.common import DocSerializerState
+
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+def regex_count_tokens(text: str) -> int:
+    """BPE-ish deterministic token count: words + punctuation marks."""
+    return len(_TOKEN_RE.findall(text))
+
+
+def make_hf_counter(model_name: str) -> Callable[[str], int]:
+    """HuggingFace tokenizer-backed counter; import-gated (the tokenizer
+    is loaded once per process/executor, never per row)."""
+    from transformers import AutoTokenizer  # raises if unavailable
+
+    tok = AutoTokenizer.from_pretrained(model_name)
+    return lambda text: len(tok.tokenize(text, max_length=None))
+
+
+@dataclass
+class HybridChunkerConfig:
+    max_tokens: int = 64
+    merge_peers: bool = True
+    delim: str = "\n"
+    count_tokens: Callable[[str], int] = field(default=regex_count_tokens)
+
+
+def _count_chunk_tokens(cfg: HybridChunkerConfig, chunk: Chunk) -> int:
+    return cfg.count_tokens(contextualize(chunk, cfg.delim))
+
+
+def _rejoin_window(
+    state: DocSerializerState, chunk: Chunk, items: List[dict], delim: str
+) -> str:
+    """Window text = per-item re-serialization joined by delim
+    (hybrid_chunker.py:147-171); single-item chunks keep their text."""
+    if len(chunk.doc_items) == 1:
+        return chunk.text
+    texts = []
+    for it in items:
+        res = state.serialize_item(it, visited=set())
+        if res.text:
+            texts.append(res.text)
+    return delim.join(texts)
+
+
+def _split_by_doc_items(
+    cfg: HybridChunkerConfig, state: DocSerializerState, chunk: Chunk
+) -> List[Chunk]:
+    def window_chunk(start: int, end: int) -> Chunk:
+        items = chunk.doc_items[start: end + 1]
+        return Chunk(
+            text=_rejoin_window(state, chunk, items, cfg.delim),
+            doc_items=items,
+            headings=chunk.headings,
+        )
+
+    chunks: List[Chunk] = []
+    window_start = 0
+    window_end = 0
+    num_items = len(chunk.doc_items)
+    while window_end < num_items:
+        new_chunk = window_chunk(window_start, window_end)
+        if _count_chunk_tokens(cfg, new_chunk) <= cfg.max_tokens:
+            if window_end < num_items - 1:
+                window_end += 1
+                continue
+            window_end = num_items
+        elif window_start == window_end:
+            # single oversized item: pass through for plain-text split
+            window_end += 1
+            window_start = window_end
+        else:
+            new_chunk = window_chunk(window_start, window_end - 1)
+            window_start = window_end
+        chunks.append(new_chunk)
+    return chunks
+
+
+_PARA_RE = re.compile(r"\n\n+")
+_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+def _pack_text(
+    cfg: HybridChunkerConfig, text: str, budget: int
+) -> List[str]:
+    """Greedy hierarchical packer (paragraphs -> sentences -> words):
+    deterministic stand-in for semchunk with the same contract."""
+    if cfg.count_tokens(text) <= budget:
+        return [text]
+
+    def split_level(t: str, level: int) -> List[str]:
+        if level == 0:
+            return [p for p in _PARA_RE.split(t) if p.strip()]
+        if level == 1:
+            return [s for s in _SENT_RE.split(t) if s.strip()]
+        return t.split()
+
+    def pack(units: List[str], joiner: str) -> List[str]:
+        out: List[str] = []
+        cur = ""
+        for u in units:
+            cand = f"{cur}{joiner}{u}" if cur else u
+            if cfg.count_tokens(cand) <= budget:
+                cur = cand
+            else:
+                if cur:
+                    out.append(cur)
+                cur = u
+        if cur:
+            out.append(cur)
+        return out
+
+    for level, joiner in ((0, "\n\n"), (1, " "), (2, " ")):
+        units = split_level(text, level)
+        if len(units) <= 1 and level < 2:
+            continue
+        pieces = pack(units, joiner)
+        # recurse into still-oversized pieces with the next level
+        final: List[str] = []
+        for p in pieces:
+            if cfg.count_tokens(p) <= budget or level == 2:
+                final.append(p)
+            else:
+                final.extend(_pack_text(cfg, p, budget))
+        return final
+    return [text]
+
+
+def _split_using_plain_text(
+    cfg: HybridChunkerConfig, chunk: Chunk
+) -> List[Chunk]:
+    total = _count_chunk_tokens(cfg, chunk)
+    if total <= cfg.max_tokens:
+        return [chunk]
+    text_len = cfg.count_tokens(chunk.text)
+    other_len = total - text_len
+    available = cfg.max_tokens - other_len
+    if available <= 0:
+        return []  # headings alone exceed the budget (warned upstream)
+    return [
+        Chunk(text=s, doc_items=chunk.doc_items, headings=chunk.headings)
+        for s in _pack_text(cfg, chunk.text, available)
+    ]
+
+
+def _merge_peers(
+    cfg: HybridChunkerConfig, chunks: List[Chunk]
+) -> List[Chunk]:
+    output: List[Chunk] = []
+    window_start = 0
+    window_end = 0
+    num_chunks = len(chunks)
+    current_headings: Optional[List[str]] = None
+    first_chunk: Optional[Chunk] = None
+    new_chunk: Optional[Chunk] = None
+    while window_end < num_chunks:
+        chunk = chunks[window_end]
+        ready_to_append = False
+        if window_start == window_end:
+            current_headings = chunk.headings
+            window_end += 1
+            first_chunk = chunk
+        else:
+            window = chunks[window_start: window_end + 1]
+            candidate = Chunk(
+                text=cfg.delim.join(c.text for c in window),
+                doc_items=[it for c in window for it in c.doc_items],
+                headings=current_headings,
+            )
+            if (
+                chunk.headings == current_headings
+                and _count_chunk_tokens(cfg, candidate) <= cfg.max_tokens
+            ):
+                window_end += 1
+                new_chunk = candidate
+            else:
+                ready_to_append = True
+        if ready_to_append or window_end == num_chunks:
+            if window_start + 1 == window_end:
+                output.append(first_chunk)
+            else:
+                output.append(new_chunk)
+            window_start = window_end
+    return output
+
+
+def hybrid_chunk_doc(
+    doc: dict, cfg: Optional[HybridChunkerConfig] = None
+) -> List[Chunk]:
+    """Full hybrid pipeline (hybrid_chunker.py:295-323)."""
+    cfg = cfg or HybridChunkerConfig()
+    state = DocSerializerState(doc, chunking_params(), CHUNKING_VTABLE)
+    res = chunk_doc(doc, delim=cfg.delim)
+    res = [x for c in res for x in _split_by_doc_items(cfg, state, c)]
+    res = [x for c in res for x in _split_using_plain_text(cfg, c)]
+    if cfg.merge_peers:
+        res = _merge_peers(cfg, res)
+    return res

@@ -302,22 +302,56 @@ def to_html_table(data: dict) -> str:
     return f"<table><tbody>{body}</tbody></table>"
 
 
-def to_triplets(data: dict, caption: str = "") -> str:
-    """Table -> 'col = value' triplet text used by the chunker
-    (hierarchical_chunker.py:126-172)."""
+def export_dataframe(data: dict) -> Tuple[Optional[List[str]], List[List[str]]]:
+    """Grid -> (columns, body rows) mirroring `export_to_dataframe`
+    (document.py:1231-1274): leading rows where any cell is a column
+    header are merged into dot-joined column names; remaining rows are
+    the body. columns is None when there are no header rows (pandas
+    would use a RangeIndex)."""
+    if data["num_rows"] == 0 or data["num_cols"] == 0:
+        return None, []
     g = grid(data)
-    rows = [[c["text"].strip() for c in row] for row in g]
-    if len(rows) < 2 or not rows[0]:
+    num_headers = 0
+    for row in g:
+        if any(c["column_header"] for c in row):
+            num_headers += 1
+        else:
+            break
+    columns: Optional[List[str]] = None
+    if num_headers > 0:
+        columns = ["" for _ in range(data["num_cols"])]
+        for i in range(num_headers):
+            for j, cell in enumerate(g[i]):
+                col_name = cell["text"]
+                if columns[j] != "":
+                    col_name = f".{col_name}"
+                columns[j] += col_name
+    body = [[c["text"] for c in row] for row in g[num_headers:]]
+    return columns, body
+
+
+def to_triplets(data: dict) -> str:
+    """Table -> 'row, col = value' triplet text, exactly mirroring
+    TripletTableSerializer (hierarchical_chunker.py:126-172): the header
+    is re-inserted as the first row, row labels come from column 0, and
+    triplets skip row/col 0. Tables with no body rows or fewer than two
+    columns serialize to ''. No-header tables get pandas' RangeIndex
+    column names ('0', '1', ...)."""
+    columns, body = export_dataframe(data)
+    nrows, ncols = len(body), data["num_cols"]
+    if nrows < 1 or ncols < 2:
         return ""
-    headers = rows[0]
-    out = []
-    for row in rows[1:]:
-        parts = []
-        for j, v in enumerate(row):
-            h = headers[j] if j < len(headers) else ""
-            if h and v:
-                parts.append(f"{h} = {v}")
-        if parts:
-            out.append(", ".join(parts) + ". ")
-    text = "".join(out)
-    return f"{caption}. {text}" if caption else text
+    header_row = (
+        [str(c) for c in columns]
+        if columns is not None
+        else [str(j) for j in range(ncols)]
+    )
+    full = [header_row] + [[str(v) for v in row] for row in body]
+    rows = [r[0].strip() for r in full]
+    cols = [c.strip() for c in full[0]]
+    parts = [
+        f"{rows[i]}, {cols[j]} = {full[i][j].strip()}"
+        for i in range(1, len(full))
+        for j in range(1, ncols)
+    ]
+    return ". ".join(parts)

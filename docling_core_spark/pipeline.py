@@ -138,6 +138,64 @@ def doctags_roundtrip(docs: DataFrame) -> DataFrame:
     )
 
 
+CHUNKS_SCHEMA = (
+    "doc_id string, chunk_idx int, text string, headings array<string>,"
+    " item_refs array<string>, n_tokens int, context_tokens int"
+)
+
+
+def _chunk_batches(hybrid: bool, max_tokens: int):
+    from .chunk import chunk_doc, hybrid_chunk_doc
+    from .chunk.hybrid import HybridChunkerConfig, regex_count_tokens
+    from .chunk.hierarchical import contextualize
+
+    cfg = HybridChunkerConfig(max_tokens=max_tokens)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                doc, _ = parse_span_doc(
+                    doc_id, list(spans) if spans is not None else []
+                )
+                chunks = (
+                    hybrid_chunk_doc(doc, cfg) if hybrid else chunk_doc(doc)
+                )
+                for i, c in enumerate(chunks):
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "chunk_idx": i,
+                            "text": c.text,
+                            "headings": c.headings or [],
+                            "item_refs": c.doc_item_refs,
+                            "n_tokens": regex_count_tokens(c.text),
+                            "context_tokens": regex_count_tokens(
+                                contextualize(c)
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "chunk_idx", "text", "headings", "item_refs",
+                    "n_tokens", "context_tokens",
+                ],
+            )
+
+    return gen
+
+
+def chunk_docs(
+    docs: DataFrame, hybrid: bool = False, max_tokens: int = 64
+) -> DataFrame:
+    """Chunking as one shuffle-free Arrow stage: docs(doc_id, spans) ->
+    exploded chunk rows. Hybrid adds the token-budget refinement."""
+    return docs.mapInPandas(
+        _chunk_batches(hybrid, max_tokens), schema=CHUNKS_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------------------
 # Synthetic corpus as a DataFrame (deterministic; see fixtures.py)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,139 @@
+"""Chunker tests: hierarchical parity vs the reference chunker, hybrid
+semantic invariants (the reference HybridChunker needs transformers +
+semchunk, unavailable here — its contract is tested directly), and the
+distributed chunking stage.
+"""
+
+import pytest
+
+from docling_core_spark.chunk import Chunk, chunk_doc, hybrid_chunk_doc
+from docling_core_spark.chunk.hierarchical import contextualize
+from docling_core_spark.chunk.hybrid import (
+    HybridChunkerConfig,
+    _pack_text,
+    regex_count_tokens,
+)
+from docling_core_spark.fixtures import SHAPE_IDS, gen_spans
+from docling_core_spark.parse.spans import parse_span_doc
+
+from ref_oracle import build_ref_doc, install_reference
+
+DOC_IDS = list(SHAPE_IDS) + [f"doc-{i:08d}" for i in range(16)]
+
+
+@pytest.mark.parametrize("doc_id", DOC_IDS)
+def test_hierarchical_matches_reference(doc_id):
+    """(text, headings, doc_item refs) triple-equality per chunk against
+    the reference HierarchicalChunker on the same span stream."""
+    install_reference()
+    from docling_core.transforms.chunker.hierarchical_chunker import (
+        HierarchicalChunker,
+    )
+
+    spans = gen_spans(doc_id)
+    mydoc, _ = parse_span_doc(doc_id, spans)
+    refdoc = build_ref_doc(spans, name=doc_id)
+    mine = [
+        (c.text, tuple(c.headings or []), tuple(c.doc_item_refs))
+        for c in chunk_doc(mydoc)
+    ]
+    ref = [
+        (
+            c.text,
+            tuple(c.meta.headings or []),
+            tuple(it.self_ref for it in c.meta.doc_items),
+        )
+        for c in HierarchicalChunker().chunk(refdoc)
+    ]
+    assert mine == ref
+
+
+def _doc(doc_id="doc-00000003"):
+    doc, _ = parse_span_doc(doc_id, gen_spans(doc_id))
+    return doc
+
+
+def test_hybrid_respects_budget():
+    cfg = HybridChunkerConfig(max_tokens=48)
+    for did in DOC_IDS[:8]:
+        doc, _ = parse_span_doc(did, gen_spans(did))
+        for c in hybrid_chunk_doc(doc, cfg):
+            # every emitted chunk fits the contextualized budget, except
+            # irreducible single units (one word/sentence over budget)
+            ctx = regex_count_tokens(contextualize(c))
+            assert ctx <= cfg.max_tokens or len(c.text.split()) == 1
+
+
+def test_hybrid_merges_peers_under_budget():
+    doc = _doc()
+    merged = hybrid_chunk_doc(doc, HybridChunkerConfig(max_tokens=512))
+    unmerged = hybrid_chunk_doc(
+        doc, HybridChunkerConfig(max_tokens=512, merge_peers=False)
+    )
+    assert len(merged) <= len(unmerged)
+    # with a huge budget, all same-headings neighbors collapse: chunk
+    # count == number of distinct contiguous heading contexts
+    contexts = []
+    for c in unmerged:
+        if not contexts or contexts[-1] != (c.headings or []):
+            contexts.append(c.headings or [])
+    assert len(merged) == len(contexts)
+
+
+import re as _re
+
+_MARKER_RE = _re.compile(r"^(-|\d+\.)$")
+
+
+def test_hybrid_preserves_all_text():
+    """Splitting never loses content words. List markers ('-', '1.') may
+    drop when a window is re-serialized per item — matching the
+    reference, whose per-item markdown serialization also emits list
+    items without their list-group markers
+    (hybrid_chunker.py:147-171 + serializer/markdown.py:98-157)."""
+    doc = _doc("doc-00000007")
+    base = chunk_doc(doc)
+    hybrid = hybrid_chunk_doc(doc, HybridChunkerConfig(max_tokens=24))
+    base_words = [
+        w for c in base for w in c.text.split() if not _MARKER_RE.match(w)
+    ]
+    hybrid_words = [
+        w for c in hybrid for w in c.text.split() if not _MARKER_RE.match(w)
+    ]
+    assert sorted(base_words) == sorted(hybrid_words)
+
+
+def test_pack_text_contract():
+    cfg = HybridChunkerConfig(max_tokens=8)
+    text = "one two three. four five six seven. eight nine ten eleven."
+    pieces = _pack_text(cfg, text, 8)
+    assert all(regex_count_tokens(p) <= 8 for p in pieces)
+    assert " ".join(pieces).split() == text.split()
+
+
+def test_headings_exceeding_budget_drop_chunk():
+    doc, _ = parse_span_doc(
+        "t",
+        [
+            {"kind": "section_header_level_1",
+             "text": "a " * 100, "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "hello world " * 30,
+             "media_ref": "", "offset": 1},
+        ],
+    )
+    out = hybrid_chunk_doc(doc, HybridChunkerConfig(max_tokens=16))
+    assert out == []  # headings alone exceed the budget -> dropped
+
+
+def test_spark_chunk_stage(spark):
+    from docling_core_spark.pipeline import chunk_docs, synth_docs
+
+    docs = synth_docs(spark, 8, partitions=2)
+    out = chunk_docs(docs, hybrid=True, max_tokens=64).collect()
+    assert len(out) > 0
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        idxs = sorted(r["chunk_idx"] for r in rows)
+        assert idxs == list(range(len(rows)))
