@@ -1,0 +1,218 @@
+"""Checkpoint ledger: resumable extraction runs at shard granularity.
+
+North-rule contract: "resumable from checkpoint with per-partition
+lineage + metrics". The reference is a single-process library with no
+notion of this (SURVEY.md §2.6); the design here mirrors Structured
+Streaming's commit-log semantics without requiring a streaming source:
+
+  - The corpus is deterministically sharded by `pmod(xxhash64(doc_id),
+    num_shards)` — the same salted hash the hot path repartitions on, so
+    shard membership is stable across runs and cluster sizes.
+  - Each processing batch handles a set of pending shards IN ONE Spark
+    job (internally parallel over all executors), writes output as
+    parquet partitioned by `shard`, then atomically commits one ledger
+    row PER SHARD — a single JSON file per shard written with
+    write-then-rename, mirroring the streaming commit log.
+  - A ledger row carries lineage (order-independent XOR fingerprint of
+    the shard's doc_id hashes + doc count) and metrics (spans, items,
+    anomalies, invalid trees, wall time).
+  - Resume = set difference: shards without a committed ledger row are
+    pending. A run killed mid-batch re-processes only that batch's
+    uncommitted shards; committed shards are never touched again
+    (their parquet partitions are only ever overwritten together with a
+    re-commit, via dynamic partition overwrite).
+
+At 10^12 docs, `num_shards` is sized so one shard ≈ one retryable unit
+(e.g. 10k shards of ~10^8 docs); `shards_per_batch` trades checkpoint
+granularity against job-startup overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class LedgerEntry:
+    shard: int
+    status: str                # "done"
+    doc_count: int
+    lineage_xor: int           # XOR of xxhash64(doc_id) over the shard
+    n_spans: int
+    n_items: int
+    n_anomalies: int
+    n_invalid_trees: int
+    wall_sec: float
+    batch_id: int
+    committed_at: float
+
+
+def _ledger_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_ledger")
+
+
+def _entry_path(out_dir: str, shard: int) -> str:
+    return os.path.join(_ledger_dir(out_dir), f"shard-{shard:06d}.json")
+
+
+def _commit_entry(out_dir: str, entry: LedgerEntry) -> None:
+    """Atomic single-shard commit: write temp + rename (POSIX atomic on
+    one filesystem; on object stores use a conditional PUT)."""
+    os.makedirs(_ledger_dir(out_dir), exist_ok=True)
+    final = _entry_path(out_dir, entry.shard)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(asdict(entry), f)
+    os.replace(tmp, final)
+
+
+def read_ledger(out_dir: str) -> List[LedgerEntry]:
+    d = _ledger_dir(out_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(LedgerEntry(**json.load(f)))
+    return out
+
+
+def pending_shards(out_dir: str, num_shards: int) -> List[int]:
+    done = {e.shard for e in read_ledger(out_dir) if e.status == "done"}
+    return [s for s in range(num_shards) if s not in done]
+
+
+def _with_shard(docs: DataFrame, num_shards: int) -> DataFrame:
+    return docs.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(num_shards)).cast("int")
+    )
+
+
+def run_with_ledger(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    num_shards: int = 8,
+    shards_per_batch: int = 4,
+    fail_after_batches: Optional[int] = None,
+) -> List[LedgerEntry]:
+    """Process all pending shards of `docs` through the extraction
+    pipeline, committing the ledger after each batch. Idempotent:
+    re-invoking after any crash resumes exactly at the first uncommitted
+    shard. `fail_after_batches` is a test hook simulating a mid-run
+    crash (raises AFTER committing that many batches).
+    """
+    from ..pipeline import run_pipeline
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    data_dir = os.path.join(out_dir, "data")
+    sharded = _with_shard(docs, num_shards)
+
+    pending = pending_shards(out_dir, num_shards)
+    committed: List[LedgerEntry] = []
+    batch_id = 0
+    for i in range(0, len(pending), shards_per_batch):
+        batch = pending[i: i + shards_per_batch]
+        t0 = time.time()
+        subset = sharded.filter(F.col("shard").isin(batch))
+        out = run_pipeline(subset.drop("shard")).join(
+            subset.select("doc_id", "shard"), on="doc_id"
+        )
+        out.write.mode("overwrite").partitionBy("shard").parquet(data_dir)
+        # per-shard lineage + metrics from the written output (one agg job)
+        stats = (
+            spark.read.parquet(data_dir)
+            .filter(F.col("shard").isin(batch))
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.expr(
+                    "aggregate(collect_list(xxhash64(doc_id)),"
+                    " cast(0 as bigint), (a, b) -> a ^ b)"
+                ).alias("lineage_xor"),
+                F.sum("n_spans_in").alias("n_spans"),
+                F.sum("n_items").alias("n_items"),
+                F.sum("parse_anomalies").alias("n_anomalies"),
+                F.sum(
+                    F.when(F.col("tree_valid"), 0).otherwise(1)
+                ).alias("n_invalid_trees"),
+            )
+            .collect()
+        )
+        wall = time.time() - t0
+        now = time.time()
+        for row in stats:
+            entry = LedgerEntry(
+                shard=int(row["shard"]),
+                status="done",
+                doc_count=int(row["doc_count"]),
+                lineage_xor=int(row["lineage_xor"]),
+                n_spans=int(row["n_spans"]),
+                n_items=int(row["n_items"]),
+                n_anomalies=int(row["n_anomalies"]),
+                n_invalid_trees=int(row["n_invalid_trees"]),
+                wall_sec=round(wall, 3),
+                batch_id=batch_id,
+                committed_at=now,
+            )
+            _commit_entry(out_dir, entry)
+            committed.append(entry)
+        # shards with zero docs still need a commit (empty is a result)
+        for shard in batch:
+            if not any(e.shard == shard for e in committed):
+                _commit_entry(
+                    out_dir,
+                    LedgerEntry(
+                        shard=shard, status="done", doc_count=0,
+                        lineage_xor=0, n_spans=0, n_items=0,
+                        n_anomalies=0, n_invalid_trees=0,
+                        wall_sec=round(wall, 3), batch_id=batch_id,
+                        committed_at=now,
+                    ),
+                )
+        batch_id += 1
+        if fail_after_batches is not None and batch_id >= fail_after_batches:
+            raise RuntimeError(f"simulated crash after batch {batch_id}")
+    return committed
+
+
+def verify_lineage(spark: SparkSession, docs: DataFrame, out_dir: str,
+                   num_shards: int) -> DataFrame:
+    """Recompute each shard's lineage fingerprint from the INPUT and
+    join against the ledger — the audit a resumed 100 TB run uses to
+    prove no shard was silently skipped or double-processed."""
+    expected = (
+        _with_shard(docs, num_shards)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("expected_docs"),
+            F.expr(
+                "aggregate(collect_list(xxhash64(doc_id)),"
+                " cast(0 as bigint), (a, b) -> a ^ b)"
+            ).alias("expected_xor"),
+        )
+    )
+    rows = [
+        (e.shard, e.doc_count, e.lineage_xor) for e in read_ledger(out_dir)
+    ]
+    ledger = spark.createDataFrame(
+        rows, "shard int, doc_count bigint, lineage_xor bigint"
+    )
+    return (
+        expected.join(ledger, on="shard", how="full")
+        .select(
+            "shard", "expected_docs", "doc_count",
+            (
+                (F.col("expected_docs") == F.col("doc_count"))
+                & (F.col("expected_xor") == F.col("lineage_xor"))
+            ).alias("lineage_ok"),
+        )
+    )
