@@ -11,3 +11,21 @@ Every operator is expressed as JVM-side DataFrame expressions (no Python
 row loops); each has a DuckDB oracle built from the SAME constants so the
 driver's correctness gate can verify values bit-for-bit.
 """
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a parquet table and make sure the scan's parallelism covers
+    the cluster. A production-scale table has thousands of row-group
+    splits and the repartition branch never fires; the driver's small
+    test files arrive as ONE split, which would serialize all the
+    per-row hashing onto a single core (measured 10x slowdown on the
+    fingerprint/minhash ops). The shuffle moved here is the table
+    itself — trivial at test scale, skipped at real scale.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df

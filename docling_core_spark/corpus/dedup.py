@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import constants as C
+from . import constants as C, read_spread
 from .textstats import TOKENS_DUCK, TOKENS_SPARK, _h30_duck, _h30_spark
 
 # ---------------------------------------------------------------------------
@@ -71,7 +71,7 @@ def _sig_exprs_duck() -> list[str]:
 
 
 def _with_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
         .select("doc_id", F.expr(_shingles_spark()).alias("sh"))
@@ -210,7 +210,7 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.expr(TOKENS_SPARK).alias("toks")
     ).select("doc_id", F.expr(_shingles_spark()).alias("sh"))
@@ -265,7 +265,7 @@ def sql_neardup_pairs() -> str:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over token hashes (occurrence-weighted bit votes)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, sf_dir, "documents")
     hs = docs.select(
         "doc_id",
         F.expr(

@@ -25,6 +25,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import read_spread
 from pyspark.sql import types as T
 
 MEDIA_KINDS = ["image", "audio", "video"]
@@ -34,7 +36,7 @@ def media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the media table from `documents`: payload bytes are the
     utf-8 text (a deterministic opaque blob), kind cycles by doc_id, and
     the metadata struct mimics decoded-media headers."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, sf_dir, "documents")
     kinds = ", ".join(f"'{k}'" for k in MEDIA_KINDS)
     return docs.select(
         F.col("doc_id").alias("media_id"),

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import constants as C
+from . import constants as C, read_spread
 
 # ---------------------------------------------------------------------------
 # expression fragments
@@ -82,7 +82,7 @@ def _bucket_duck() -> str:
 
 def _emb_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        read_spread(spark, sf_dir, "embeddings")
         .select(
             "vec_id",
             F.expr(_EMB_D_SPARK).alias("emb"),
@@ -156,7 +156,7 @@ def sql_knn_bruteforce() -> str:
 def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket histogram — the data-distribution check an operator would
     run before trusting the ANN path (skew detection)."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    e = read_spread(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_EMB_D_SPARK).alias("emb")
     )
     b = e.select("vec_id", F.expr(_bucket_spark()).alias("bucket"))

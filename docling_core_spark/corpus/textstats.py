@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import constants as C
+from . import constants as C, read_spread
 
 # ---------------------------------------------------------------------------
 # shared expression fragments (Spark SQL dialect)
@@ -54,7 +54,7 @@ def _sw_array_spark(lang: str) -> str:
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counts and repetition ratio."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.expr(f"size({TOKENS_SPARK})").alias("n_tokens"),
@@ -109,7 +109,7 @@ def _lang_case(score_col) -> str:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, sf_dir, "documents")
     with_scores = docs.select(
         "doc_id",
         "lang",
@@ -158,7 +158,7 @@ def sql_lang_id() -> str:
 # ---------------------------------------------------------------------------
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, sf_dir, "documents")
     en_sw = _sw_array_spark("en")
     base = docs.select(
         "doc_id",
@@ -250,7 +250,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     0-mod-p subset, emit sorted-distinct digest. Two docs sharing text
     share fingerprints — this is the cheap pre-filter before pairwise
     dedup at scale."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, sf_dir, "documents")
     k, m = C.FP_CHARGRAM_K, C.FP_SELECT_MOD
     grams = (
         f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
