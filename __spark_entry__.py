@@ -103,6 +103,12 @@ def _q_pipeline_doctags_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     return doctags_roundtrip(_synth(spark, sf_dir))
 
 
+def _q_pipeline_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pipeline import json_roundtrip
+
+    return json_roundtrip(_synth(spark, sf_dir))
+
+
 def _q_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_core_spark.pipeline import chunk_docs
 
@@ -195,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_doctags_roundtrip": _q_pipeline_doctags_roundtrip,
         "pipeline_chunks": _q_pipeline_chunks,
         "pipeline_chunks_hybrid": _q_pipeline_chunks_hybrid,
+        "pipeline_json_roundtrip": _q_pipeline_json_roundtrip,
         # text analysis
         "token_stats": CT.q_token_stats,
         "lang_id": CT.q_lang_id,

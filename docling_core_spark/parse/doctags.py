@@ -219,9 +219,9 @@ def parse_doctags_page(doc: dict, page_doctags: str, page_no: int) -> None:
                 if chart_data["table_cells"]:
                     annotations.append(
                         {
-                            "kind": "tabular_chart",
+                            "kind": "tabular_chart_data",
                             "title": chart_type or "picture",
-                            "data": chart_data,
+                            "chart_data": chart_data,
                         }
                     )
             if bbox:

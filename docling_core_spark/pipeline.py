@@ -138,6 +138,47 @@ def doctags_roundtrip(docs: DataFrame) -> DataFrame:
     )
 
 
+def _json_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import hashlib
+    import json as _json
+
+    from .model.json_io import from_reference_json, to_reference_json
+    from .serialize.markdown import serialize_markdown as md
+
+    for pdf in batches:
+        out = []
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            doc, _ = parse_span_doc(
+                doc_id, list(spans) if spans is not None else []
+            )
+            payload = _json.dumps(to_reference_json(doc), sort_keys=True)
+            doc2 = from_reference_json(_json.loads(payload))
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "json_bytes": len(payload),
+                    "json_md5": hashlib.md5(payload.encode()).hexdigest(),
+                    "stable": md(doc2).text == md(doc).text,
+                }
+            )
+        yield pd.DataFrame(
+            out, columns=["doc_id", "json_bytes", "json_md5", "stable"]
+        )
+
+
+def json_roundtrip(docs: DataFrame) -> DataFrame:
+    """Reference-schema JSON sink+source exercised distributedly: every
+    document must serialize to DoclingDocument JSON and re-ingest with
+    an identical markdown export. `stable` must be uniformly true."""
+    return docs.mapInPandas(
+        _json_roundtrip_batches,
+        schema="doc_id string, json_bytes long, json_md5 string,"
+               " stable boolean",
+    )
+
+
 CHUNKS_SCHEMA = (
     "doc_id string, chunk_idx int, text string, headings array<string>,"
     " item_refs array<string>, n_tokens int, context_tokens int"

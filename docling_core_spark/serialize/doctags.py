@@ -192,9 +192,14 @@ def _picture_ser(state: DocSerializerState, item: dict, visited: Set[str]) -> Se
         smiles = [a for a in anns if a.get("kind") == "molecule_data"]
         if smiles:
             body += _wrap(smiles[0].get("smi", ""), "smiles")
-        charts = [a for a in anns if a.get("kind") == "tabular_chart"]
-        if charts and charts[0].get("data"):
-            body += T.export_otsl(charts[0]["data"])
+        charts = [
+            a for a in anns
+            if a.get("kind") in ("tabular_chart_data", "tabular_chart")
+        ]
+        if charts and (charts[0].get("chart_data") or charts[0].get("data")):
+            body += T.export_otsl(
+                charts[0].get("chart_data") or charts[0]["data"]
+            )
         res_parts.append(ser_result(text=body, span_source=item))
     cap_res = _serialize_captions_dt(state, item)
     if cap_res.text:
@@ -209,6 +214,9 @@ def _kv_ser(state: DocSerializerState, item: dict) -> SerResult:
     p = state.params
     body = ""
     results: List[SerResult] = []
+    page_no = 1
+    if item.get("prov"):
+        page_no = item["prov"][0]["page_no"]
     if p.add_location:
         body += _get_location_tokens(state, item)
     graph = item.get("graph") or {"cells": [], "links": []}
@@ -219,6 +227,26 @@ def _kv_ser(state: DocSerializerState, item: dict) -> SerResult:
         )
     for cell in graph.get("cells", []):
         cell_txt = ""
+        # per-cell location from GraphCell.prov (reference-JSON nested
+        # bbox shape; doctags.py DocTagsKeyValueSerializer)
+        cprov = cell.get("prov")
+        if cprov is not None and state.doc["pages"]:
+            page = state.doc["pages"].get(page_no)
+            if page is not None:
+                bb = cprov["bbox"]
+                l, t, r, b = _to_top_left(
+                    {
+                        "l": bb["l"], "t": bb["t"], "r": bb["r"],
+                        "b": bb["b"],
+                        "coord_origin": bb.get(
+                            "coord_origin", L.COORD_TOPLEFT
+                        ),
+                    },
+                    page["height"],
+                )
+                cell_txt += _location_from_bbox(
+                    l, t, r, b, page["width"], page["height"]
+                )
         if p.add_content:
             cell_txt += cell.get("text", "").strip()
         for target in source_to_targets.get(cell["cell_id"], []):

@@ -241,8 +241,10 @@ def _picture_ser(state: DocSerializerState, item: dict, visited: Set[str]) -> Se
     # image_mode PLACEHOLDER: no <img> emitted (html.py:402-443)
     if p.enable_chart_tables:
         for ann in item.get("annotations", []) or []:
-            if ann.get("kind") == "tabular_chart" and ann.get("data"):
-                tbl = T.to_html_table(ann["data"])
+            if ann.get("kind") in (
+                "tabular_chart_data", "tabular_chart"
+            ) and (ann.get("chart_data") or ann.get("data")):
+                tbl = T.to_html_table(ann.get("chart_data") or ann["data"])
                 if tbl:
                     res_parts.append(ser_result(text=tbl, span_source=item))
                 break
