@@ -143,6 +143,12 @@ def _q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bbox_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.functions.bbox import q_bbox_ops
+
+    return q_bbox_ops(spark, sf_dir)
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -222,11 +228,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "decode_features": CM.q_decode_features,
         "frame_sample": CM.q_frame_sample,
+        # layout geometry (bbox interval algebra, SURVEY.md §1.3)
+        "bbox_ops": _q_bbox_ops,
         # relational sanity (scan/filter/agg/broadcast-join)
         "tpch_q1": _q_tpch_q1,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
     }
+
+
+def _bbox_oracle() -> str:
+    from docling_core_spark.functions.bbox import sql_bbox_ops
+
+    return sql_bbox_ops()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -260,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_cosine": CS.sql_neardup_cosine(),
         "decode_features": CM.sql_decode_features(),
         "frame_sample": CM.sql_frame_sample(),
+        "bbox_ops": _bbox_oracle(),
         "lang_stats": """
             SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
                    min(n_chars) AS min_chars, max(n_chars) AS max_chars
