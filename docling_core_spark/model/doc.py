@@ -395,6 +395,25 @@ def insert_item_before_sibling(doc: dict, item_ref: str, sibling: dict) -> None:
     parent["children"].insert(pos, item_ref)
 
 
+def insert_item_after_sibling(doc: dict, item_ref: str, sibling: dict) -> None:
+    """Move/insert an existing item right after `sibling` under its
+    parent (document.py:1697-1701 via _insert_item_at_stack)."""
+    parent = resolve(doc, sibling["parent"])
+    item = resolve(doc, item_ref)
+    item["parent"] = parent["self_ref"]
+    pos = parent["children"].index(sibling["self_ref"])
+    parent["children"].insert(pos + 1, item_ref)
+
+
+def replace_item(doc: dict, new_ref: str, old_ref: str) -> None:
+    """Replace old item with new: insert-after + delete
+    (document.py:1717-1720). The delete renumbers refs, so `new_ref`
+    may be stale afterwards — callers re-resolve by identity."""
+    old = resolve(doc, old_ref)
+    insert_item_after_sibling(doc, new_ref, old)
+    delete_items(doc, [old_ref])
+
+
 def detach_from_parent(doc: dict, item: dict) -> None:
     parent = resolve(doc, item.get("parent") or "#/body")
     if parent and item["self_ref"] in parent["children"]:
