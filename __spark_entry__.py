@@ -149,6 +149,24 @@ def _q_bbox_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_bbox_ops(spark, sf_dir)
 
 
+def _q_page_cells_in_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pages import q_page_cells_in_bbox
+
+    return q_page_cells_in_bbox(spark, sf_dir)
+
+
+def _q_page_crop_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pages import q_page_crop_text
+
+    return q_page_crop_text(spark, sf_dir)
+
+
+def _q_page_textlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pages import q_page_textlines
+
+    return q_page_textlines(spark, sf_dir)
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -230,11 +248,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": CM.q_frame_sample,
         # layout geometry (bbox interval algebra, SURVEY.md §1.3)
         "bbox_ops": _q_bbox_ops,
+        # page-parse layer (SURVEY.md §1.6): cells-table ops
+        "page_cells_in_bbox": _q_page_cells_in_bbox,
+        "page_crop_text": _q_page_crop_text,
+        "page_textlines": _q_page_textlines,
         # relational sanity (scan/filter/agg/broadcast-join)
         "tpch_q1": _q_tpch_q1,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
     }
+
+
+def _pages_oracle(which: str) -> str:
+    from docling_core_spark import pages as P
+
+    return {
+        "cells_in_bbox": P.sql_page_cells_in_bbox,
+        "crop_text": P.sql_page_crop_text,
+        "textlines": P.sql_page_textlines,
+    }[which]()
 
 
 def _bbox_oracle() -> str:
@@ -275,6 +307,9 @@ def oracle_sql() -> dict[str, str]:
         "decode_features": CM.sql_decode_features(),
         "frame_sample": CM.sql_frame_sample(),
         "bbox_ops": _bbox_oracle(),
+        "page_cells_in_bbox": _pages_oracle("cells_in_bbox"),
+        "page_crop_text": _pages_oracle("crop_text"),
+        "page_textlines": _pages_oracle("textlines"),
         "lang_stats": """
             SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
                    min(n_chars) AS min_chars, max(n_chars) AS max_chars

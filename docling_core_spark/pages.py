@@ -1,0 +1,238 @@
+"""Page-parse layer (SURVEY.md §1.6): the reference's SegmentedPdfPage /
+TextCell surface re-expressed over a CELLS TABLE.
+
+Reference shape: per-page Pydantic objects with `char/word/textline`
+cell lists and per-page methods (`iterate_cells`, `get_cells_in_bbox`,
+`crop_text`, `export_to_textlines`; page.py:263-294, 464-683). Spark
+shape: one DataFrame of cells —
+
+    (page_id, unit, cell_index, r_x0..r_y3, coord_origin, text, orig,
+     from_ocr, confidence, page_w, page_h)
+
+— so every op is a relational transform over 10^12 cells instead of a
+per-page Python loop:
+
+  - `iterate_cells(unit)`        -> filter on `unit`
+  - `get_cells_in_bbox(ios=0.8)` -> filter on intersection-over-self
+  - `crop_text`                  -> containment filter + lag() window
+    for the adjacency rule + ordered string aggregation per page
+  - `export_to_textlines`        -> printf-style projection
+
+All expressions exist in both Spark SQL and DuckDB; parity against the
+reference object methods is tested cell-for-cell in tests/test_pages.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+UNIT_CHAR = "char"
+UNIT_WORD = "word"
+UNIT_LINE = "line"
+
+# --- rect -> bbox (BOTTOMLEFT normal form; page.py:146-169) --------------
+_RB_L = "least(r_x0, r_x1, r_x2, r_x3)"
+_RB_R = "greatest(r_x0, r_x1, r_x2, r_x3)"
+_RB_T_BL = "greatest(r_y0, r_y1, r_y2, r_y3)"
+_RB_B_BL = "least(r_y0, r_y1, r_y2, r_y3)"
+
+# TOPLEFT-origin quads get flipped with the page height first
+# (page.py:204-220): y -> page_h - y preserves min/max symmetry.
+_Y = "(CASE WHEN coord_origin = 'TOPLEFT' THEN page_h - {y} ELSE {y} END)"
+
+
+def _bl_quad_select() -> str:
+    ys = ", ".join(_Y.format(y=f"r_y{i}") + f" AS r_y{i}" for i in range(4))
+    return (
+        "SELECT page_id, unit, cell_index, text, orig, from_ocr,"
+        f" confidence, page_w, page_h, r_x0, r_x1, r_x2, r_x3, {ys}"
+    )
+
+
+_CELL_BBOX = (
+    f"SELECT *, {_RB_L} AS c_l, {_RB_B_BL} AS c_b, {_RB_R} AS c_r,"
+    f" {_RB_T_BL} AS c_t"
+)
+
+
+def _ios_expr(l, t, r, b) -> str:
+    """Cell-bbox intersection-over-self vs a BOTTOMLEFT query box
+    [l,r] x [b,t] (base.py:140-189)."""
+    iw = f"(least(c_r, {r}) - greatest(c_l, {l}))"
+    ih = f"(least(c_t, {t}) - greatest(c_b, {b}))"
+    inter = (
+        f"(CASE WHEN {iw} <= 0 OR {ih} <= 0 THEN 0.0 ELSE {iw} * {ih} END)"
+    )
+    area = "(abs(c_r - c_l) * abs(c_t - c_b))"
+    return f"(CASE WHEN {area} > 0 THEN {inter} / {area} ELSE 0.0 END)"
+
+
+def cells_in_bbox_sql(src, unit, l, t, r, b, ios=0.8,
+                      extra_cte="") -> str:
+    """get_cells_in_bbox (page.py:523-549)."""
+    return f"""
+        WITH {extra_cte}bl AS ({_bl_quad_select()} FROM {src} WHERE unit = '{unit}'),
+        cb AS ({_CELL_BBOX} FROM bl)
+        SELECT page_id, cell_index, text, orig, from_ocr, confidence,
+               round(c_l, 6) AS c_l, round(c_b, 6) AS c_b,
+               round(c_r, 6) AS c_r, round(c_t, 6) AS c_t,
+               round({_ios_expr(l, t, r, b)}, 6) AS ios
+        FROM cb WHERE {_ios_expr(l, t, r, b)} > {ios}
+    """
+
+
+def crop_text_sql(src, unit, l, t, r, b, eps=1.0, dialect="spark",
+                  extra_cte="") -> str:
+    """crop_text (page.py:601-645): fully-contained cells in index
+    order; corner-adjacent neighbors (within eps) join without a
+    space."""
+    piece = (
+        f"CASE WHEN prev_x1 IS NULL THEN text"
+        f" WHEN abs(r_x0 - prev_x1) < {eps} AND abs(r_y0 - prev_y1) < {eps}"
+        f" THEN text ELSE ' ' || text END"
+    )
+    if dialect == "spark":
+        agg = (
+            "aggregate(array_sort(collect_list(struct(cell_index, piece))),"
+            " '', (acc, x) -> acc || x.piece)"
+        )
+    else:
+        agg = "string_agg(piece, '' ORDER BY cell_index)"
+    return f"""
+        WITH {extra_cte}bl AS ({_bl_quad_select()} FROM {src} WHERE unit = '{unit}'),
+        cb AS ({_CELL_BBOX} FROM bl),
+        contained AS (
+            SELECT * FROM cb
+            WHERE {l} <= c_l AND c_r <= {r} AND {b} <= c_b AND c_t <= {t}
+        ),
+        seq AS (
+            SELECT page_id, cell_index, text, r_x0, r_y0,
+                   lag(r_x1) OVER (PARTITION BY page_id ORDER BY cell_index)
+                       AS prev_x1,
+                   lag(r_y1) OVER (PARTITION BY page_id ORDER BY cell_index)
+                       AS prev_y1
+            FROM contained
+        ),
+        pieces AS (SELECT page_id, cell_index, {piece} AS piece FROM seq)
+        SELECT page_id, {agg} AS cropped_text
+        FROM pieces GROUP BY page_id
+    """
+
+
+def textlines_sql(src, unit, add_location=True) -> str:
+    """export_to_textlines (page.py:646-683)."""
+    if add_location:
+        fmt = (
+            "printf('(%06.2f, %06.2f) (%06.2f, %06.2f) (%06.2f, %06.2f)"
+            " (%06.2f, %06.2f) %s',"
+            " r_x0, r_y0, r_x1, r_y1, r_x2, r_y2, r_x3, r_y3, text)"
+        )
+    else:
+        fmt = "text"
+    return (
+        f"SELECT page_id, cell_index, {fmt} AS line"
+        f" FROM {src} WHERE unit = '{unit}'"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic cells table from the driver's documents table
+# ---------------------------------------------------------------------------
+# one 'line' cell per whitespace token, laid out on an 8-column grid of a
+# 612x792 page, axis-aligned BOTTOMLEFT quads.
+
+_CELLS_BODY = """
+    SELECT {page_id} AS page_id, 'line' AS unit,
+           CAST({i0} AS INT) AS cell_index,
+           {tok} AS text, {tok} AS orig,
+           ({page_id} % 5 = 0) AS from_ocr,
+           CAST(1.0 AS DOUBLE) AS confidence,
+           CAST(612 AS DOUBLE) AS page_w, CAST(792 AS DOUBLE) AS page_h,
+           CAST(30 + ({i0}) % 8 * 70 AS DOUBLE) AS r_x0,
+           CAST(30 + ({i0}) % 8 * 70 + 60 AS DOUBLE) AS r_x1,
+           CAST(30 + ({i0}) % 8 * 70 + 60 AS DOUBLE) AS r_x2,
+           CAST(30 + ({i0}) % 8 * 70 AS DOUBLE) AS r_x3,
+           CAST(700 - {fdiv8} * 20 AS DOUBLE) AS r_y0,
+           CAST(700 - {fdiv8} * 20 AS DOUBLE) AS r_y1,
+           CAST(700 - {fdiv8} * 20 + 12 AS DOUBLE) AS r_y2,
+           CAST(700 - {fdiv8} * 20 + 12 AS DOUBLE) AS r_y3,
+           'BOTTOMLEFT' AS coord_origin
+    FROM {from_clause}
+"""
+
+
+def cells_synth_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return _CELLS_BODY.format(
+            page_id="doc_id",
+            i0="w.pos",
+            tok="w.tok",
+            fdiv8="CAST(floor(w.pos / 8) AS INT)",
+            from_clause=(
+                "pages_src_docs"
+                " LATERAL VIEW posexplode(split(text, ' ')) w AS pos, tok"
+            ),
+        )
+    return _CELLS_BODY.format(
+        page_id="doc_id",
+        i0="w.i",
+        tok="w.tok",
+        fdiv8="(w.i // 8)",
+        from_clause=(
+            "documents, LATERAL (SELECT"
+            " unnest(range(len(string_split(text, ' ')))) AS i,"
+            " unnest(string_split(text, ' ')) AS tok) w"
+        ),
+    )
+
+
+def register_cells_view(spark: SparkSession, sf_dir: str) -> None:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("pages_src_docs")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW pages_cells AS "
+        + cells_synth_sql("spark")
+    )
+
+
+def q_page_crop_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_cells_view(spark, sf_dir)
+    return spark.sql(
+        crop_text_sql("pages_cells", UNIT_LINE, l=0, t=713, r=500, b=600,
+                      dialect="spark")
+    )
+
+
+def sql_page_crop_text() -> str:
+    return crop_text_sql(
+        "pages_cells", UNIT_LINE, l=0, t=713, r=500, b=600,
+        dialect="duck",
+        extra_cte=f"pages_cells AS ({cells_synth_sql('duck')}), ",
+    )
+
+
+def q_page_cells_in_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_cells_view(spark, sf_dir)
+    return spark.sql(
+        cells_in_bbox_sql("pages_cells", UNIT_LINE, l=0, t=792, r=300,
+                          b=650)
+    )
+
+
+def sql_page_cells_in_bbox() -> str:
+    return cells_in_bbox_sql(
+        "pages_cells", UNIT_LINE, l=0, t=792, r=300, b=650,
+        extra_cte=f"pages_cells AS ({cells_synth_sql('duck')}), ",
+    )
+
+
+def q_page_textlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_cells_view(spark, sf_dir)
+    return spark.sql(textlines_sql("pages_cells", UNIT_LINE))
+
+
+def sql_page_textlines() -> str:
+    return (
+        f"WITH pages_cells AS ({cells_synth_sql('duck')}) "
+        + textlines_sql("pages_cells", UNIT_LINE)
+    )

@@ -59,6 +59,19 @@ def install_reference():
         img = _stub("PIL.Image", Image=_FakeImage,
                     open=lambda *a, **k: _FakeImage())
         pil.Image = img
+        # page.py additionally imports drawing helpers (render-only)
+        class _FakeFont:
+            pass
+
+        for name in ("ImageColor", "ImageDraw", "ImageFont"):
+            setattr(pil, name, _stub(f"PIL.{name}"))
+        sys.modules["PIL.ImageFont"].FreeTypeFont = _FakeFont
+        sys.modules["PIL.ImageFont"].ImageFont = _FakeFont
+
+        class _FakeDraw:
+            pass
+
+        sys.modules["PIL.ImageDraw"].ImageDraw = _FakeDraw
 
     if "tabulate" not in sys.modules:
         def _tabulate(rows, headers=(), tablefmt="github", **kw):
