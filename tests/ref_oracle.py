@@ -56,8 +56,13 @@ def install_reference():
             pass
 
         pil = _stub("PIL")
+        # open() returns None -> ImageRef.pil_image is falsy ->
+        # DocItem.get_image returns None (document.py:815-817), putting
+        # every image-dependent path on its deterministic no-image
+        # fallback — the semantics our engine (which never materializes
+        # image bytes) mirrors.
         img = _stub("PIL.Image", Image=_FakeImage,
-                    open=lambda *a, **k: _FakeImage())
+                    open=lambda *a, **k: None)
         pil.Image = img
         # page.py additionally imports drawing helpers (render-only)
         class _FakeFont:
@@ -72,6 +77,19 @@ def install_reference():
             pass
 
         sys.modules["PIL.ImageDraw"].ImageDraw = _FakeDraw
+
+    if "latex2mathml" not in sys.modules:
+        # html.py imports latex2mathml at module level but wraps the
+        # conversion in try/except with a <pre> fallback
+        # (serializer/html.py:241-271); a raising stub exercises exactly
+        # that fallback path, which our HTML serializer mirrors.
+        def _raise(*a, **k):
+            raise RuntimeError("latex2mathml unavailable in sandbox")
+
+        l2m = _stub("latex2mathml")
+        conv = _stub("latex2mathml.converter", convert=_raise,
+                     convert_to_element=_raise)
+        l2m.converter = conv
 
     if "tabulate" not in sys.modules:
         def _tabulate(rows, headers=(), tablefmt="github", **kw):

@@ -47,6 +47,26 @@ def test_written_json_revalidates_in_reference(path):
     assert rdoc2.export_to_doctags() == rdoc.export_to_doctags()
 
 
+@pytest.mark.parametrize("path", FILES, ids=[f.split("/")[-1] for f in FILES])
+def test_html_body_matches_reference(path):
+    """HTML parity on the <body> content (the head's stylesheet/brand
+    string are presentation assets we deliberately did not copy).
+    Formula/image fallbacks compare on the no-image path — the engine
+    never materializes image bytes (SURVEY.md §1.3)."""
+    import re
+
+    from docling_core_spark.serialize.html import export_to_html
+
+    def body(html):
+        m = re.search(r"<body[^>]*>(.*)</body>", html, re.DOTALL)
+        return m.group(1).strip() if m else html
+
+    R = ref_modules()
+    rdoc = R.DoclingDocument.load_from_json(path)
+    mydoc = from_reference_json(json.load(open(path)))
+    assert body(export_to_html(mydoc)) == body(rdoc.export_to_html())
+
+
 def test_version_gate_rejects_incompatible():
     with pytest.raises(ValueError, match="incompatible"):
         from_reference_json({"schema_name": "DoclingDocument",
