@@ -139,6 +139,21 @@ def add_inline_group(doc: dict, **kw) -> dict:
     return add_group(doc, L.GROUP_INLINE, **kw)
 
 
+import re as _re
+
+_URL_NO_PATH = _re.compile(r"^([a-z][a-z0-9+.\-]*://[^/?#]+)($|[?#].*)$")
+
+
+def normalize_hyperlink(url: str) -> str:
+    """Mirror Pydantic AnyUrl's path normalization (the reference stores
+    hyperlinks as AnyUrl, document.py:860): a URL with an authority but
+    no path serializes with a trailing '/'."""
+    m = _URL_NO_PATH.match(url)
+    if m:
+        return f"{m.group(1)}/{m.group(2)}"
+    return url
+
+
 def add_text(
     doc: dict,
     label: str,
@@ -167,7 +182,7 @@ def add_text(
     if formatting:
         item["formatting"] = formatting
     if hyperlink:
-        item["hyperlink"] = hyperlink
+        item["hyperlink"] = normalize_hyperlink(hyperlink)
     if label == L.SECTION_HEADER:
         item["level"] = int(extra.pop("level", 1))
     if label == L.LIST_ITEM:

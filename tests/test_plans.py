@@ -1,0 +1,71 @@
+"""Physical-plan audits: the plans the 100 TB deployment depends on.
+
+Asserts Catalyst properties rather than timings (timings are host-noisy;
+plan shape is deterministic): column pruning reaches the parquet scan,
+predicates push down, small dimensions broadcast, and the extraction
+pipeline stays shuffle-free.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_token_stats_prunes_columns(spark):
+    from docling_core_spark.corpus.textstats import q_token_stats
+
+    plan = _plan(q_token_stats(spark, SF))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    # only doc_id + text reach the scan — lang/source/n_chars pruned
+    assert "text" in scan[0] and "doc_id" in scan[0]
+    assert "lang" not in scan[0] and "source" not in scan[0]
+
+
+def test_tpch_q1_pushes_filter(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["tpch_q1"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or (
+        "PushedFilters" in plan and "l_shipdate" in plan
+    ), plan
+
+
+def test_top_customers_broadcasts_dimension(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["top_customers"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pipeline_is_shuffle_free(spark):
+    """The hot path must contain NO Exchange when the input partitioning
+    is kept (every transform is per-document)."""
+    from docling_core_spark.pipeline import run_pipeline, synth_docs
+
+    docs = synth_docs(spark, 50, partitions=2)
+    plan = _plan(run_pipeline(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_pipeline_salting_adds_exactly_one_exchange(spark):
+    from docling_core_spark.pipeline import run_pipeline, synth_docs
+
+    docs = synth_docs(spark, 50, partitions=2)
+    plan = _plan(run_pipeline(docs, salt_partitions=8))
+    assert plan.count("Exchange") >= 1
+    # the salted repartition keys on the doc_id hash
+    assert "xxhash64" in plan, plan
+
+
+def test_knn_broadcasts_queries(spark):
+    from docling_core_spark.corpus.similarity import q_knn_bruteforce
+
+    plan = _plan(q_knn_bruteforce(spark, SF))
+    assert "Broadcast" in plan, plan
