@@ -86,6 +86,11 @@ def _q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_core_spark.pipeline import run_pipeline
 
     out = run_pipeline(_synth(spark, sf_dir))
+    categories = [
+        "bad_version", "broken_tree", "dangling_ref", "bad_label",
+        "bad_layer", "bad_graph_link", "bad_table_shape", "bad_prov",
+        "bad_caption_ref",
+    ]
     return out.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_items").alias("total_items"),
@@ -94,6 +99,10 @@ def _q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("tree_valid"), 0).otherwise(1)).alias(
             "invalid_trees"
         ),
+        *[
+            F.sum(F.element_at("violations", F.lit(c))).alias(f"v_{c}")
+            for c in categories
+        ],
     )
 
 

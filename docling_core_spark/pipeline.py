@@ -42,10 +42,11 @@ def process_doc(doc_id: str, spans) -> dict:
     else:
         # Arrow hands array<struct> columns back as numpy arrays of dicts
         spans = list(spans)
+    from .model.validate import validate_doc, violations_total
+
     doc, diags = parse_span_doc(doc_id, spans)
-    tree_valid = D.validate_tree(doc, doc["body"]) and D.validate_tree(
-        doc, doc["furniture"]
-    )
+    violations = validate_doc(doc)
+    tree_valid = violations["broken_tree"] == 0
     md_res = serialize_markdown(doc)
     seq = span_seq_from_result(md_res)
     anomalies = (
@@ -71,7 +72,8 @@ def process_doc(doc_id: str, spans) -> dict:
         ),
         "n_pages": len(doc["pages"]),
         "tree_valid": bool(tree_valid),
-        "n_violations": int(not tree_valid) + diags["bad_table"],
+        "n_violations": violations_total(violations) + diags["bad_table"],
+        "violations": violations,
         "n_normalized_lists": diags.get("n_normalized_lists", 0),
         "n_spans_in": diags["n_spans"],
         "parse_anomalies": anomalies,

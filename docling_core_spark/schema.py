@@ -8,6 +8,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -68,6 +69,11 @@ PIPELINE_OUT_SCHEMA = StructType(
         StructField("n_pages", IntegerType(), False),
         StructField("tree_valid", BooleanType(), False),
         StructField("n_violations", IntegerType(), False),
+        # vectorized constraint-checker breakdown (model/validate.py);
+        # map keeps the category set extensible without schema churn
+        StructField(
+            "violations", MapType(StringType(), IntegerType()), False
+        ),
         StructField("n_normalized_lists", IntegerType(), False),
         StructField("n_spans_in", IntegerType(), False),
         StructField("parse_anomalies", IntegerType(), False),
