@@ -278,10 +278,12 @@ def sql_fingerprint() -> str:
     selected = (
         f"list_sort(list_distinct(list_filter({hashes}, h -> h % {m} = 0)))"
     )
+    # coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+    # concat_ws over an empty array is '' — align on ''
     return f"""
         SELECT doc_id,
                len({selected}) AS n_fingerprints,
-               md5(array_to_string(list_transform({selected},
-                   h -> h::VARCHAR), ',')) AS fingerprint_md5
+               md5(coalesce(array_to_string(list_transform({selected},
+                   h -> h::VARCHAR), ','), '')) AS fingerprint_md5
         FROM documents
     """
