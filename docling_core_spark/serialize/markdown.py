@@ -305,3 +305,16 @@ def serialize_markdown(doc: dict, params: Optional[SerParams] = None) -> SerResu
 
 def export_to_markdown(doc: dict, **kw) -> str:
     return serialize_markdown(doc, SerParams(**kw) if kw else None).text
+
+
+def export_to_text(doc: dict) -> str:
+    """Plain-text preset (document.py:3164-3182): markdown with no
+    underscore escaping, empty image placeholder, 10^6 element cap."""
+    return serialize_markdown(
+        doc,
+        SerParams(
+            escape_underscores=False,
+            image_placeholder="",
+            stop_idx=1_000_000,
+        ),
+    ).text
