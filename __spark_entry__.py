@@ -209,6 +209,77 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: windows + lag + cumulative conditional sum —
+    a 30-minute inactivity gap starts a new session."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("events_sess_src")
+    return spark.sql("""
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events_sess_src
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, event_id,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(event_id) AS first_event
+        FROM sess GROUP BY user_id, session_id
+    """)
+
+
+def _q_orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running revenue (window cumulative sum)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("orders_rt_src")
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey,
+               round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_total,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS order_seq
+        FROM orders_rt_src
+    """)
+
+
+def _q_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 cheapest suppliers per part (windowed rank over a join)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("li_rank_src")
+    return spark.sql("""
+        WITH ranked AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(floor(min(CAST(l_extendedprice AS DOUBLE)
+                             / CAST(l_quantity AS DOUBLE)) * 100)
+                        AS BIGINT) AS unit_price_cents,
+                   row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY min(CAST(l_extendedprice AS DOUBLE)
+                                    / CAST(l_quantity AS DOUBLE)),
+                                l_suppkey
+                   ) AS rnk
+            FROM li_rank_src
+            WHERE l_quantity > 0
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT l_partkey, l_suppkey, unit_price_cents, rnk
+        FROM ranked WHERE rnk <= 2
+    """)
+
+
 def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy("event_type").agg(
@@ -261,10 +332,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_cells_in_bbox": _q_page_cells_in_bbox,
         "page_crop_text": _q_page_crop_text,
         "page_textlines": _q_page_textlines,
-        # relational sanity (scan/filter/agg/broadcast-join)
+        # relational sanity (scan/filter/agg/join/window/sessionize)
         "tpch_q1": _q_tpch_q1,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
+        "events_sessionize": _q_events_sessionize,
+        "orders_running_total": _q_orders_running_total,
+        "supplier_rank": _q_supplier_rank,
     }
 
 
@@ -347,5 +421,60 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    sum(CAST(value AS DECIMAL(18,4))) AS total_value
             FROM events GROUP BY event_type
+        """,
+        "events_sessionize": """
+            WITH gaps AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id, event_id,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW
+                       ) AS session_id
+                FROM gaps
+            )
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   min(event_id) AS first_event
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "orders_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_total,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS order_seq
+            FROM orders
+        """,
+        "supplier_rank": """
+            WITH ranked AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(floor(min(CAST(l_extendedprice AS DOUBLE)
+                                 / CAST(l_quantity AS DOUBLE)) * 100)
+                            AS BIGINT) AS unit_price_cents,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY min(CAST(l_extendedprice AS DOUBLE)
+                                     / CAST(l_quantity AS DOUBLE)),
+                                    l_suppkey
+                       ) AS rnk
+                FROM lineitem
+                WHERE l_quantity > 0
+                GROUP BY l_partkey, l_suppkey
+            )
+            SELECT l_partkey, l_suppkey, unit_price_cents, rnk
+            FROM ranked WHERE rnk <= 2
         """,
     }
