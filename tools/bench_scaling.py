@@ -54,23 +54,26 @@ def run_at(cpus: int, n_docs: int) -> dict:
         parts = max(8, min(64, n_docs // 600))
         docs = synth_docs(spark, n_docs, partitions=parts).cache()
         total = docs.count()
-        t0 = time.time()
-        agg = (
-            run_pipeline(docs)
-            .agg(
-                F.count("*").alias("n"),
-                F.sum("n_items").alias("items"),
-                F.sum(F.length("markdown")).alias("md_chars"),
+        best = None
+        for _ in range(2):  # best-of-2 shields against host-side stalls
+            t0 = time.time()
+            agg = (
+                run_pipeline(docs)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("n_items").alias("items"),
+                    F.sum(F.length("markdown")).alias("md_chars"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        dt = time.time() - t0
-        assert agg["n"] == total
+            dt = time.time() - t0
+            assert agg["n"] == total
+            best = dt if best is None else min(best, dt)
         return {
             "cpus": cpus,
             "docs": int(total),
-            "sec": round(dt, 3),
-            "docs_per_sec": round(total / dt, 1),
+            "sec": round(best, 3),
+            "docs_per_sec": round(total / best, 1),
         }
     finally:
         spark.stop()
@@ -115,8 +118,16 @@ def main():
 
     control = host_control([1, n_low, n_high, min(n_high * 4, cores)])
 
+    # host throughput drifts minute-to-minute; ALTERNATE the two levels
+    # across separate sessions and keep the best per level, so neither
+    # level is systematically measured during a slow phase
+    def best(a, b):
+        return a if a["docs_per_sec"] >= b["docs_per_sec"] else b
+
     low = run_at(n_low, n_docs)
     high = run_at(n_high, n_docs)
+    low = best(low, run_at(n_low, n_docs))
+    high = best(high, run_at(n_high, n_docs))
     eff = high["docs_per_sec"] / (4.0 * low["docs_per_sec"])
     extra = None
     if n_high * 4 <= cores:
