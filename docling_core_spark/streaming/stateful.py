@@ -1,0 +1,115 @@
+"""Custom stateful streaming operator: cross-micro-batch exact dedup.
+
+A training-data ingest stream must drop documents whose content was
+already seen in ANY earlier micro-batch — not just within the current
+one. Spark has no built-in for this; it is the canonical
+`applyInPandasWithState` use case (the prompt's "custom stateful
+operators" slot):
+
+  - stream is keyed by content hash (md5 of text payload — the same
+    exact-dedup key as the batch `dedup_exact` op);
+  - per key, a tiny GroupState records whether the key was emitted;
+  - first arrival wins and is emitted; later arrivals (same or later
+    micro-batches) are suppressed;
+  - state is O(#distinct keys); at 10^12 docs you shard the stream by
+    hash prefix so each state store holds its slice, and set a TTL if
+    the dedup window is bounded.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import schema as S
+
+DEDUP_OUT_SCHEMA = StructType(
+    [
+        StructField("content_hash", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("n_spans", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("seen", BooleanType())])
+
+
+def _dedup_fn(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        return  # key already emitted in an earlier micro-batch
+    first = None
+    for pdf in pdfs:
+        if len(pdf) and first is None:
+            first = pdf.iloc[[0]]
+    if first is None:
+        return
+    state.update((True,))
+    yield pd.DataFrame(
+        {
+            "content_hash": [key[0]],
+            "doc_id": [first["doc_id"].iloc[0]],
+            "n_spans": [int(first["n_spans"].iloc[0])],
+        }
+    )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """File-stream of (doc_id, spans) -> first-seen rows per content
+    hash, exactly once across restarts (state lives in the checkpoint)."""
+    src = (
+        spark.readStream.schema(S.DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    keyed = src.select(
+        "doc_id",
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "\x1f",
+                    F.transform(
+                        "spans", lambda s: F.concat_ws(
+                            "\x1e", s["kind"], s["text"], s["media_ref"]
+                        )
+                    ),
+                ),
+                "utf-8",
+            )
+        ).alias("content_hash"),
+        F.size("spans").cast("long").alias("n_spans"),
+    )
+    deduped = keyed.groupBy("content_hash").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
