@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": CS.q_knn_bruteforce,
         "lsh_bucket_stats": CS.q_lsh_bucket_stats,
         "ann_lsh_topk": CS.q_ann_lsh_topk,
+        "ann_ivf_topk": CS.q_ann_ivf_topk,
         "neardup_cosine": CS.q_neardup_cosine,
         # multimodal plumbing
         "decode_features": CM.q_decode_features,
@@ -386,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": CS.sql_knn_bruteforce(),
         "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),
         "ann_lsh_topk": CS.sql_ann_lsh_topk(),
+        "ann_ivf_topk": CS.sql_ann_ivf_topk(),
         "neardup_cosine": CS.sql_neardup_cosine(),
         "decode_features": CM.sql_decode_features(),
         "frame_sample": CM.sql_frame_sample(),

@@ -237,6 +237,120 @@ def sql_ann_lsh_topk() -> str:
 
 
 # ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantization by nearest centroid, search in-cell
+# ---------------------------------------------------------------------------
+
+IVF_NUM_CENTROIDS = 8
+# deterministic "training": fixed corpus rows act as coarse centroids
+# (a k-means iteration would be data-dependent state; fixed seeds keep
+# the op reproducible and oracle-checkable; at production scale the
+# centroid table comes from an offline clustering job and is broadcast)
+IVF_CENTROID_IDS = list(range(100, 100 + IVF_NUM_CENTROIDS))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat with nprobe=1: assign every vector to its max-cosine
+    centroid (broadcast centroid join + per-vector argmax window), then
+    exact top-k among the query's cell members only."""
+    from pyspark.sql.window import Window
+
+    e = _emb_df(spark, sf_dir)
+    cents = e.filter(
+        F.col("vec_id").isin(IVF_CENTROID_IDS)
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        e.alias("a")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "a.vec_id", "a.emb", "a.nrm", "c_id",
+            F.expr(
+                f"round({_dot_spark('a.emb', 'c_emb')}"
+                f" / (a.nrm * c_nrm), 6)"
+            ).alias("c_cos"),
+        )
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("c_id")
+    )
+    assigned = (
+        scored.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") == 1)
+        .select("vec_id", "emb", "nrm", F.col("c_id").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < C.KNN_NUM_QUERIES)
+    joined = (
+        q.alias("a")
+        .join(assigned.alias("b"), on="cell")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("q_id"),
+            F.col("cell"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.expr(
+                _COS_SPARK.format(dot=_dot_spark("a.emb", "b.emb"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= C.ANN_K)
+        .select(
+            "q_id", "cell", "neighbor_id", F.col("rnk").alias("rank"),
+            "cos_sim",
+        )
+    )
+
+
+def sql_ann_ivf_topk() -> str:
+    ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    cdot = _dot_duck("a.embedding", "c.embedding")
+    cna = _norm2_duck("a.embedding")
+    cnc = _norm2_duck("c.embedding")
+    dot = _dot_duck("a.embedding", "b.embedding")
+    na = _norm2_duck("a.embedding")
+    nb = _norm2_duck("b.embedding")
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS c_id, embedding FROM embeddings
+            WHERE vec_id IN ({ids})
+        ),
+        scored AS (
+            SELECT a.vec_id, a.embedding, c.c_id,
+                   round({cdot} / (sqrt({cna}) * sqrt({cnc})), 6) AS c_cos
+            FROM embeddings a CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, c_id AS cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY c_cos DESC, c_id
+                ) AS crnk FROM scored
+            ) WHERE crnk = 1
+        ),
+        p AS (
+            SELECT a.vec_id AS q_id, a.cell, b.vec_id AS neighbor_id,
+                   round({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id != b.vec_id
+             AND a.vec_id < {C.KNN_NUM_QUERIES}
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id
+            ) AS rnk FROM p
+        )
+        SELECT q_id, cell, neighbor_id, rnk AS rank, cos_sim
+        FROM r WHERE rnk <= {C.ANN_K}
+    """
+
+
+# ---------------------------------------------------------------------------
 # bucket-blocked cosine near-dup pairs
 # ---------------------------------------------------------------------------
 
