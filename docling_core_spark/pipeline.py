@@ -107,26 +107,31 @@ def run_pipeline(
     return df.mapInPandas(_process_batches, schema=S.PIPELINE_OUT_SCHEMA)
 
 
-def _roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def roundtrip_doc(doc_id: str, spans) -> dict:
+    """serialize -> parse -> re-serialize one doc (pure; shared by the
+    distributed stage and tools/gen_goldens.py)."""
     import hashlib
 
     from .parse.doctags import parse_doctags
     from .serialize.doctags import export_to_doctags as ex
 
+    doc, _ = parse_span_doc(doc_id, list(spans) if spans is not None else [])
+    s1 = ex(doc)
+    s2 = ex(parse_doctags(s1, name=doc_id))
+    s3 = ex(parse_doctags(s2, name=doc_id))
+    return {
+        "doc_id": doc_id,
+        "reload_md5": hashlib.md5(s2.encode()).hexdigest(),
+        "stable": s2 == s3,
+    }
+
+
+def _roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out = []
-        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-            doc, _ = parse_span_doc(doc_id, list(spans) if spans is not None else [])
-            s1 = ex(doc)
-            s2 = ex(parse_doctags(s1, name=doc_id))
-            s3 = ex(parse_doctags(s2, name=doc_id))
-            out.append(
-                {
-                    "doc_id": doc_id,
-                    "reload_md5": hashlib.md5(s2.encode()).hexdigest(),
-                    "stable": s2 == s3,
-                }
-            )
+        out = [
+            roundtrip_doc(doc_id, spans)
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"])
+        ]
         yield pd.DataFrame(out, columns=["doc_id", "reload_md5", "stable"])
 
 
@@ -140,31 +145,34 @@ def doctags_roundtrip(docs: DataFrame) -> DataFrame:
     )
 
 
-def _json_roundtrip_batches(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
+def json_roundtrip_doc(doc_id: str, spans) -> dict:
+    """JSON dump -> re-ingest one doc (pure; shared by the distributed
+    stage and tools/gen_goldens.py)."""
     import hashlib
     import json as _json
 
     from .model.json_io import from_reference_json, to_reference_json
     from .serialize.markdown import serialize_markdown as md
 
+    doc, _ = parse_span_doc(doc_id, list(spans) if spans is not None else [])
+    payload = _json.dumps(to_reference_json(doc), sort_keys=True)
+    doc2 = from_reference_json(_json.loads(payload))
+    return {
+        "doc_id": doc_id,
+        "json_bytes": len(payload),
+        "json_md5": hashlib.md5(payload.encode()).hexdigest(),
+        "stable": md(doc2).text == md(doc).text,
+    }
+
+
+def _json_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out = []
-        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-            doc, _ = parse_span_doc(
-                doc_id, list(spans) if spans is not None else []
-            )
-            payload = _json.dumps(to_reference_json(doc), sort_keys=True)
-            doc2 = from_reference_json(_json.loads(payload))
-            out.append(
-                {
-                    "doc_id": doc_id,
-                    "json_bytes": len(payload),
-                    "json_md5": hashlib.md5(payload.encode()).hexdigest(),
-                    "stable": md(doc2).text == md(doc).text,
-                }
-            )
+        out = [
+            json_roundtrip_doc(doc_id, spans)
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"])
+        ]
         yield pd.DataFrame(
             out, columns=["doc_id", "json_bytes", "json_md5", "stable"]
         )
@@ -187,37 +195,36 @@ CHUNKS_SCHEMA = (
 )
 
 
-def _chunk_batches(hybrid: bool, max_tokens: int):
+def chunk_rows_doc(doc_id: str, spans, hybrid: bool, max_tokens: int) -> list:
+    """Chunk one doc into gate rows (pure; shared by the distributed
+    stage and tools/gen_goldens.py)."""
     from .chunk import chunk_doc, hybrid_chunk_doc
     from .chunk.hybrid import HybridChunkerConfig, regex_count_tokens
     from .chunk.hierarchical import contextualize
 
     cfg = HybridChunkerConfig(max_tokens=max_tokens)
+    doc, _ = parse_span_doc(doc_id, list(spans) if spans is not None else [])
+    chunks = hybrid_chunk_doc(doc, cfg) if hybrid else chunk_doc(doc)
+    return [
+        {
+            "doc_id": doc_id,
+            "chunk_idx": i,
+            "text": c.text,
+            "headings": c.headings or [],
+            "item_refs": c.doc_item_refs,
+            "n_tokens": regex_count_tokens(c.text),
+            "context_tokens": regex_count_tokens(contextualize(c)),
+        }
+        for i, c in enumerate(chunks)
+    ]
 
+
+def _chunk_batches(hybrid: bool, max_tokens: int):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                doc, _ = parse_span_doc(
-                    doc_id, list(spans) if spans is not None else []
-                )
-                chunks = (
-                    hybrid_chunk_doc(doc, cfg) if hybrid else chunk_doc(doc)
-                )
-                for i, c in enumerate(chunks):
-                    out.append(
-                        {
-                            "doc_id": doc_id,
-                            "chunk_idx": i,
-                            "text": c.text,
-                            "headings": c.headings or [],
-                            "item_refs": c.doc_item_refs,
-                            "n_tokens": regex_count_tokens(c.text),
-                            "context_tokens": regex_count_tokens(
-                                contextualize(c)
-                            ),
-                        }
-                    )
+                out.extend(chunk_rows_doc(doc_id, spans, hybrid, max_tokens))
             yield pd.DataFrame(
                 out,
                 columns=[

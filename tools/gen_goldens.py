@@ -1,0 +1,326 @@
+"""Generate golden parquet oracles for the pipeline_* gate queries.
+
+For each sf the driver tests at, rebuild the deterministic synthetic
+corpus (same ids as `__spark_entry__._synth`: SHAPE_IDS + doc-%08d sized
+by the sf's documents table) and compute the expected output of every
+pipeline_* query **through the reference library's own API** wherever the
+reference defines the semantics:
+
+  reference-derived (true independent oracle)
+    - pipeline_span_seq    : docling-core serializer spans
+                             (transforms/serializer/common.py:147-176)
+    - pipeline_exports     : md5 of the reference's own markdown /
+                             doctags / html-body / element-tree exports
+    - pipeline_chunks      : reference HierarchicalChunker triples
+                             (hierarchical_chunker.py:212-262); token
+                             counts are our deterministic labeling fn
+    - pipeline_metrics     : aggregates cross-checked against reference
+                             item counts + fixture-derived expectations
+
+  engine-snapshot (single-threaded regression golden; documented)
+    - pipeline_doctags_roundtrip : the reference's load_from_doctags
+      crashes on <chart> pages with no image (UnboundLocalError
+      pic_title, document.py:3841ff) so it cannot replay ~40% of the
+      corpus; parity for the non-chart subset is pytest-asserted
+      (tests/test_doctags_parse.py). The golden pins the single-threaded
+      pure-Python result; the gate then proves the distributed run
+      (partitioning, Arrow batching, ordering) reproduces it exactly.
+    - pipeline_chunks_hybrid : reference HybridChunker needs
+      transformers+semchunk (absent in sandbox; reference untestable) —
+      contract tests in tests/test_chunkers.py, golden pins the
+      deterministic stand-in.
+    - pipeline_json_roundtrip : md5 of our canonical JSON dump (the
+      generator additionally reports whether the dump byte-matches the
+      reference's model_dump).
+
+Every reference-derived row is ASSERTED equal to the engine's own
+single-threaded output at generation time — a mismatch aborts the build,
+so a golden can never silently encode engine behavior that diverges from
+the reference.
+
+Usage: python tools/gen_goldens.py [sf0.001 sf0.01]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+TESTDATA = "/root/testdata"
+
+VIOLATION_CATEGORIES = [
+    "bad_version", "broken_tree", "dangling_ref", "bad_label",
+    "bad_layer", "bad_graph_link", "bad_table_shape", "bad_prov",
+    "bad_caption_ref",
+]
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def corpus_ids(sf_dir: str) -> list:
+    from docling_core_spark.fixtures import SHAPE_IDS
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return list(SHAPE_IDS) + [f"doc-{i:08d}" for i in range(n)]
+
+
+def gold_for_doc(did: str) -> dict:
+    from docling_core_spark.chunk import chunk_doc
+    from docling_core_spark.fixtures import gen_spans
+    from docling_core_spark.parse.spans import parse_span_doc
+    from docling_core_spark.pipeline import (
+        chunk_rows_doc,
+        json_roundtrip_doc,
+        process_doc,
+        roundtrip_doc,
+    )
+    from docling_core_spark.serialize.html import html_body
+
+    from ref_oracle import build_ref_doc, ref_span_seq
+
+    spans = gen_spans(did)
+    our = process_doc(did, spans)
+    rdoc = build_ref_doc(spans, name=did)
+    errs = []
+
+    # --- span_seq (reference-derived) ---
+    ref_seq = [tuple(x) for x in ref_span_seq(rdoc)]
+    mine_seq = [
+        (s["kind"], s["text"], s["media_ref"], s["order"])
+        for s in our["span_seq"]
+    ]
+    if mine_seq != ref_seq:
+        errs.append("span_seq")
+    span_rows = [
+        {"doc_id": did, "ord": o, "kind": k, "text": t, "media_ref": m}
+        for (k, t, m, o) in ref_seq
+    ]
+
+    # --- exports (reference-derived) ---
+    ref_md = rdoc.export_to_markdown()
+    ref_dt = rdoc.export_to_doctags()
+    ref_hb = html_body(rdoc.export_to_html())
+    ref_et = rdoc.export_to_element_tree()
+    if our["markdown"] != ref_md:
+        errs.append("markdown")
+    if our["doctags"] != ref_dt:
+        errs.append("doctags")
+    if html_body(our["html"]) != ref_hb:
+        errs.append("html_body")
+    if our["etree"] != ref_et:
+        errs.append("etree")
+    n_items_ref = sum(
+        len(getattr(rdoc, a))
+        for a in ("texts", "tables", "pictures", "groups",
+                  "key_value_items", "form_items")
+    )
+    if n_items_ref != our["n_items"]:
+        errs.append(f"n_items({our['n_items']}!={n_items_ref})")
+    if len(rdoc.pages) != our["n_pages"]:
+        errs.append(f"n_pages({our['n_pages']}!={len(rdoc.pages)})")
+    export_row = {
+        "doc_id": did,
+        "markdown_md5": _md5(ref_md),
+        "doctags_md5": _md5(ref_dt),
+        "html_body_md5": _md5(ref_hb),
+        "etree_md5": _md5(ref_et),
+        "n_items": n_items_ref,
+        "n_pages": len(rdoc.pages),
+        "tree_valid": bool(our["tree_valid"]),
+    }
+    if not our["tree_valid"]:
+        errs.append("tree_valid")
+
+    # --- hierarchical chunks (reference-derived triples) ---
+    from docling_core.transforms.chunker.hierarchical_chunker import (
+        HierarchicalChunker,
+    )
+
+    mydoc, _ = parse_span_doc(did, spans)
+    mine_ch = [
+        (c.text, tuple(c.headings or []), tuple(c.doc_item_refs))
+        for c in chunk_doc(mydoc)
+    ]
+    ref_ch = [
+        (
+            c.text,
+            tuple(c.meta.headings or []),
+            tuple(it.self_ref for it in c.meta.doc_items),
+        )
+        for c in HierarchicalChunker().chunk(rdoc)
+    ]
+    if mine_ch != ref_ch:
+        errs.append("chunks")
+    chunk_rows = chunk_rows_doc(did, spans, hybrid=False, max_tokens=64)
+    hybrid_rows = chunk_rows_doc(did, spans, hybrid=True, max_tokens=64)
+
+    # --- roundtrips (engine-snapshot; see module docstring) ---
+    rt = roundtrip_doc(did, spans)
+    jrt = json_roundtrip_doc(did, spans)
+    if not rt["stable"]:
+        errs.append("doctags_roundtrip_unstable")
+    if not jrt["stable"]:
+        errs.append("json_roundtrip_unstable")
+    ref_payload = json.dumps(
+        rdoc.model_dump(mode="json", by_alias=True, exclude_none=True),
+        sort_keys=True,
+    )
+    json_matches_ref = _md5(ref_payload) == jrt["json_md5"]
+
+    return {
+        "doc_id": did,
+        "errs": errs,
+        "span_rows": span_rows,
+        "export_row": export_row,
+        "chunk_rows": chunk_rows,
+        "hybrid_rows": hybrid_rows,
+        "rt_row": rt,
+        "jrt_row": jrt,
+        "json_matches_ref": json_matches_ref,
+        "metrics": {
+            "n_items": our["n_items"],
+            "n_spans_in": our["n_spans_in"],
+            "parse_anomalies": our["parse_anomalies"],
+            "tree_valid": our["tree_valid"],
+            "violations": our["violations"],
+        },
+    }
+
+
+def _scalarize(rows: list) -> list:
+    out = []
+    for r in rows:
+        out.append(
+            {
+                "doc_id": r["doc_id"],
+                "chunk_idx": r["chunk_idx"],
+                "text": r["text"],
+                "headings": "|".join(r["headings"] or []),
+                "item_refs": "|".join(r["item_refs"]),
+                "n_tokens": r["n_tokens"],
+                "context_tokens": r["context_tokens"],
+            }
+        )
+    return out
+
+
+def _write(outdir: str, name: str, rows: list, int_cols=()):
+    df = pd.DataFrame(rows)
+    for c in int_cols:
+        df[c] = df[c].astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        os.path.join(outdir, f"{name}.parquet"),
+    )
+
+
+def generate(sf: str, pool=None) -> dict:
+    sf_dir = f"{TESTDATA}/{sf}"
+    outdir = os.path.join(_REPO, "goldens", sf)
+    os.makedirs(outdir, exist_ok=True)
+    ids = corpus_ids(sf_dir)
+    t0 = time.time()
+    results = (
+        pool.map(gold_for_doc, ids, chunksize=8)
+        if pool is not None
+        else [gold_for_doc(d) for d in ids]
+    )
+    bad = [(r["doc_id"], r["errs"]) for r in results if r["errs"]]
+    if bad:
+        for did, errs in bad[:20]:
+            print(f"PARITY FAILURE {did}: {errs}", file=sys.stderr)
+        raise SystemExit(f"{len(bad)} docs diverge from the reference")
+
+    span_rows, export_rows, chunk_rows, hybrid_rows, rt_rows, jrt_rows = (
+        [], [], [], [], [], []
+    )
+    m = {
+        "n_docs": 0, "total_items": 0, "total_spans": 0,
+        "total_anomalies": 0, "invalid_trees": 0,
+        **{f"v_{c}": 0 for c in VIOLATION_CATEGORIES},
+    }
+    json_ref_matches = 0
+    for r in results:
+        span_rows.extend(r["span_rows"])
+        export_rows.append(r["export_row"])
+        chunk_rows.extend(_scalarize(r["chunk_rows"]))
+        hybrid_rows.extend(_scalarize(r["hybrid_rows"]))
+        rt_rows.append(r["rt_row"])
+        jrt_rows.append(r["jrt_row"])
+        json_ref_matches += bool(r["json_matches_ref"])
+        mm = r["metrics"]
+        m["n_docs"] += 1
+        m["total_items"] += mm["n_items"]
+        m["total_spans"] += mm["n_spans_in"]
+        m["total_anomalies"] += mm["parse_anomalies"]
+        m["invalid_trees"] += 0 if mm["tree_valid"] else 1
+        for c in VIOLATION_CATEGORIES:
+            m[f"v_{c}"] += mm["violations"].get(c, 0)
+
+    # fixture-derived expectations: the generator only emits well-formed
+    # spans except shape:badclose (one unbalanced close), and every doc
+    # must validate clean
+    assert m["total_anomalies"] == 1, m
+    assert m["invalid_trees"] == 0, m
+    assert all(m[f"v_{c}"] == 0 for c in VIOLATION_CATEGORIES), m
+
+    _write(outdir, "pipeline_span_seq", span_rows, int_cols=("ord",))
+    _write(outdir, "pipeline_exports", export_rows,
+           int_cols=("n_items", "n_pages"))
+    _write(outdir, "pipeline_metrics", [m])
+    _write(outdir, "pipeline_chunks", chunk_rows,
+           int_cols=("chunk_idx", "n_tokens", "context_tokens"))
+    _write(outdir, "pipeline_chunks_hybrid", hybrid_rows,
+           int_cols=("chunk_idx", "n_tokens", "context_tokens"))
+    _write(outdir, "pipeline_doctags_roundtrip", rt_rows)
+    _write(outdir, "pipeline_json_roundtrip", jrt_rows,
+           int_cols=("json_bytes",))
+    stats = {
+        "sf": sf,
+        "docs": len(ids),
+        "span_rows": len(span_rows),
+        "chunk_rows": len(chunk_rows),
+        "hybrid_rows": len(hybrid_rows),
+        "json_dump_matches_reference": f"{json_ref_matches}/{len(ids)}",
+        "gen_sec": round(time.time() - t0, 1),
+    }
+    with open(os.path.join(outdir, "MANIFEST.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    print(json.dumps(stats))
+    return stats
+
+
+def main(sfs):
+    from ref_oracle import install_reference
+
+    install_reference()
+    import docling_core.transforms.chunker.hierarchical_chunker  # noqa: F401 warm import pre-fork
+
+    pool = None
+    if os.environ.get("GOLDEN_PROCS", "8") != "1":
+        import multiprocessing as mp
+
+        pool = mp.get_context("fork").Pool(
+            int(os.environ.get("GOLDEN_PROCS", "8"))
+        )
+    for sf in sfs:
+        generate(sf, pool=pool)
+    if pool is not None:
+        pool.close()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["sf0.001", "sf0.01"])
