@@ -70,25 +70,45 @@ def _sig_exprs_duck() -> list[str]:
     ]
 
 
-def _with_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_spread(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
-        .select("doc_id", F.expr(_shingles_spark()).alias("sh"))
-        .select(
-            "doc_id",
-            "sh",
-            F.expr(f"transform(sh, g -> {_h30_spark('g')})").alias("hs"),
-        )
-        .select(
-            "doc_id",
-            F.size("sh").alias("n_shingles"),
-            *[
-                F.expr(e).alias(f"mh_{i}")
-                for i, e in enumerate(_sig_exprs_spark())
-            ],
-        )
+    return docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    ).select("doc_id", F.expr(_shingles_spark()).alias("sh"))
+
+
+# One persisted shingle table per (session, sf_dir): the in-session
+# analog of materializing the signature table to storage, which is what
+# a 100 TB run would do (compute shingles/signatures exactly once, then
+# band + verify from the materialized table). Memoizing also prevents
+# repeated calls from stacking fresh .persist() copies.
+_SHINGLE_CACHE: dict = {}
+
+
+def _persisted_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        _SHINGLE_CACHE[key] = _shingles_df(spark, sf_dir).persist()
+    return _SHINGLE_CACHE[key]
+
+
+def _sig_from_shingles(sh: DataFrame) -> DataFrame:
+    return sh.select(
+        "doc_id",
+        "sh",
+        F.expr(f"transform(sh, g -> {_h30_spark('g')})").alias("hs"),
+    ).select(
+        "doc_id",
+        F.size("sh").alias("n_shingles"),
+        *[
+            F.expr(e).alias(f"mh_{i}")
+            for i, e in enumerate(_sig_exprs_spark())
+        ],
     )
+
+
+def _with_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sig_from_shingles(_persisted_shingles(spark, sf_dir))
 
 
 _SIG_CTE_DUCK = """
@@ -143,8 +163,7 @@ def _band_key_duck(b: int) -> str:
     return f"md5({cols})"
 
 
-def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _with_signatures(spark, sf_dir)
+def _bands_from_sig(sig: DataFrame) -> DataFrame:
     band_structs = ", ".join(
         f"struct({b} as band_id, {_band_key_spark(b)} as band_key)"
         for b in range(C.LSH_BANDS)
@@ -152,6 +171,10 @@ def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select(
         "doc_id", F.expr(f"explode(array({band_structs}))").alias("bd")
     ).select("doc_id", "bd.band_id", "bd.band_key")
+
+
+def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bands_from_sig(_with_signatures(spark, sf_dir))
 
 
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,26 +217,35 @@ def sql_lsh_buckets() -> str:
 # ---------------------------------------------------------------------------
 
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _bands_df(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    """LSH candidates -> exact shingle-Jaccard verification.
+
+    Shape for 100 TB: the shingle table is computed ONCE and persisted
+    (on a cluster you would materialize the signature table to storage —
+    persist is the in-query analog); candidate pairs are generated
+    WITHIN each LSH bucket by a JVM array-combination expression after a
+    single groupBy(band) shuffle — no self-join of the bands table, so
+    the expensive minhash pipeline is never recomputed per join side.
+    Bucket sizes are bounded (only near-dups collide in a band), so the
+    in-bucket pair expansion is O(bucket^2) with tiny buckets.
+    """
+    sh = _persisted_shingles(spark, sf_dir)
+    bands = _bands_from_sig(_sig_from_shingles(sh))
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)), y ->"
+                    " struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    docs = read_spread(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
-    ).select("doc_id", F.expr(_shingles_spark()).alias("sh"))
     pairs = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
