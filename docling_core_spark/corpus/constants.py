@@ -48,8 +48,16 @@ MINHASH_PERMS = _gen_perms(NUM_PERMS)
 SIMHASH_BITS = 32
 
 # --- embedding LSH (random-hyperplane, Rademacher ±1) ---------------------
+# Banded multi-probe scheme, OR-amplified exactly like the minhash path:
+# EMB_BANDS independent bands of EMB_PLANES_PER_BAND hyperplanes each,
+# 2^EMB_PLANES_PER_BAND = 256 buckets per band. A pair is a candidate if
+# it collides in ANY band, so recall amplifies with bands while each
+# band's in-bucket join stays O(n^2/256) — the blocking that survives a
+# 10^12-row corpus (a single 16-bucket table would be quadratic).
 EMB_DIM = 64
-NUM_HYPERPLANES = 4
+EMB_BANDS = 16
+EMB_PLANES_PER_BAND = 8
+NUM_HYPERPLANES = EMB_BANDS * EMB_PLANES_PER_BAND
 
 
 def _gen_hyperplanes(n: int, dim: int):
@@ -69,6 +77,13 @@ def _gen_hyperplanes(n: int, dim: int):
 
 
 HYPERPLANES = _gen_hyperplanes(NUM_HYPERPLANES, EMB_DIM)
+
+
+def band_planes(b: int):
+    """The EMB_PLANES_PER_BAND hyperplanes of band b."""
+    return HYPERPLANES[
+        b * EMB_PLANES_PER_BAND:(b + 1) * EMB_PLANES_PER_BAND
+    ]
 
 # the synthetic embedding clusters are loose (max pairwise cos ~0.45), so
 # the "near-dup" gate is set where it actually separates planted structure

@@ -7,11 +7,16 @@ Scale design:
   - Brute-force path broadcasts the (small) query set against a narrow
     scan of the corpus — no shuffle except the final per-query top-k,
     which partitions by query id.
-  - The LSH path computes a bucket id per row with pure JVM expressions
-    (the hyperplanes are ±1 literal arrays baked from `constants.py`),
-    then joins ONLY within buckets — an equi-join Catalyst shuffles on
-    the uniformly-distributed bucket key; at 10^12 rows this is the
-    standard ANN blocking strategy (IVF-style coarse quantization).
+  - The LSH path is BANDED (constants.py EMB_BANDS x EMB_PLANES_PER_BAND):
+    each row gets one 256-way bucket id per band from pure JVM
+    expressions (hyperplanes are ±1 literal arrays), candidates collide
+    in ANY band (OR-amplification, same shape as the minhash text path),
+    and joins run only within (band_id, bucket) — each band's in-bucket
+    join is O(n^2/256) on a uniformly-distributed key, the blocking that
+    holds at 10^12 rows where a single coarse table would be quadratic.
+  - The IVF path is parameterized by a broadcast centroid table +
+    nprobe; production supplies offline k-means centroids with
+    K ~ sqrt(n), the harness pins deterministic rows for the oracle.
   - All arithmetic is float32 -> float64 widened THEN combined in a fixed
     left-to-right order so the DuckDB oracle reproduces bit-identical
     doubles before the final round(×, 6).
@@ -61,21 +66,21 @@ def _plane_lit_duck(plane: list[int]) -> str:
     return "[" + ", ".join(f"{s}::DOUBLE" for s in plane) + "]"
 
 
-def _bucket_spark() -> str:
+def _band_bucket_spark(b: int) -> str:
     terms = " + ".join(
         f"(CASE WHEN {_dot_spark('emb', _plane_lit_spark(p))} > 0"
         f" THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(C.HYPERPLANES)
+        for j, p in enumerate(C.band_planes(b))
     )
     return terms
 
 
-def _bucket_duck() -> str:
+def _band_bucket_duck(b: int) -> str:
     terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
         f" i -> embedding[i]::DOUBLE * {_plane_lit_duck(p)}[i])) > 0"
         f" THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(C.HYPERPLANES)
+        for j, p in enumerate(C.band_planes(b))
     )
     return terms
 
@@ -150,28 +155,48 @@ def sql_knn_bruteforce() -> str:
 
 
 # ---------------------------------------------------------------------------
-# LSH bucket assignment
+# LSH bucket assignment (banded)
 # ---------------------------------------------------------------------------
 
-def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket histogram — the data-distribution check an operator would
-    run before trusting the ANN path (skew detection)."""
-    e = read_spread(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_EMB_D_SPARK).alias("emb")
+def _banded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (vector, band): JVM-side bucket ids for all bands via
+    a single explode — no shuffle until the consumer groups/joins on the
+    uniformly-distributed (band_id, bucket) key."""
+    e = _emb_df(spark, sf_dir)
+    band_structs = ", ".join(
+        f"struct({b} as band_id, {_band_bucket_spark(b)} as bucket)"
+        for b in range(C.EMB_BANDS)
     )
-    b = e.select("vec_id", F.expr(_bucket_spark()).alias("bucket"))
-    return b.groupBy("bucket").agg(
+    return e.select(
+        "vec_id", "emb", "nrm",
+        F.expr(f"explode(array({band_structs}))").alias("bd"),
+    ).select("vec_id", "emb", "nrm", "bd.band_id", "bd.bucket")
+
+
+def _banded_cte_duck() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band_id,"
+        f" {_band_bucket_duck(b)} AS bucket FROM embeddings"
+        for b in range(C.EMB_BANDS)
+    )
+    return f"bk AS ({band_selects})"
+
+
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band bucket histogram — the data-distribution check an
+    operator would run before trusting the ANN path (skew detection)."""
+    b = _banded_df(spark, sf_dir)
+    return b.groupBy("band_id", "bucket").agg(
         F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
     )
 
 
 def sql_lsh_bucket_stats() -> str:
     return f"""
-        WITH b AS (
-            SELECT vec_id, {_bucket_duck()} AS bucket FROM embeddings
-        )
-        SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
-        FROM b GROUP BY bucket
+        WITH {_banded_cte_duck()}
+        SELECT band_id, bucket, count(*) AS n_vecs,
+               min(vec_id) AS min_vec_id
+        FROM bk GROUP BY band_id, bucket
     """
 
 
@@ -180,22 +205,25 @@ def sql_lsh_bucket_stats() -> str:
 # ---------------------------------------------------------------------------
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded ANN top-k: a neighbor is a candidate if it shares ANY
+    band's bucket with the query; candidates are deduped across bands
+    before ranking (a vector's cosine is band-independent)."""
     from pyspark.sql.window import Window
 
-    e = _emb_df(spark, sf_dir).withColumn("bucket", F.expr(_bucket_spark()))
-    q = e.filter(F.col("vec_id") < C.KNN_NUM_QUERIES)
+    bk = _banded_df(spark, sf_dir)
+    q = bk.filter(F.col("vec_id") < C.KNN_NUM_QUERIES)
     joined = (
         q.alias("a")
-        .join(e.alias("b"), on="bucket")
+        .join(bk.alias("b"), on=["band_id", "bucket"])
         .filter(F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("q_id"),
-            F.col("bucket"),
             F.col("b.vec_id").alias("neighbor_id"),
             F.expr(
                 _COS_SPARK.format(dot=_dot_spark("a.emb", "b.emb"))
             ).alias("cos_sim"),
         )
+        .distinct()
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -203,10 +231,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= C.ANN_K)
-        .select(
-            "q_id", "bucket", "neighbor_id", F.col("rnk").alias("rank"),
-            "cos_sim",
-        )
+        .select("q_id", "neighbor_id", F.col("rnk").alias("rank"), "cos_sim")
     )
 
 
@@ -215,15 +240,13 @@ def sql_ann_lsh_topk() -> str:
     na = _norm2_duck("a.embedding")
     nb = _norm2_duck("b.embedding")
     return f"""
-        WITH bk AS (
-            SELECT vec_id, embedding, {_bucket_duck()} AS bucket
-            FROM embeddings
-        ),
+        WITH {_banded_cte_duck()},
         p AS (
-            SELECT a.vec_id AS q_id, a.bucket, b.vec_id AS neighbor_id,
+            SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id,
                    round({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim
             FROM bk a JOIN bk b
-              ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+              ON a.band_id = b.band_id AND a.bucket = b.bucket
+             AND a.vec_id != b.vec_id
              AND a.vec_id < {C.KNN_NUM_QUERIES}
         ),
         r AS (
@@ -231,7 +254,7 @@ def sql_ann_lsh_topk() -> str:
                 PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id
             ) AS rnk FROM p
         )
-        SELECT q_id, bucket, neighbor_id, rnk AS rank, cos_sim
+        SELECT q_id, neighbor_id, rnk AS rank, cos_sim
         FROM r WHERE rnk <= {C.ANN_K}
     """
 
@@ -240,18 +263,24 @@ def sql_ann_lsh_topk() -> str:
 # IVF-style ANN: coarse quantization by nearest centroid, search in-cell
 # ---------------------------------------------------------------------------
 
-IVF_NUM_CENTROIDS = 8
+IVF_NUM_CENTROIDS = 32
+IVF_NPROBE = 2
 # deterministic "training": fixed corpus rows act as coarse centroids
 # (a k-means iteration would be data-dependent state; fixed seeds keep
-# the op reproducible and oracle-checkable; at production scale the
-# centroid table comes from an offline clustering job and is broadcast)
+# the op reproducible and oracle-checkable). At production scale the
+# centroid table comes from an offline clustering job with K ~ sqrt(n)
+# (10^6 cells at 10^12 rows) and is BROADCAST — the op is parameterized
+# by (centroid table, nprobe); the fixed ids below are the test harness
+# instantiation, not a design limit.
 IVF_CENTROID_IDS = list(range(100, 100 + IVF_NUM_CENTROIDS))
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat with nprobe=1: assign every vector to its max-cosine
-    centroid (broadcast centroid join + per-vector argmax window), then
-    exact top-k among the query's cell members only."""
+    """IVF-flat: every vector lives in its max-cosine centroid's cell
+    (broadcast centroid join + per-vector argmax window); a query probes
+    its IVF_NPROBE nearest cells and ranks exact cosine among their
+    members. Neighbors have a unique home cell so no cross-probe dedup
+    is needed."""
     from pyspark.sql.window import Window
 
     e = _emb_df(spark, sf_dir)
@@ -276,14 +305,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.partitionBy("vec_id").orderBy(
         F.col("c_cos").desc(), F.col("c_id")
     )
-    assigned = (
-        scored.withColumn("crnk", F.row_number().over(wc))
-        .filter(F.col("crnk") == 1)
-        .select("vec_id", "emb", "nrm", F.col("c_id").alias("cell"))
+    ranked_cells = scored.withColumn("crnk", F.row_number().over(wc))
+    assigned = ranked_cells.filter(F.col("crnk") == 1).select(
+        "vec_id", "emb", "nrm", F.col("c_id").alias("cell")
     )
-    q = assigned.filter(F.col("vec_id") < C.KNN_NUM_QUERIES)
+    probes = ranked_cells.filter(
+        (F.col("crnk") <= IVF_NPROBE)
+        & (F.col("vec_id") < C.KNN_NUM_QUERIES)
+    ).select("vec_id", "emb", "nrm", F.col("c_id").alias("cell"))
     joined = (
-        q.alias("a")
+        probes.alias("a")
         .join(assigned.alias("b"), on="cell")
         .filter(F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
@@ -326,19 +357,25 @@ def sql_ann_ivf_topk() -> str:
                    round({cdot} / (sqrt({cna}) * sqrt({cnc})), 6) AS c_cos
             FROM embeddings a CROSS JOIN cents c
         ),
+        ranked_cells AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY c_cos DESC, c_id
+            ) AS crnk FROM scored
+        ),
         assigned AS (
-            SELECT vec_id, embedding, c_id AS cell FROM (
-                SELECT *, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY c_cos DESC, c_id
-                ) AS crnk FROM scored
-            ) WHERE crnk = 1
+            SELECT vec_id, embedding, c_id AS cell FROM ranked_cells
+            WHERE crnk = 1
+        ),
+        probes AS (
+            SELECT vec_id, embedding, c_id AS cell FROM ranked_cells
+            WHERE crnk <= {IVF_NPROBE}
+              AND vec_id < {C.KNN_NUM_QUERIES}
         ),
         p AS (
             SELECT a.vec_id AS q_id, a.cell, b.vec_id AS neighbor_id,
                    round({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim
-            FROM assigned a JOIN assigned b
+            FROM probes a JOIN assigned b
               ON a.cell = b.cell AND a.vec_id != b.vec_id
-             AND a.vec_id < {C.KNN_NUM_QUERIES}
         ),
         r AS (
             SELECT *, row_number() OVER (
@@ -355,10 +392,13 @@ def sql_ann_ivf_topk() -> str:
 # ---------------------------------------------------------------------------
 
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb_df(spark, sf_dir).withColumn("bucket", F.expr(_bucket_spark()))
+    """Embedding near-dup pairs: banded-LSH candidates (collide in ANY
+    band) deduped across bands, then exact cosine verification — the
+    same candidate-only shape as the minhash text path."""
+    bk = _banded_df(spark, sf_dir)
     joined = (
-        e.alias("a")
-        .join(e.alias("b"), on="bucket")
+        bk.alias("a")
+        .join(bk.alias("b"), on=["band_id", "bucket"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
@@ -367,6 +407,7 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _COS_SPARK.format(dot=_dot_spark("a.emb", "b.emb"))
             ).alias("cos_sim"),
         )
+        .distinct()
     )
     return joined.filter(F.col("cos_sim") >= C.COSINE_NEARDUP_THRESHOLD)
 
@@ -376,15 +417,13 @@ def sql_neardup_cosine() -> str:
     na = _norm2_duck("a.embedding")
     nb = _norm2_duck("b.embedding")
     return f"""
-        WITH bk AS (
-            SELECT vec_id, embedding, {_bucket_duck()} AS bucket
-            FROM embeddings
-        ),
+        WITH {_banded_cte_duck()},
         p AS (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim
             FROM bk a JOIN bk b
-              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              ON a.band_id = b.band_id AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
         )
         SELECT * FROM p WHERE cos_sim >= {C.COSINE_NEARDUP_THRESHOLD}
     """
