@@ -65,10 +65,50 @@ def bench_pipeline(spark, n_docs: int, cpus: int) -> dict:
     }
 
 
+def _pipeline_main():
+    """Flagship pipeline timing in a FRESH dedicated JVM (invoked as a
+    subprocess): sharing a JVM with the query suite couples the two
+    through executor/python-worker memory pressure in whichever order
+    they run (measured 3x pipeline slowdown after the suite, and 5-10x
+    suite inflation after the pipeline)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(0, 100_000).selectExpr("sum(id)").collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    pipe = bench_pipeline(spark, n_docs * 10, cpus)
+    print("PIPEJSON:" + json.dumps(pipe))
+    spark.stop()
+
+
+def _run_pipeline_subprocess() -> dict:
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
+        capture_output=True, text=True, timeout=1200,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("PIPEJSON:"):
+            return json.loads(line[len("PIPEJSON:"):])
+    raise RuntimeError(
+        f"pipeline subprocess failed: {proc.stdout[-2000:]}"
+        f" {proc.stderr[-2000:]}"
+    )
+
+
 def main():
+    if "--pipeline-only" in sys.argv:
+        _pipeline_main()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # flagship first, in its own fresh JVM (see _pipeline_main)
+    pipe = _run_pipeline_subprocess()
+
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -81,13 +121,9 @@ def main():
         "sum(id)", "count(distinct id % 7)"
     ).collect()
 
-    # corpus/relational queries first on a quiet JVM; the heavy pipeline
-    # job runs LAST — running it first leaves enough cache + python-worker
-    # memory pressure to inflate the next query's time ~5-10x
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     for name, fn in E.queries().items():
         if name.startswith("pipeline_"):
-            continue  # covered by the flagship timing below
+            continue  # covered by the flagship timing above
         best = None
         for _ in range(2):  # best-of-2: shields against host-side stalls
             t0 = time.time()
@@ -97,8 +133,6 @@ def main():
             best = dt if best is None else min(best, dt)
         q_times[name] = round(best, 3)
 
-    # flagship: extraction pipeline, corpus = 10x documents rows
-    pipe = bench_pipeline(spark, n_docs * 10, cpus)
     q_times["pipeline_extract"] = round(pipe["sec"], 3)
 
     total = sum(q_times.values())
