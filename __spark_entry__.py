@@ -268,6 +268,14 @@ def _q_pipeline_chunks_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_externalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Picture externalization manifest via a transform() HOF over the
+    spans array (zero shuffle, zero Python; ops/media.py)."""
+    from docling_core_spark.ops.media import media_manifest
+
+    return media_manifest(_synth(spark, sf_dir))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (hash-groupBy; map-side combine)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -378,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_chunks": _q_pipeline_chunks,
         "pipeline_chunks_hybrid": _q_pipeline_chunks_hybrid,
         "pipeline_json_roundtrip": _q_pipeline_json_roundtrip,
+        "media_externalize": _q_media_externalize,
         # text analysis
         "token_stats": CT.q_token_stats,
         "lang_id": CT.q_lang_id,
@@ -450,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
             "pipeline_span_seq", "pipeline_exports", "pipeline_metrics",
             "pipeline_doctags_roundtrip", "pipeline_json_roundtrip",
             "pipeline_chunks", "pipeline_chunks_hybrid",
+            "media_externalize",
         )
         if os.path.exists(f"{g}/{name}.parquet")
     }

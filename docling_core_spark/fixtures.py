@@ -109,7 +109,17 @@ def _gen_random(doc_id: str) -> List[Dict]:
         elif r < 0.64:
             kind = rng.choice(["picture", "chart"])
             fig_i += 1
-            out.append(_mk_span(kind, "", f"img://{doc_id}/{fig_i}"))
+            if rng.random() < 0.35:
+                # inline data URI (deterministic fake payload): exercises
+                # embedded-mode serialization and media externalization
+                payload = "".join(
+                    rng.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdef0123456789+/")
+                    for _ in range(24)
+                )
+                ref = f"data:image/png;base64,{payload}=="
+            else:
+                ref = f"img://{doc_id}/{fig_i}"
+            out.append(_mk_span(kind, "", ref))
             if rng.random() < 0.7:
                 out.append(_mk_span("caption",
                                     f"Figure {fig_i}: {_words(rng, 3, 8)}"))

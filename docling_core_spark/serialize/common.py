@@ -59,6 +59,11 @@ class SerParams:
     include_formatting: bool = True
     include_hyperlinks: bool = True
     caption_delim: str = " "
+    # image handling (ImageRefMode parity, base.py:9-14): the engine
+    # carries media_ref URI strings, never image bytes, so "embedded"
+    # can only inline data: URIs — exactly the reference's behavior in a
+    # PIL-less environment (get_image()->None fallback paths)
+    image_mode: str = "placeholder"  # placeholder | embedded | referenced
     # markdown
     image_placeholder: str = "<!-- image -->"
     enable_chart_tables: bool = True

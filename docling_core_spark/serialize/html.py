@@ -232,13 +232,41 @@ def _table_ser(state: DocSerializerState, item: dict) -> SerResult:
     return ser_result(text=text, span_source=res_parts)
 
 
+def _image_part_html(item: dict, p) -> str:
+    """HTMLPictureSerializer image part parity (html.py:403-445):
+    PLACEHOLDER emits nothing; EMBEDDED inlines data: URIs (the engine
+    holds no bytes, so non-data refs take the reference's
+    get_image()->None path — which still emits the empty wrapper table
+    for multi-provenance pictures); REFERENCED url-quotes the ref."""
+    from urllib.parse import quote
+
+    ref = item.get("media_ref", "") or ""
+    if p.image_mode == "embedded":
+        if ref.startswith("data:"):
+            return f'<img src="{ref}">'
+        if len(item.get("prov") or []) > 1:
+            return (
+                '<table style="border-collapse: collapse; width: 100%;">\n'
+                "</table>\n"
+            )
+        return ""
+    if p.image_mode == "referenced":
+        if ref and not ref.startswith("data:"):
+            return f'<img src="{quote(ref)}">'
+        return ""
+    return ""
+
+
 def _picture_ser(state: DocSerializerState, item: dict, visited: Set[str]) -> SerResult:
     p = state.params
     res_parts: List[SerResult] = []
     cap_res = _serialize_captions_html(state, item, tag="figcaption")
     if cap_res.text:
         res_parts.append(cap_res)
-    # image_mode PLACEHOLDER: no <img> emitted (html.py:402-443)
+    if item["self_ref"] not in state.excluded:
+        img_text = _image_part_html(item, p)
+        if img_text:
+            res_parts.append(ser_result(text=img_text, span_source=item))
     if p.enable_chart_tables:
         for ann in item.get("annotations", []) or []:
             if ann.get("kind") in (

@@ -171,6 +171,27 @@ def _table_ser(state: DocSerializerState, item: dict) -> SerResult:
     return ser_result(text=text, span_source=res_parts)
 
 
+_MD_IMAGE_ERROR = (
+    "<!-- 🖼️❌ Image not available. "
+    "Please use `PdfPipelineOptions(generate_picture_images=True)` -->"
+)
+
+
+def _image_part_md(item: dict, p) -> str:
+    """_serialize_image_part parity (markdown.py:329-374)."""
+    ref = item.get("media_ref", "") or ""
+    if p.image_mode == "embedded":
+        if ref.startswith("data:"):
+            return f"![Image]({ref})"
+        # no bytes in the engine: the reference's get_image()->None path
+        return _MD_IMAGE_ERROR
+    if p.image_mode == "referenced":
+        if not ref or ref.startswith("data:"):
+            return p.image_placeholder
+        return f"![Image]({ref})"
+    return p.image_placeholder
+
+
 def _picture_ser(state: DocSerializerState, item: dict, visited: Set[str]) -> SerResult:
     p = state.params
     res_parts: List[SerResult] = []
@@ -182,8 +203,12 @@ def _picture_ser(state: DocSerializerState, item: dict, visited: Set[str]) -> Se
             ann_res = _serialize_annotations(state, item)
             if ann_res.text:
                 res_parts.append(ann_res)
-        # image part: PLACEHOLDER mode only (we never embed PIL images)
-        img_res = ser_result(text=p.image_placeholder, span_source=item)
+        # image part per ImageRefMode (markdown.py:329-374): the engine
+        # has no image bytes, so EMBEDDED inlines data: URIs and
+        # otherwise takes the reference's get_image()->None error path
+        img_res = ser_result(
+            text=_image_part_md(item, p), span_source=item
+        )
         if img_res.text:
             res_parts.append(img_res)
         # chart tabular data -> pipe table (markdown.py:330-366)

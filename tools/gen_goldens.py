@@ -167,6 +167,13 @@ def gold_for_doc(did: str) -> dict:
     chunk_rows = chunk_rows_doc(did, spans, hybrid=False, max_tokens=64)
     hybrid_rows = chunk_rows_doc(did, spans, hybrid=True, max_tokens=64)
 
+    # --- media externalization (independent pure-Python twin of the
+    # Spark transform() expression — dual-implementation oracle) ---
+    from docling_core_spark.ops.media import externalize_spans_py
+
+    _, manifest = externalize_spans_py(spans)
+    media_rows = [{"doc_id": did, **m} for m in manifest]
+
     # --- roundtrips (engine-snapshot; see module docstring) ---
     rt = roundtrip_doc(did, spans)
     jrt = json_roundtrip_doc(did, spans)
@@ -187,6 +194,7 @@ def gold_for_doc(did: str) -> dict:
         "export_row": export_row,
         "chunk_rows": chunk_rows,
         "hybrid_rows": hybrid_rows,
+        "media_rows": media_rows,
         "rt_row": rt,
         "jrt_row": jrt,
         "json_matches_ref": json_matches_ref,
@@ -247,6 +255,7 @@ def generate(sf: str, pool=None) -> dict:
     span_rows, export_rows, chunk_rows, hybrid_rows, rt_rows, jrt_rows = (
         [], [], [], [], [], []
     )
+    media_rows = []
     m = {
         "n_docs": 0, "total_items": 0, "total_spans": 0,
         "total_anomalies": 0, "invalid_trees": 0,
@@ -258,6 +267,7 @@ def generate(sf: str, pool=None) -> dict:
         export_rows.append(r["export_row"])
         chunk_rows.extend(_scalarize(r["chunk_rows"]))
         hybrid_rows.extend(_scalarize(r["hybrid_rows"]))
+        media_rows.extend(r["media_rows"])
         rt_rows.append(r["rt_row"])
         jrt_rows.append(r["jrt_row"])
         json_ref_matches += bool(r["json_matches_ref"])
@@ -285,6 +295,7 @@ def generate(sf: str, pool=None) -> dict:
            int_cols=("chunk_idx", "n_tokens", "context_tokens"))
     _write(outdir, "pipeline_chunks_hybrid", hybrid_rows,
            int_cols=("chunk_idx", "n_tokens", "context_tokens"))
+    _write(outdir, "media_externalize", media_rows, int_cols=("pic_idx",))
     _write(outdir, "pipeline_doctags_roundtrip", rt_rows)
     _write(outdir, "pipeline_json_roundtrip", jrt_rows,
            int_cols=("json_bytes",))
@@ -294,6 +305,7 @@ def generate(sf: str, pool=None) -> dict:
         "span_rows": len(span_rows),
         "chunk_rows": len(chunk_rows),
         "hybrid_rows": len(hybrid_rows),
+        "media_rows": len(media_rows),
         "json_dump_matches_reference": f"{json_ref_matches}/{len(ids)}",
         "gen_sec": round(time.time() - t0, 1),
     }
