@@ -212,8 +212,10 @@ def add_list_item(
     marker: str = "-",
     **kw,
 ) -> dict:
+    # reference coerces any falsy marker to "-" (document.py:2186)
     return add_text(
-        doc, L.LIST_ITEM, text, enumerated=enumerated, marker=marker, **kw
+        doc, L.LIST_ITEM, text, enumerated=enumerated,
+        marker=marker or "-", **kw,
     )
 
 

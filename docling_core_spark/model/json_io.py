@@ -292,6 +292,8 @@ def to_reference_json(doc: dict) -> dict:
     for t in doc["tables"]:
         out = _node_common_out(t)
         out["label"] = t.get("label", L.TABLE)
+        from . import table as T
+
         out["data"] = {
             "table_cells": [
                 {k: v for k, v in c.items() if v is not None}
@@ -299,6 +301,15 @@ def to_reference_json(doc: dict) -> dict:
             ],
             "num_rows": t["data"].get("num_rows", 0),
             "num_cols": t["data"].get("num_cols", 0),
+            # the reference serializes the COMPUTED dense grid too
+            # (document.py:340-373 model_dump includes it)
+            "grid": [
+                [
+                    {k: v for k, v in c.items() if v is not None}
+                    for c in row
+                ]
+                for row in T.grid(t["data"])
+            ],
         }
         out["annotations"] = t.get("annotations", [])
         _floating_out(t, out)

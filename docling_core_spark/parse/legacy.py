@@ -197,7 +197,7 @@ def legacy_to_doc(legacy: dict) -> dict:
             }:
                 D.add_list_item(
                     doc, text, enumerated=False, prov=prov,
-                    parent=current_list, marker="",
+                    parent=current_list, marker="-",
                 )
             else:
                 label = L.TEXT

@@ -165,6 +165,13 @@ def parse_span_doc(
                 annotations=annotations,
                 prov=[_prov(page_no, order_on_page, text)],
             )
+            if media_ref:
+                # span-interpretation contract (FIXTURES.md §1): media
+                # refs carry synthetic 64x64 px png metadata
+                new_floating["media_meta"] = {
+                    "mimetype": "image/png", "dpi": 72,
+                    "width": 64.0, "height": 64.0,
+                }
         elif kind == "table_otsl":
             try:
                 data = T.parse_otsl(text)

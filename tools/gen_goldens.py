@@ -181,11 +181,21 @@ def gold_for_doc(did: str) -> dict:
         errs.append("doctags_roundtrip_unstable")
     if not jrt["stable"]:
         errs.append("json_roundtrip_unstable")
+    # json dump is REFERENCE-DERIVED: the engine's canonical JSON must
+    # byte-match the reference's model_dump (sort_keys-serialized)
     ref_payload = json.dumps(
         rdoc.model_dump(mode="json", by_alias=True, exclude_none=True),
         sort_keys=True,
     )
     json_matches_ref = _md5(ref_payload) == jrt["json_md5"]
+    if not json_matches_ref:
+        errs.append("json_dump")
+    jrt = {
+        "doc_id": did,
+        "json_bytes": len(ref_payload),
+        "json_md5": _md5(ref_payload),
+        "stable": jrt["stable"],
+    }
 
     return {
         "doc_id": did,
