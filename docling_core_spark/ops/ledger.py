@@ -206,13 +206,19 @@ def verify_lineage(spark: SparkSession, docs: DataFrame, out_dir: str,
     ledger = spark.createDataFrame(
         rows, "shard int, doc_count bigint, lineage_xor bigint"
     )
+    # distinct sentinels per side: a shard present on only one side of
+    # the full join (skipped, extra, or zero-doc) must yield
+    # lineage_ok = FALSE, never NULL — the audit's contract is that a
+    # non-ok shard produces a failing row
     return (
         expected.join(ledger, on="shard", how="full")
         .select(
             "shard", "expected_docs", "doc_count",
             (
-                (F.col("expected_docs") == F.col("doc_count"))
-                & (F.col("expected_xor") == F.col("lineage_xor"))
+                (F.coalesce(F.col("expected_docs"), F.lit(-1))
+                 == F.coalesce(F.col("doc_count"), F.lit(-2)))
+                & (F.coalesce(F.col("expected_xor"), F.lit(-1))
+                   == F.coalesce(F.col("lineage_xor"), F.lit(-2)))
             ).alias("lineage_ok"),
         )
     )

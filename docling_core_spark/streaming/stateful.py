@@ -12,8 +12,10 @@ operators" slot):
   - first arrival wins and is emitted; later arrivals (same or later
     micro-batches) are suppressed;
   - state is O(#distinct keys); at 10^12 docs you shard the stream by
-    hash prefix so each state store holds its slice, and set a TTL if
-    the dedup window is bounded.
+    hash prefix so each state store holds its slice and set `ttl_ms`
+    so state is bounded by the sliding dedup window (processing-time
+    timeout evicts keys unseen for ttl_ms; an eviction means a later
+    duplicate re-emits — the documented bounded-window trade-off).
 """
 
 from __future__ import annotations
@@ -46,27 +48,40 @@ DEDUP_OUT_SCHEMA = StructType(
 _STATE_SCHEMA = StructType([StructField("seen", BooleanType())])
 
 
-def _dedup_fn(
-    key: Tuple[str],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        return  # key already emitted in an earlier micro-batch
-    first = None
-    for pdf in pdfs:
-        if len(pdf) and first is None:
-            first = pdf.iloc[[0]]
-    if first is None:
-        return
-    state.update((True,))
-    yield pd.DataFrame(
-        {
-            "content_hash": [key[0]],
-            "doc_id": [first["doc_id"].iloc[0]],
-            "n_spans": [int(first["n_spans"].iloc[0])],
-        }
-    )
+def _dedup_fn_with_ttl(ttl_ms: int):
+    def fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # dedup window elapsed with no new arrivals: drop the key so
+            # state stays bounded (a later duplicate re-emits — bounded-
+            # window semantics, the documented trade for O(window) state)
+            state.remove()
+            return
+        if state.exists:
+            if ttl_ms > 0:
+                state.setTimeoutDuration(ttl_ms)  # slide the window
+            return  # key already emitted in an earlier micro-batch
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]]
+        if first is None:
+            return
+        state.update((True,))
+        if ttl_ms > 0:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "content_hash": [key[0]],
+                "doc_id": [first["doc_id"].iloc[0]],
+                "n_spans": [int(first["n_spans"].iloc[0])],
+            }
+        )
+
+    return fn
 
 
 def dedup_stream(
@@ -74,9 +89,16 @@ def dedup_stream(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    ttl_ms: int = 0,
 ):
     """File-stream of (doc_id, spans) -> first-seen rows per content
-    hash, exactly once across restarts (state lives in the checkpoint)."""
+    hash, exactly once across restarts (state lives in the checkpoint).
+
+    ttl_ms > 0 bounds state growth: a key unseen for ttl_ms is evicted
+    (processing-time timeout), so the dedup window is sliding rather
+    than unbounded — the state-hygiene knob a perpetual 100 TB ingest
+    needs (state size = O(keys seen within the window), not O(all keys
+    ever)). ttl_ms = 0 keeps the exact forever-dedup semantics."""
     src = (
         spark.readStream.schema(S.DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 4)
@@ -100,11 +122,15 @@ def dedup_stream(
         F.size("spans").cast("long").alias("n_spans"),
     )
     deduped = keyed.groupBy("content_hash").applyInPandasWithState(
-        _dedup_fn,
+        _dedup_fn_with_ttl(ttl_ms),
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms > 0
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return (
         deduped.writeStream.format("parquet")

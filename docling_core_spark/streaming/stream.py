@@ -74,7 +74,17 @@ def stream_pipeline_foreach_batch(
     def handle(batch_df, batch_id: int):
         t0 = time.time()
         out = run_pipeline(batch_df)
-        out.write.mode("append").parquet(data_dir)
+        # foreachBatch is at-least-once: a retried micro-batch must
+        # REPLACE its own output, not append a duplicate. Partition the
+        # sink by batch_id and dynamically overwrite only this batch's
+        # partition — the same idempotent-commit shape as the ledger.
+        (
+            out.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(data_dir)
+        )
         agg = out.agg(
             F.count("*").alias("n_docs"),
             F.sum("n_spans_in").alias("n_spans"),

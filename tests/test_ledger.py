@@ -66,3 +66,23 @@ def test_completed_run_is_noop_on_reinvoke(spark, docs, tmp_path):
     again = run_with_ledger(spark, docs, out, num_shards=4, shards_per_batch=4)
     assert again == []  # nothing pending -> no work, no re-commits
     assert {e.shard: e.committed_at for e in read_ledger(out)} == first
+
+
+def test_verify_lineage_flags_one_sided_shards(spark, docs, tmp_path):
+    """A shard present on only one side of the audit join (skipped /
+    extra) must yield lineage_ok == False, never NULL."""
+    import os
+
+    from docling_core_spark.ops.ledger import _ledger_dir
+
+    out = str(tmp_path / "run")
+    run_with_ledger(spark, docs, out, num_shards=4, shards_per_batch=4)
+    # drop one shard's ledger entry -> audit sees input with no commit
+    ldir = _ledger_dir(out)
+    victim = sorted(os.listdir(ldir))[0]
+    os.remove(os.path.join(ldir, victim))
+    audit = {r["shard"]: r for r in
+             verify_lineage(spark, docs, out, 4).collect()}
+    bad = [s for s, r in audit.items() if r["lineage_ok"] is not True]
+    assert len(bad) == 1
+    assert audit[bad[0]]["lineage_ok"] is False  # not None

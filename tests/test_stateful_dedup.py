@@ -60,3 +60,36 @@ def test_dedup_across_micro_batches_and_restarts(spark, tmp_path):
     new = [r for r in out2 if r["content_hash"] not in hashes1]
     assert len(new) == 1
     assert new[0]["doc_id"] == "c1"
+
+
+def test_dedup_state_ttl_evicts_idle_keys(spark, tmp_path):
+    """Bounded-window semantics: a key idle past ttl_ms is evicted on
+    the next trigger (state hygiene), so a later duplicate re-emits;
+    a key refreshed within the window stays suppressed."""
+    import time
+
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ttl = 500
+
+    _write_docs(spark, input_dir, [("x1", "xray text")])
+    q = dedup_stream(spark, input_dir, output_dir, ckpt, ttl_ms=ttl)
+    q.awaitTermination(120)
+    assert spark.read.parquet(output_dir).count() == 1
+
+    # let the window elapse, then trigger with unrelated data: the
+    # timeout fires for the idle key and evicts it
+    time.sleep(1.2)
+    _write_docs(spark, input_dir, [("y1", "yankee text")])
+    q = dedup_stream(spark, input_dir, output_dir, ckpt, ttl_ms=ttl)
+    q.awaitTermination(120)
+    assert spark.read.parquet(output_dir).count() == 2
+
+    # the original content arrives again: state was evicted -> re-emit
+    _write_docs(spark, input_dir, [("x2", "xray text")])
+    q = dedup_stream(spark, input_dir, output_dir, ckpt, ttl_ms=ttl)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(output_dir).collect()
+    assert len(rows) == 3
+    assert sorted(r["doc_id"] for r in rows) == ["x1", "x2", "y1"]
