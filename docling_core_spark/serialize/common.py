@@ -59,6 +59,8 @@ class SerParams:
     include_formatting: bool = True
     include_hyperlinks: bool = True
     caption_delim: str = " "
+    # html output style (HTMLOutputStyle parity, html.py:108-118)
+    html_output_style: str = "single_column"  # single_column | split_page
     # image handling (ImageRefMode parity, base.py:9-14): the engine
     # carries media_ref URI strings, never image bytes, so "embedded"
     # can only inline data: URIs — exactly the reference's behavior in a

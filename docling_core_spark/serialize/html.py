@@ -10,6 +10,7 @@ an import-try with the reference's own `<pre>` fallback semantics
 from __future__ import annotations
 
 import html as _html
+import re
 import unicodedata
 from typing import List, Optional, Set
 
@@ -446,10 +447,80 @@ def _generate_head(state: DocSerializerState) -> str:
     return "\n".join(head_parts)
 
 
+_PAGE_BREAK_RE = re.compile(r"#_#_DOCLING_DOC_PAGE_BREAK_(\d+)_(\d+)_#_#")
+
+
+def _applicable_pages(state: DocSerializerState) -> Optional[List[int]]:
+    """_get_applicable_pages parity (common.py:542-564): ordered set of
+    page numbers of in-scope DocItems with provenance."""
+    p = state.params
+    pages: dict = {}
+    for ix, (item, _lvl) in enumerate(
+        D.iterate_items(
+            state.doc, with_groups=True, traverse_pictures=True,
+            included_content_layers=p.layers,
+        )
+    ):
+        prov = item.get("prov")
+        if (
+            D.is_doc_item(item)
+            and prov
+            and (p.pages is None or prov[0]["page_no"] in p.pages)
+            and p.start_idx <= ix < p.stop_idx
+        ):
+            pages[prov[0]["page_no"]] = None
+    return list(pages) or None
+
+
+def _split_page_body(state: DocSerializerState, content: str) -> List[str]:
+    """SPLIT_PAGE assembly parity (html.py:898-966): content split at
+    page-break sentinels; one table row per page with the page image
+    (data: URI shortcut; the engine holds no decodable bytes, matching
+    the reference's _pil=None fallback) beside the page content."""
+    applicable = _applicable_pages(state)
+    pages: dict = {}
+    next_page: Optional[int] = None
+    prev_end = 0
+    for m in _PAGE_BREAK_RE.finditer(content):
+        full = m.group(0)
+        prev_page, next_page = int(m.group(1)), int(m.group(2))
+        start = content.find(full)
+        pages[prev_page] = content[prev_end:start]
+        prev_end = start + len(full)
+    if next_page is not None:
+        pages[next_page] = content[prev_end:]
+    elif applicable is not None and len(applicable) == 1:
+        pages[applicable[0]] = content
+
+    out = ["<table>", "<tbody>"]
+    for page_no, page in pages.items():
+        if applicable is not None and page_no not in applicable:
+            continue
+        page_ref = (state.doc.get("pages", {}).get(page_no) or {}).get(
+            "media_ref", ""
+        )
+        out.append("<tr>")
+        out.append("<td>")
+        if page_ref.startswith("data:"):
+            out.append(f'<figure><img src="{page_ref}"></figure>')
+        else:
+            out.append("<figure>no page-image found</figure>")
+        out.append("</td>")
+        out.append("<td>")
+        out.append(f"<div class='page'>\n{page}\n</div>")
+        out.append("</td>")
+        out.append("</tr>")
+    out.extend(["</tbody>", "</table>"])
+    return out
+
+
 def _doc_ser(state: DocSerializerState, parts: List[SerResult]) -> SerResult:
     html_parts = ["<!DOCTYPE html>", "<html>", _generate_head(state), "<body>"]
     content = "\n".join(p.text for p in parts if p.text)
-    html_parts.append(f"<div class='page'>\n{content}\n</div>")
+    if state.params.html_output_style == "split_page":
+        html_parts.extend(_split_page_body(state, content))
+    else:
+        html_parts.append(f"<div class='page'>\n{content}\n</div>")
     html_parts.extend(["</body>", "</html>"])
     return ser_result(text="\n".join(html_parts), span_source=parts)
 
@@ -464,7 +535,8 @@ HTML_VTABLE = {
     "inline": _inline_ser,
     "fallback": _fallback_ser,
     "doc": _doc_ser,
-    "requires_page_break": lambda p: False,  # single-column mode
+    # split-page view needs the page-break sentinels (html.py:1076-1078)
+    "requires_page_break": lambda p: p.html_output_style == "split_page",
 }
 
 
