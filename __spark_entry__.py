@@ -268,6 +268,14 @@ def _q_pipeline_chunks_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_export_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-mode / split-page / YAML / legacy serializer surfaces
+    (one shuffle-free Arrow stage; reference-derived goldens)."""
+    from docling_core_spark.pipeline import variant_exports
+
+    return variant_exports(_synth(spark, sf_dir))
+
+
 def _q_media_externalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Picture externalization manifest via a transform() HOF over the
     spans array (zero shuffle, zero Python; ops/media.py)."""
@@ -386,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_chunks": _q_pipeline_chunks,
         "pipeline_chunks_hybrid": _q_pipeline_chunks_hybrid,
         "pipeline_json_roundtrip": _q_pipeline_json_roundtrip,
+        "pipeline_export_variants": _q_pipeline_export_variants,
         "media_externalize": _q_media_externalize,
         # text analysis
         "token_stats": CT.q_token_stats,
@@ -459,7 +468,7 @@ def oracle_sql() -> dict[str, str]:
             "pipeline_span_seq", "pipeline_exports", "pipeline_metrics",
             "pipeline_doctags_roundtrip", "pipeline_json_roundtrip",
             "pipeline_chunks", "pipeline_chunks_hybrid",
-            "media_externalize",
+            "media_externalize", "pipeline_export_variants",
         )
         if os.path.exists(f"{g}/{name}.parquet")
     }

@@ -189,6 +189,71 @@ def json_roundtrip(docs: DataFrame) -> DataFrame:
     )
 
 
+def variant_exports_doc(doc_id: str, spans) -> dict:
+    """Per-doc md5s of the round-2 serializer surfaces: image-mode
+    markdown/HTML, split-page HTML body, YAML, legacy dict (hash fields
+    stripped — no origin means the reference derives them from a fresh
+    uuid4). Pure; shared by the distributed stage and gen_goldens."""
+    import hashlib
+    import json as _json
+
+    from .model.yaml_io import dump_yaml_str
+    from .serialize.common import SerParams
+    from .serialize.html import export_to_html, html_body
+    from .serialize.legacy import doc_to_legacy
+    from .serialize.markdown import serialize_markdown
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    doc, _ = parse_span_doc(doc_id, list(spans) if spans is not None else [])
+    legacy = doc_to_legacy(doc)
+    legacy.pop("file-info", None)
+    return {
+        "doc_id": doc_id,
+        "md_embedded_md5": md5(
+            serialize_markdown(doc, SerParams(image_mode="embedded")).text
+        ),
+        "md_referenced_md5": md5(
+            serialize_markdown(doc, SerParams(image_mode="referenced")).text
+        ),
+        "html_embedded_md5": md5(
+            html_body(export_to_html(doc, image_mode="embedded"))
+        ),
+        "html_referenced_md5": md5(
+            html_body(export_to_html(doc, image_mode="referenced"))
+        ),
+        "html_split_page_md5": md5(
+            html_body(export_to_html(doc, html_output_style="split_page"))
+        ),
+        "yaml_md5": md5(dump_yaml_str(doc)),
+        "legacy_md5": md5(_json.dumps(legacy, sort_keys=True)),
+    }
+
+
+VARIANT_EXPORTS_SCHEMA = (
+    "doc_id string, md_embedded_md5 string, md_referenced_md5 string,"
+    " html_embedded_md5 string, html_referenced_md5 string,"
+    " html_split_page_md5 string, yaml_md5 string, legacy_md5 string"
+)
+
+
+def _variant_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [c.split()[0] for c in VARIANT_EXPORTS_SCHEMA.split(",")]
+    for pdf in batches:
+        out = [
+            variant_exports_doc(doc_id, spans)
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"])
+        ]
+        yield pd.DataFrame(out, columns=cols)
+
+
+def variant_exports(docs: DataFrame) -> DataFrame:
+    """Image-mode / split-page / YAML / legacy serializer surfaces as
+    one shuffle-free Arrow stage."""
+    return docs.mapInPandas(_variant_batches, schema=VARIANT_EXPORTS_SCHEMA)
+
+
 CHUNKS_SCHEMA = (
     "doc_id string, chunk_idx int, text string, headings array<string>,"
     " item_refs array<string>, n_tokens int, context_tokens int"

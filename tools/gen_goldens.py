@@ -167,6 +167,54 @@ def gold_for_doc(did: str) -> dict:
     chunk_rows = chunk_rows_doc(did, spans, hybrid=False, max_tokens=64)
     hybrid_rows = chunk_rows_doc(did, spans, hybrid=True, max_tokens=64)
 
+    # --- variant exports (reference-derived: image modes, split-page
+    # HTML, YAML, legacy writer) ---
+    import yaml as _yaml
+
+    from docling_core.types.doc.base import ImageRefMode
+    from docling_core.transforms.serializer.html import (
+        HTMLDocSerializer,
+        HTMLOutputStyle,
+        HTMLParams,
+    )
+    from docling_core.utils.legacy import docling_document_to_legacy
+    from docling_core_spark.pipeline import variant_exports_doc
+    from docling_core_spark.serialize.html import html_body as _hb
+
+    ref_legacy = docling_document_to_legacy(rdoc).model_dump(
+        mode="json", by_alias=True, exclude_none=True
+    )
+    ref_legacy.pop("file-info", None)
+    variant_row = {
+        "doc_id": did,
+        "md_embedded_md5": _md5(
+            rdoc.export_to_markdown(image_mode=ImageRefMode.EMBEDDED)
+        ),
+        "md_referenced_md5": _md5(
+            rdoc.export_to_markdown(image_mode=ImageRefMode.REFERENCED)
+        ),
+        "html_embedded_md5": _md5(_hb(
+            rdoc.export_to_html(image_mode=ImageRefMode.EMBEDDED)
+        )),
+        "html_referenced_md5": _md5(_hb(
+            rdoc.export_to_html(image_mode=ImageRefMode.REFERENCED)
+        )),
+        "html_split_page_md5": _md5(_hb(
+            HTMLDocSerializer(
+                doc=rdoc,
+                params=HTMLParams(output_style=HTMLOutputStyle.SPLIT_PAGE),
+            ).serialize().text
+        )),
+        "yaml_md5": _md5(
+            _yaml.dump(rdoc.export_to_dict(), default_flow_style=False)
+        ),
+        "legacy_md5": _md5(json.dumps(ref_legacy, sort_keys=True)),
+    }
+    mine_variant = variant_exports_doc(did, spans)
+    for k, v in variant_row.items():
+        if mine_variant[k] != v:
+            errs.append(f"variant:{k}")
+
     # --- media externalization (independent pure-Python twin of the
     # Spark transform() expression — dual-implementation oracle) ---
     from docling_core_spark.ops.media import externalize_spans_py
@@ -204,6 +252,7 @@ def gold_for_doc(did: str) -> dict:
         "export_row": export_row,
         "chunk_rows": chunk_rows,
         "hybrid_rows": hybrid_rows,
+        "variant_row": variant_row,
         "media_rows": media_rows,
         "rt_row": rt,
         "jrt_row": jrt,
@@ -266,6 +315,7 @@ def generate(sf: str, pool=None) -> dict:
         [], [], [], [], [], []
     )
     media_rows = []
+    variant_rows = []
     m = {
         "n_docs": 0, "total_items": 0, "total_spans": 0,
         "total_anomalies": 0, "invalid_trees": 0,
@@ -278,6 +328,7 @@ def generate(sf: str, pool=None) -> dict:
         chunk_rows.extend(_scalarize(r["chunk_rows"]))
         hybrid_rows.extend(_scalarize(r["hybrid_rows"]))
         media_rows.extend(r["media_rows"])
+        variant_rows.append(r["variant_row"])
         rt_rows.append(r["rt_row"])
         jrt_rows.append(r["jrt_row"])
         json_ref_matches += bool(r["json_matches_ref"])
@@ -306,6 +357,7 @@ def generate(sf: str, pool=None) -> dict:
     _write(outdir, "pipeline_chunks_hybrid", hybrid_rows,
            int_cols=("chunk_idx", "n_tokens", "context_tokens"))
     _write(outdir, "media_externalize", media_rows, int_cols=("pic_idx",))
+    _write(outdir, "pipeline_export_variants", variant_rows)
     _write(outdir, "pipeline_doctags_roundtrip", rt_rows)
     _write(outdir, "pipeline_json_roundtrip", jrt_rows,
            int_cols=("json_bytes",))
