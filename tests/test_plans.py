@@ -69,3 +69,32 @@ def test_knn_broadcasts_queries(spark):
 
     plan = _plan(q_knn_bruteforce(spark, SF))
     assert "Broadcast" in plan, plan
+
+
+def test_media_externalize_is_shuffle_free(spark):
+    """The media-ref rewrite + manifest explode is a pure transform()
+    chain — no Exchange anywhere."""
+    from docling_core_spark.ops.media import media_manifest
+    from docling_core_spark.pipeline import synth_docs
+
+    docs = synth_docs(spark, 50, partitions=2)
+    plan = _plan(media_manifest(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_variant_exports_is_shuffle_free(spark):
+    from docling_core_spark.pipeline import synth_docs, variant_exports
+
+    docs = synth_docs(spark, 50, partitions=2)
+    plan = _plan(variant_exports(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_ivf_broadcasts_centroids(spark):
+    """The centroid table must reach every executor as a broadcast, not
+    a shuffle join — the property that keeps IVF assignment scan-shaped
+    at 10^12 rows."""
+    from docling_core_spark.corpus.similarity import q_ann_ivf_topk
+
+    plan = _plan(q_ann_ivf_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
