@@ -216,8 +216,17 @@ def sql_lsh_buckets() -> str:
 # near-dup pairs: LSH candidates -> exact shingle-Jaccard verification
 # ---------------------------------------------------------------------------
 
-def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_neardup_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = 0
+) -> DataFrame:
     """LSH candidates -> exact shingle-Jaccard verification.
+
+    `max_bucket` > 0 drops buckets larger than the cap before pair
+    expansion — the standard hot-bucket guard: a bucket with 10^5
+    members is boilerplate-duplicate mass whose pairs are O(bucket^2)
+    and already captured by exact dedup; capping bounds the worst-case
+    candidate count at corpus scale (0 = no cap, the oracle-checked
+    default at test scale where buckets are tiny).
 
     Shape for 100 TB: the shingle table is computed ONCE and persisted
     (on a cluster you would materialize the signature table to storage —
@@ -230,10 +239,15 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _persisted_shingles(spark, sf_dir)
     bands = _bands_from_sig(_sig_from_shingles(sh))
-    cand = (
+    buckets = (
         bands.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
+    )
+    if max_bucket > 0:
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
+    cand = (
+        buckets
         .select(
             F.explode(
                 F.expr(

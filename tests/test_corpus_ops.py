@@ -129,3 +129,19 @@ def test_decode_real_is_gated():
 
     with pytest.raises(NotImplementedError):
         CM.decode_real(b"bytes", "image")
+
+
+def test_neardup_hot_bucket_cap(spark):
+    """max_bucket drops mega-buckets before the O(bucket^2) pair
+    expansion (the boilerplate-duplicate skew guard); the capped run is
+    a subset of the uncapped run."""
+    from docling_core_spark.corpus.dedup import q_neardup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    full = {(r["doc_a"], r["doc_b"])
+            for r in q_neardup_pairs(spark, sf).collect()}
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in q_neardup_pairs(spark, sf, max_bucket=2).collect()}
+    assert capped <= full
+    # cap of 1 excludes every bucket (all candidate buckets have >= 2)
+    assert q_neardup_pairs(spark, sf, max_bucket=1).count() == 0
