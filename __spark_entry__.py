@@ -284,6 +284,14 @@ def _q_media_externalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_manifest(_synth(spark, sf_dir))
 
 
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep/drop curation decision (dedup-canonical + lang-ID
+    + quality gate in one pass; corpus/curation.py)."""
+    from docling_core_spark.corpus.curation import q_corpus_curation
+
+    return q_corpus_curation(spark, sf_dir)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (hash-groupBy; map-side combine)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -379,6 +387,7 @@ def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_core_spark.corpus import (
+        curation as CC,
         dedup as CD,
         multimodal as CM,
         similarity as CS,
@@ -402,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": CT.q_quality,
         "fingerprint": CT.q_fingerprint,
         "lang_stats": _q_lang_stats,
+        "corpus_curation": _q_corpus_curation,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": CD.q_minhash_signatures,
@@ -451,6 +461,7 @@ def _bbox_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from docling_core_spark.corpus import (
+        curation as CC,
         dedup as CD,
         multimodal as CM,
         similarity as CS,
@@ -496,6 +507,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_cosine": CS.sql_neardup_cosine(),
         "decode_features": CM.sql_decode_features(),
         "frame_sample": CM.sql_frame_sample(),
+        "corpus_curation": CC.sql_corpus_curation(),
         "bbox_ops": _bbox_oracle(),
         "page_cells_in_bbox": _pages_oracle("cells_in_bbox"),
         "page_crop_text": _pages_oracle("crop_text"),

@@ -1,0 +1,121 @@
+"""Composed corpus-curation decision: the end-to-end "keep or drop"
+query a training-data pipeline runs before materializing a corpus —
+exact-dedup canonicalization (first doc_id per content hash), language
+identification, and quality gating in ONE pass.
+
+Scale shape: everything except the canonical-rank window is a narrow
+per-row JVM expression over a pruned (doc_id, lang, text) scan; the
+single shuffle partitions by the uniformly-distributed content hash
+(md5), so there is no skew and the plan is one Exchange regardless of
+corpus size. The language/quality fragments are the same expressions as
+`textstats` (shared constants), so both dialects stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import constants as C, read_spread
+from .textstats import (
+    TOKENS_DUCK,
+    TOKENS_SPARK,
+    _lang_case,
+    _sw_array_spark,
+    _sw_array_sql,
+)
+
+CURATION_MIN_QUALITY = 0.5
+
+_QUALITY_EXPR = (
+    "round("
+    " least(n_tokens / 64.0, 1.0) * 0.25"
+    " + least(n_stopwords / cast(n_tokens as double) * 4.0, 1.0) * 0.25"
+    " + (1.0 - n_digits / cast(n_chars as double)) * 0.25"
+    " + (n_distinct / cast(n_tokens as double)) * 0.25, 6)"
+)
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_spread(spark, sf_dir, "documents")
+    en_sw = _sw_array_spark("en")
+    base = docs.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_hash"),
+        F.expr(f"size({TOKENS_SPARK})").alias("n_tokens"),
+        *[
+            F.expr(
+                f"size(filter({TOKENS_SPARK},"
+                f" t -> array_contains({_sw_array_spark(lang)}, t)))"
+            ).alias(f"s_{lang}")
+            for lang in C.LANGS
+        ],
+        F.expr("length(regexp_replace(text, '[^0-9]', ''))").alias(
+            "n_digits"
+        ),
+        F.expr(
+            f"size(filter({TOKENS_SPARK},"
+            f" t -> array_contains({en_sw}, t)))"
+        ).alias("n_stopwords"),
+        F.expr(f"size(array_distinct({TOKENS_SPARK}))").alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+    )
+    case = _lang_case(lambda lg: f"s_{lg}")
+    scored = base.select(
+        "doc_id",
+        "text_hash",
+        F.expr(case).alias("pred_lang"),
+        F.expr(_QUALITY_EXPR).alias("quality_score"),
+    )
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    ranked = scored.withColumn("canon_rank", F.row_number().over(w))
+    return ranked.select(
+        "doc_id",
+        "pred_lang",
+        "quality_score",
+        (F.col("canon_rank") == 1).alias("is_canonical"),
+        (
+            (F.col("canon_rank") == 1)
+            & (F.col("quality_score") >= F.lit(CURATION_MIN_QUALITY))
+        ).alias("keep"),
+    )
+
+
+def sql_corpus_curation() -> str:
+    score_exprs = ",\n               ".join(
+        f"len(list_filter({TOKENS_DUCK},"
+        f" t -> list_contains({_sw_array_sql(lang)}, t))) AS s_{lang}"
+        for lang in C.LANGS
+    )
+    case = _lang_case(lambda lg: f"s_{lg}")
+    en_sw = _sw_array_sql("en")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, md5(text) AS text_hash,
+               len({TOKENS_DUCK}) AS n_tokens,
+               {score_exprs},
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+               len(list_filter({TOKENS_DUCK},
+                   t -> list_contains({en_sw}, t))) AS n_stopwords,
+               len(list_distinct({TOKENS_DUCK})) AS n_distinct,
+               length(text) AS n_chars
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, text_hash, {case} AS pred_lang,
+                   {_QUALITY_EXPR} AS quality_score
+            FROM base
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY text_hash ORDER BY doc_id
+            ) AS canon_rank FROM scored
+        )
+        SELECT doc_id, pred_lang, quality_score,
+               canon_rank = 1 AS is_canonical,
+               (canon_rank = 1
+                AND quality_score >= {CURATION_MIN_QUALITY}) AS keep
+        FROM ranked
+    """

@@ -405,11 +405,25 @@ def sql_ann_ivf_topk() -> str:
 # bucket-blocked cosine near-dup pairs
 # ---------------------------------------------------------------------------
 
-def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_neardup_cosine(
+    spark: SparkSession, sf_dir: str, max_bucket: int = 0
+) -> DataFrame:
     """Embedding near-dup pairs: banded-LSH candidates (collide in ANY
     band) deduped across bands, then exact cosine verification — the
-    same candidate-only shape as the minhash text path."""
+    same candidate-only shape as the minhash text path. `max_bucket` > 0
+    is the hot-bucket guard (drop buckets above the cap before the
+    O(bucket^2) in-bucket join; 0 = no cap, the oracle-checked default)."""
     bk = _banded_df(spark, sf_dir)
+    if max_bucket > 0:
+        from pyspark.sql.window import Window
+
+        sizes = bk.groupBy("band_id", "bucket").agg(
+            F.count("*").alias("_bsz")
+        )
+        bk = bk.join(
+            F.broadcast(sizes.filter(F.col("_bsz") > max_bucket)),
+            on=["band_id", "bucket"], how="left_anti",
+        )
     joined = (
         bk.alias("a")
         .join(bk.alias("b"), on=["band_id", "bucket"])

@@ -145,3 +145,14 @@ def test_neardup_hot_bucket_cap(spark):
     assert capped <= full
     # cap of 1 excludes every bucket (all candidate buckets have >= 2)
     assert q_neardup_pairs(spark, sf, max_bucket=1).count() == 0
+
+
+def test_neardup_cosine_hot_bucket_cap(spark):
+    from docling_core_spark.corpus.similarity import q_neardup_cosine
+
+    sf = "/root/testdata/sf0.001"
+    full = {(r["vec_a"], r["vec_b"])
+            for r in q_neardup_cosine(spark, sf).collect()}
+    capped = {(r["vec_a"], r["vec_b"])
+              for r in q_neardup_cosine(spark, sf, max_bucket=3).collect()}
+    assert capped <= full
