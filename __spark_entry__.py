@@ -4,9 +4,11 @@
 synthetic corpus (the engine's input contract is (doc_id, spans[]) — see
 FIXTURES.md; no external data). `queries()` exposes each implemented
 operator from SURVEY.md §2 plus corpus-level training-data ops over the
-driver's parquet tables; `oracle_sql()` provides DuckDB equivalents where
-the op is SQL-expressible (the document pipeline itself is validated by
-reference-parity pytest instead — see tests/test_parity.py).
+driver's parquet tables; `oracle_sql()` provides a DuckDB oracle for
+EVERY query: shared SQL templates where the op is SQL-expressible, and
+reference-derived golden parquet (tools/gen_goldens.py, read via
+read_parquet) for the document-pipeline surfaces — see
+goldens/README.md for each table's derivation.
 """
 
 from __future__ import annotations

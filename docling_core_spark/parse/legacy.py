@@ -25,9 +25,9 @@ Mirrored behaviors, including the reference's quirks:
   - origin: mimetype application/pdf, binary hash = uint64 mask of the
     hex document-hash (document.py:432-446).
 
-The writer direction (docling -> legacy) is intentionally out of scope:
-the legacy schema is deprecated upstream; corpus migration only needs
-the read path.
+The writer direction (docling -> legacy) lives in
+`serialize/legacy.py` (round-trip parity with the reference's
+`docling_document_to_legacy`, tests/test_legacy_write.py).
 """
 
 from __future__ import annotations
