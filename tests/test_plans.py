@@ -98,3 +98,17 @@ def test_ivf_broadcasts_centroids(spark):
 
     plan = _plan(q_ann_ivf_topk(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_curation_single_exchange(spark):
+    """The composed curation decision costs exactly ONE shuffle (the
+    content-hash canonicalization window) plus AQE reads."""
+    from docling_core_spark.corpus.curation import q_corpus_curation
+
+    plan = _plan(q_corpus_curation(spark, SF))
+    # the only Exchange partitions by the uniform text_hash
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) <= 2, plan  # hashpartition + read_spread spread
