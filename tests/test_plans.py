@@ -105,10 +105,11 @@ def test_curation_single_exchange(spark):
     content-hash canonicalization window) plus AQE reads."""
     from docling_core_spark.corpus.curation import q_corpus_curation
 
+    import re
+
     plan = _plan(q_corpus_curation(spark, SF))
-    # the only Exchange partitions by the uniform text_hash
-    exchanges = [
-        ln for ln in plan.splitlines()
-        if "Exchange" in ln and "Reused" not in ln
-    ]
-    assert len(exchanges) <= 2, plan  # hashpartition + read_spread spread
+    # formatted explain lists each node once as "(N) Exchange" in the
+    # detail section; expect exactly the text_hash window partition
+    # plus read_spread's test-file fan-out (absent on real tables)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 2, plan
