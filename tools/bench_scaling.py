@@ -26,11 +26,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 
-def run_at(cpus: int, n_docs: int) -> dict:
+def _session(cpus: int):
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
-
-    from docling_core_spark.pipeline import run_pipeline, synth_docs
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -44,6 +41,86 @@ def run_at(cpus: int, n_docs: int) -> dict:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+_DEDUP_SCALE_DIR = "/tmp/dedup_scale_input"
+
+
+def _inflate_docs(factor: int = 8, src: str = "/root/testdata/sf0.1"):
+    """One-time setup: replicate the documents table `factor`x with a
+    per-copy text prefix — copies of one doc become true NEAR-duplicates
+    (shared shingles, distinct hashes), so the banding shuffle carries
+    hot buckets and the Jaccard verification joins real candidate mass.
+    This is the load profile of a boilerplate-ridden web corpus."""
+    import shutil
+
+    dest = os.path.join(_DEDUP_SCALE_DIR, "documents.parquet")
+    if os.path.exists(dest):
+        return
+    shutil.rmtree(_DEDUP_SCALE_DIR, ignore_errors=True)
+    spark = _session(os.cpu_count() or 8)
+    try:
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{src}/documents.parquet")
+        (
+            docs.crossJoin(
+                spark.range(0, factor).withColumnRenamed("id", "copy")
+            )
+            .select(
+                (F.col("doc_id") * factor + F.col("copy")).alias("doc_id"),
+                F.concat(
+                    F.lit("v"), F.col("copy").cast("string"), F.lit(" "),
+                    F.col("text"),
+                ).alias("text"),
+                "lang", "source", "n_chars",
+            )
+            .repartition(8)
+            .write.mode("overwrite").parquet(dest)
+        )
+    finally:
+        spark.stop()
+
+
+def run_dedup_at(cpus: int) -> dict:
+    """Shuffle-HEAVY control job: the full minhash near-dup chain
+    (shingle -> 16-perm minhash -> banding groupBy -> in-bucket pairs ->
+    Jaccard joins) over the inflated near-duplicate corpus. Complements
+    the shuffle-free pipeline in the scaling evidence: the banding
+    shuffle and candidate joins must also scale with worker count."""
+    from docling_core_spark.corpus import dedup as CD
+
+    _inflate_docs()
+    spark = _session(cpus)
+    try:
+        n_docs = spark.read.parquet(
+            f"{_DEDUP_SCALE_DIR}/documents.parquet"
+        ).count()
+        best = None
+        for _ in range(2):
+            CD._SHINGLE_CACHE.clear()  # time the full recompute each run
+            t0 = time.time()
+            n_pairs = CD.q_neardup_pairs(spark, _DEDUP_SCALE_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return {
+            "cpus": cpus,
+            "docs": int(n_docs),
+            "pairs": int(n_pairs),
+            "sec": round(best, 3),
+            "docs_per_sec": round(n_docs / best, 1),
+        }
+    finally:
+        spark.stop()
+
+
+def run_at(cpus: int, n_docs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.pipeline import run_pipeline, synth_docs
+
+    spark = _session(cpus)
     try:
         # partition count fixed by the INPUT (not the worker count), as on
         # a real cluster where splits come from maxPartitionBytes. Sized so
@@ -133,6 +210,18 @@ def main():
     if n_high * 4 <= cores:
         extra = run_at(n_high * 4, n_docs)
 
+    # shuffle-heavy control: minhash near-dup chain (opt-in: the job is
+    # seconds-long, so host co-tenancy noise can exceed the signal —
+    # see the caveat written into BENCH/BASELINE.md)
+    d_low = d_high = None
+    d_eff = None
+    if "--with-dedup" in sys.argv:
+        d_low = run_dedup_at(n_low)
+        d_high = run_dedup_at(n_high)
+        d_low = best(d_low, run_dedup_at(n_low))
+        d_high = best(d_high, run_dedup_at(n_high))
+        d_eff = d_high["docs_per_sec"] / (4.0 * d_low["docs_per_sec"])
+
     result = {
         "metric": "scaling_efficiency_Nx4N",
         "value": round(eff, 3),
@@ -142,6 +231,9 @@ def main():
         "low": low,
         "high": high,
         "extra_16N": extra,
+        "dedup_low": d_low,
+        "dedup_high": d_high,
+        "dedup_efficiency": round(d_eff, 3) if d_eff else None,
         "host_control": control,
     }
     print(json.dumps(result))
@@ -158,6 +250,24 @@ def main():
         f"| {n} | {v['task_sec']} | {v['effective_x']} |"
         for n, v in control.items()
     )
+    dedup_section = ""
+    if d_low is not None:
+        dedup_section = f"""
+### Shuffle-heavy control (minhash near-dup chain, inflated corpus)
+
+Opt-in (`--with-dedup`): the shuffle-bearing path (shingle -> minhash
+-> banding groupBy -> in-bucket pairs -> Jaccard joins) on an 8x
+near-duplicate-inflated corpus. Caveat: the job is seconds-long, so
+host co-tenancy noise can exceed the scaling signal — treat as
+directional, the gated metric is the pipeline above.
+
+| parallelism | docs | pairs | wall sec | docs/sec |
+|---|---|---|---|---|
+| local[{n_low}]  (N)  | {d_low['docs']} | {d_low['pairs']} | {d_low['sec']} | {d_low['docs_per_sec']} |
+| local[{n_high}] (4N) | {d_high['docs']} | {d_high['pairs']} | {d_high['sec']} | {d_high['docs_per_sec']} |
+
+dedup efficiency = {d_eff:.3f}
+"""
     with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured on this machine ({cores} cores reported)
@@ -175,6 +285,7 @@ worker count) at two parallelism levels:
 | local[{n_high}] (4N)  | {high['docs']} | {high['sec']} | {high['docs_per_sec']} |
 {extra_row}
 **efficiency = thr(4N) / (4 x thr(N)) = {eff:.3f}** — gate >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}
+{dedup_section}
 
 ## Host parallel-capacity control (no Spark)
 
