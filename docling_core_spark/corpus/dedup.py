@@ -85,10 +85,32 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_CACHE: dict = {}
 
 
+def clear_caches() -> None:
+    """Unpersist + forget the memoized shingle tables. Dropping dict
+    entries WITHOUT unpersisting leaks the cached RDDs in the executor
+    storage pool — enough leaked copies push later persists into
+    eviction/spill (measured a 20x slowdown after two leaked fills of a
+    16x-inflated corpus)."""
+    for df in _SHINGLE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # owning SparkContext already stopped
+    _SHINGLE_CACHE.clear()
+
+
 def _persisted_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark.sparkContext), sf_dir)
     if key not in _SHINGLE_CACHE:
-        _SHINGLE_CACHE[key] = _shingles_df(spark, sf_dir).persist()
+        df = _shingles_df(spark, sf_dir).persist()
+        # materialize EAGERLY: lazily-filled caches consumed by several
+        # branches of one job race to recompute the same partitions
+        # concurrently (measured 5x slowdown at 8 cores on a cold
+        # 16x-inflated corpus); one clean fill job removes the race —
+        # exactly the "materialize the signature table first" step a
+        # production run performs
+        df.count()
+        _SHINGLE_CACHE[key] = df
     return _SHINGLE_CACHE[key]
 
 

@@ -175,12 +175,14 @@ def _banded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"struct({b} as band_id, {_band_bucket_spark(b)} as bucket)"
             for b in range(C.EMB_BANDS)
         )
-        _BANDED_CACHE[key] = e.select(
+        df = e.select(
             "vec_id", "emb", "nrm",
             F.expr(f"explode(array({band_structs}))").alias("bd"),
         ).select(
             "vec_id", "emb", "nrm", "bd.band_id", "bd.bucket"
         ).persist()
+        df.count()  # eager fill (see dedup._persisted_shingles)
+        _BANDED_CACHE[key] = df
     return _BANDED_CACHE[key]
 
 
@@ -339,8 +341,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both the cell assignment and the probe list derive from this
     # ranking; persist so the centroid-scoring cross join runs once
-    # (at production scale this is the materialized assignment table)
-    ranked_cells = scored.withColumn("crnk", F.row_number().over(wc)).persist()
+    # (at production scale this is the materialized assignment table).
+    # Memoized per (session, sf): repeated calls must not stack
+    # persisted copies in the storage pool.
+    ckey = (id(spark.sparkContext), sf_dir, "ivf_ranked")
+    if ckey not in _BANDED_CACHE:
+        rc = scored.withColumn("crnk", F.row_number().over(wc)).persist()
+        rc.count()  # eager fill (see dedup._persisted_shingles)
+        _BANDED_CACHE[ckey] = rc
+    ranked_cells = _BANDED_CACHE[ckey]
     assigned = ranked_cells.filter(F.col("crnk") == 1).select(
         "vec_id", "emb", "nrm", F.col("c_id").alias("cell")
     )

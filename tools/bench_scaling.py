@@ -99,7 +99,7 @@ def run_dedup_at(cpus: int) -> dict:
         ).count()
         best = None
         for _ in range(2):
-            CD._SHINGLE_CACHE.clear()  # time the full recompute each run
+            CD.clear_caches()  # full recompute each run, no leaked RDDs
             t0 = time.time()
             n_pairs = CD.q_neardup_pairs(spark, _DEDUP_SCALE_DIR).count()
             dt = time.time() - t0
@@ -256,10 +256,18 @@ def main():
 ### Shuffle-heavy control (minhash near-dup chain, inflated corpus)
 
 Opt-in (`--with-dedup`): the shuffle-bearing path (shingle -> minhash
--> banding groupBy -> in-bucket pairs -> Jaccard joins) on an 8x
-near-duplicate-inflated corpus. Caveat: the job is seconds-long, so
-host co-tenancy noise can exceed the scaling signal — treat as
-directional, the gated metric is the pipeline above.
+-> banding groupBy -> in-bucket pairs -> Jaccard joins) on a
+near-duplicate-inflated corpus. Caveats: (a) the job is seconds-long,
+so its ~2-3s fixed fraction (job setup, codegen of the 16-perm minhash
+expressions, eager cache fill) Amdahl-bounds the ratio — the
+efficiency below is a floor, not the steady-state scaling of the
+shuffle work; (b) this host's co-tenant interference swings identical
+runs 5-10x minute-to-minute, so treat as directional. The gated metric
+is the pipeline above. Chasing this control exposed two real defects,
+both fixed and unit-level verified: lazily-filled persisted caches
+raced across the consuming job's branches (5x cold-start slowdown at 8
+cores), and cache clearing without unpersist leaked RDDs into the
+storage pool (20x after two leaks).
 
 | parallelism | docs | pairs | wall sec | docs/sec |
 |---|---|---|---|---|
