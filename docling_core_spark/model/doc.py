@@ -382,6 +382,75 @@ def iterate_items(
     yield from walk(root if root is not None else doc["body"], 0)
 
 
+def iterate_items_with_stack(
+    doc: dict,
+    root: Optional[dict] = None,
+    with_groups: bool = False,
+    traverse_pictures: bool = False,
+    page_no: Optional[int] = None,
+    included_content_layers: Optional[frozenset] = None,
+) -> Iterator[Tuple[dict, List[int]]]:
+    """Pre-order DFS yielding (item, tree-coordinate stack). Parity:
+    `_iterate_items_with_stack` (document.py:2699-2767) — including its
+    subtly different page filter (groups always pass it) — except each
+    yielded stack is a fresh copy, not the live mutation buffer."""
+    layers = (
+        included_content_layers
+        if included_content_layers is not None
+        else L.DEFAULT_CONTENT_LAYERS
+    )
+
+    def walk(node: dict, stack: List[int]) -> Iterator[Tuple[dict, List[int]]]:
+        node_is_group = is_group(node)
+        should_yield = (
+            (not node_is_group or with_groups)
+            and (
+                node_is_group
+                or page_no is None
+                or any(p["page_no"] == page_no for p in node.get("prov", []))
+            )
+            and node.get("content_layer", L.LAYER_BODY) in layers
+        )
+        if should_yield:
+            yield node, list(stack)
+        node_is_picture = node.get("kind") == "pictures"
+        allowed_pic_refs = (
+            set(node.get("captions", [])) if node_is_picture else ()
+        )
+        for child_ind, child_ref in enumerate(node.get("children", [])):
+            child = resolve(doc, child_ref)
+            if child is None:
+                continue
+            if (
+                node_is_picture
+                and not traverse_pictures
+                and is_doc_item(child)
+                and child["self_ref"] not in allowed_pic_refs
+            ):
+                continue
+            yield from walk(child, stack + [child_ind])
+
+    yield from walk(root if root is not None else doc["body"], [])
+
+
+def get_stack_of_ref(doc: dict, ref: str) -> Tuple[bool, List[int]]:
+    """Tree coordinates of an item by self_ref. Parity:
+    `_get_stack_of_refitem` (document.py:1730-1751): (True, []) for the
+    body root, (False, []) when the node has no parent chain, else
+    (True, child-index path from its root)."""
+    if ref == doc["body"]["self_ref"]:
+        return (True, [])
+    node = resolve(doc, ref)
+    if node is None or node.get("parent") is None:
+        return (False, [])
+    stack: List[int] = []
+    while node.get("parent") is not None:
+        parent = resolve(doc, node["parent"])
+        stack.insert(0, parent["children"].index(node["self_ref"]))
+        node = parent
+    return (True, stack)
+
+
 def validate_tree(doc: dict, root: dict) -> bool:
     """Each child's parent must point back (document.py:2669-2678)."""
     for child_ref in root.get("children", []):
