@@ -90,6 +90,7 @@ def dedup_stream(
     output_dir: str,
     checkpoint_dir: str,
     ttl_ms: int = 0,
+    processing_time: str = "",
 ):
     """File-stream of (doc_id, spans) -> first-seen rows per content
     hash, exactly once across restarts (state lives in the checkpoint).
@@ -98,7 +99,13 @@ def dedup_stream(
     (processing-time timeout), so the dedup window is sliding rather
     than unbounded — the state-hygiene knob a perpetual 100 TB ingest
     needs (state size = O(keys seen within the window), not O(all keys
-    ever)). ttl_ms = 0 keeps the exact forever-dedup semantics."""
+    ever)). ttl_ms = 0 keeps the exact forever-dedup semantics.
+
+    `processing_time` selects a continuous trigger (e.g. "1 second")
+    instead of AvailableNow — use it with ttl_ms: processing-time
+    timers keep an AvailableNow query from self-terminating after the
+    backlog drains, so bounded-window dedup runs as a long-lived stream
+    (which is also its real deployment shape)."""
     src = (
         spark.readStream.schema(S.DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 4)
@@ -132,10 +139,13 @@ def dedup_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
-    return (
+    writer = (
         deduped.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

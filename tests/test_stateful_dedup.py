@@ -73,23 +73,39 @@ def test_dedup_state_ttl_evicts_idle_keys(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     ttl = 500
 
+    def wait_rows(n, timeout=90):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            try:
+                if spark.read.parquet(output_dir).count() >= n:
+                    return True
+            except Exception:
+                pass
+            time.sleep(0.5)
+        return False
+
+    # ONE long-lived continuously-triggered stream (the deployment
+    # shape for timer-based state TTL; AvailableNow never terminates
+    # with pending processing-time timers)
     _write_docs(spark, input_dir, [("x1", "xray text")])
-    q = dedup_stream(spark, input_dir, output_dir, ckpt, ttl_ms=ttl)
-    q.awaitTermination(120)
-    assert spark.read.parquet(output_dir).count() == 1
+    q = dedup_stream(
+        spark, input_dir, output_dir, ckpt, ttl_ms=ttl,
+        processing_time="500 milliseconds",
+    )
+    try:
+        assert wait_rows(1)
 
-    # let the window elapse, then trigger with unrelated data: the
-    # timeout fires for the idle key and evicts it
-    time.sleep(1.2)
-    _write_docs(spark, input_dir, [("y1", "yankee text")])
-    q = dedup_stream(spark, input_dir, output_dir, ckpt, ttl_ms=ttl)
-    q.awaitTermination(120)
-    assert spark.read.parquet(output_dir).count() == 2
+        # let the window elapse while the stream idles: the timeout
+        # fires and evicts the idle key
+        time.sleep(1.5)
+        _write_docs(spark, input_dir, [("y1", "yankee text")])
+        assert wait_rows(2)
 
-    # the original content arrives again: state was evicted -> re-emit
-    _write_docs(spark, input_dir, [("x2", "xray text")])
-    q = dedup_stream(spark, input_dir, output_dir, ckpt, ttl_ms=ttl)
-    q.awaitTermination(120)
+        # original content again: state was evicted -> re-emitted
+        time.sleep(1.5)
+        _write_docs(spark, input_dir, [("x2", "xray text")])
+        assert wait_rows(3)
+    finally:
+        q.stop()
     rows = spark.read.parquet(output_dir).collect()
-    assert len(rows) == 3
     assert sorted(r["doc_id"] for r in rows) == ["x1", "x2", "y1"]
