@@ -5,18 +5,65 @@ The flagship metric is end-to-end extraction throughput (docs/sec) of the
 span pipeline (parse + normalize + validate + reading-order + serialize to
 markdown/doctags/html/etree + span_seq), plus the relational operator suite
 over the driver's parquet tables.
+
+JVM-isolation discipline (round 3): sharing one JVM across the whole
+suite couples queries through executor/python-worker memory pressure —
+measured 8x inflation of `fingerprint`/`knn_bruteforce` when the
+`_synth`-bearing `media_externalize` ran first in the shared JVM
+(round-2 VERDICT.md "What's wrong #1"), and 3x pipeline slowdown after
+the suite in round 1. So every query group runs in its own FRESH
+subprocess JVM:
+
+  * pipeline  — flagship extraction throughput + media_externalize
+                (the one suite query that runs the `_synth` Arrow stage)
+  * text      — corpus text analysis (token/lang/quality/fingerprint/...)
+  * dedup     — exact + minhash/LSH/simhash dedup family
+  * sim       — embedding similarity (knn/ANN/cosine near-dup) + multimodal
+  * rel       — relational/window/pages/bbox suite
+
+JVM startup, warmup, and corpus synthesis are excluded from the timings;
+only the query execution (best-of-2) is timed, so the reported numbers
+match what a quiet dedicated cluster would see.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+
+# Suite groups (every non-pipeline key of __spark_entry__.queries() must
+# appear in exactly one group; checked at runtime in main()).
+GROUPS: dict[str, list[str]] = {
+    "text": [
+        "token_stats", "lang_id", "quality_score", "fingerprint",
+        "lang_stats", "corpus_curation",
+    ],
+    "dedup": [
+        "dedup_exact", "minhash_signatures", "lsh_buckets",
+        "neardup_pairs", "simhash",
+    ],
+    "sim": [
+        "knn_bruteforce", "lsh_bucket_stats", "ann_lsh_topk",
+        "ann_ivf_topk", "neardup_cosine", "decode_features",
+        "frame_sample",
+    ],
+    "rel": [
+        "bbox_ops", "page_cells_in_bbox", "page_crop_text",
+        "page_textlines", "tpch_q1", "top_customers", "events_by_type",
+        "events_sessionize", "orders_running_total", "supplier_rank",
+    ],
+}
+# Runs inside the pipeline subprocess (it is the only suite query that
+# executes the `_synth` mapInPandas stage; isolating it keeps its Arrow
+# python-worker pressure away from the JVM-side suite groups).
+PIPELINE_SUITE = ["media_externalize"]
 
 
 def build_spark(cpus: int):
@@ -33,6 +80,30 @@ def build_spark(cpus: int):
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def _env():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return sf_dir, cpus
+
+
+def _warmup(spark):
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(0, 100_000).selectExpr(
+        "sum(id)", "count(distinct id % 7)"
+    ).collect()
+
+
+def _time_query(spark, fn, sf_dir: str) -> float:
+    best = None
+    for _ in range(2):  # best-of-2: shields against host-side stalls
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
 
 
 def bench_pipeline(spark, n_docs: int, cpus: int) -> dict:
@@ -66,34 +137,48 @@ def bench_pipeline(spark, n_docs: int, cpus: int) -> dict:
 
 
 def _pipeline_main():
-    """Flagship pipeline timing in a FRESH dedicated JVM (invoked as a
-    subprocess): sharing a JVM with the query suite couples the two
-    through executor/python-worker memory pressure in whichever order
-    they run (measured 3x pipeline slowdown after the suite, and 5-10x
-    suite inflation after the pipeline)."""
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    """Flagship pipeline timing + the `_synth`-bearing suite queries, in
+    a FRESH dedicated JVM (invoked as a subprocess)."""
+    sf_dir, cpus = _env()
     spark = build_spark(cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(0, 100_000).selectExpr("sum(id)").collect()
+    _warmup(spark)
+
+    import __spark_entry__ as E
+
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     pipe = bench_pipeline(spark, n_docs * 10, cpus)
-    print("PIPEJSON:" + json.dumps(pipe))
+    q = E.queries()
+    times = {name: _time_query(spark, q[name], sf_dir)
+             for name in PIPELINE_SUITE}
+    print("PIPEJSON:" + json.dumps({"pipeline": pipe, "queries": times}))
     spark.stop()
 
 
-def _run_pipeline_subprocess() -> dict:
-    import subprocess
+def _group_main(group: str):
+    """One suite group in its own fresh JVM."""
+    sf_dir, cpus = _env()
+    spark = build_spark(cpus)
+    _warmup(spark)
 
+    import __spark_entry__ as E
+
+    q = E.queries()
+    times = {name: _time_query(spark, q[name], sf_dir)
+             for name in GROUPS[group]}
+    print("GROUPJSON:" + json.dumps(times))
+    spark.stop()
+
+
+def _run_subprocess(args: list[str], tag: str) -> dict:
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
+        [sys.executable, os.path.abspath(__file__), *args],
         capture_output=True, text=True, timeout=1200,
     )
     for line in proc.stdout.splitlines():
-        if line.startswith("PIPEJSON:"):
-            return json.loads(line[len("PIPEJSON:"):])
+        if line.startswith(tag):
+            return json.loads(line[len(tag):])
     raise RuntimeError(
-        f"pipeline subprocess failed: {proc.stdout[-2000:]}"
+        f"bench subprocess {args} failed: {proc.stdout[-2000:]}"
         f" {proc.stderr[-2000:]}"
     )
 
@@ -102,37 +187,32 @@ def main():
     if "--pipeline-only" in sys.argv:
         _pipeline_main()
         return
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--group" in sys.argv:
+        _group_main(sys.argv[sys.argv.index("--group") + 1])
+        return
+
+    sf_dir, cpus = _env()
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    # flagship first, in its own fresh JVM (see _pipeline_main)
-    pipe = _run_pipeline_subprocess()
-
-    spark = build_spark(cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-
+    # coverage check: every suite query is benched exactly once
     import __spark_entry__ as E
 
-    q_times = {}
+    all_names = [n for n in E.queries() if not n.startswith("pipeline_")]
+    grouped = PIPELINE_SUITE + [n for g in GROUPS.values() for n in g]
+    missing = sorted(set(all_names) - set(grouped))
+    extra = sorted(set(grouped) - set(all_names))
+    if missing or extra:
+        raise RuntimeError(f"bench groups out of sync: "
+                           f"missing={missing} extra={extra}")
 
-    # JVM/codegen warmup so the first timed query isn't charged for it
-    spark.range(0, 100_000).selectExpr(
-        "sum(id)", "count(distinct id % 7)"
-    ).collect()
+    q_times: dict[str, float] = {}
+    pipe_res = _run_subprocess(["--pipeline-only"], "PIPEJSON:")
+    pipe = pipe_res["pipeline"]
+    q_times.update(pipe_res["queries"])
+    for group in GROUPS:
+        q_times.update(_run_subprocess(["--group", group], "GROUPJSON:"))
 
-    for name, fn in E.queries().items():
-        if name.startswith("pipeline_"):
-            continue  # covered by the flagship timing above
-        best = None
-        for _ in range(2):  # best-of-2: shields against host-side stalls
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        q_times[name] = round(best, 3)
-
+    q_times = {n: q_times[n] for n in grouped}  # stable display order
     q_times["pipeline_extract"] = round(pipe["sec"], 3)
 
     total = sum(q_times.values())
@@ -150,7 +230,6 @@ def main():
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

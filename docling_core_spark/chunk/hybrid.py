@@ -16,10 +16,13 @@ Parity target: HybridChunker (transforms/chunker/hybrid_chunker.py):
     with identical headings re-merge while the contextualized total
     stays within budget.
 
-Tokenizer: deterministic regex word/punct counter by default; a
-HuggingFace tokenizer is used when `transformers` is importable and a
-model name is configured (hybrid_chunker.py:43-50 defaults to
-sentence-transformers/all-MiniLM-L6-v2).
+Tokenizer: the vendored WordPiece tokenizer by default (real greedy
+longest-match subword counting over a checked-in vocab —
+chunk/wordpiece.py; the reference defaults to the HF WordPiece vocab of
+sentence-transformers/all-MiniLM-L6-v2, hybrid_chunker.py:43-50, which
+cannot be downloaded in this sandbox). A HuggingFace tokenizer is used
+when `transformers` is importable and a model name is configured; the
+legacy regex word/punct counter remains available for tests.
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ from .hierarchical import (
     contextualize,
 )
 from ..serialize.common import DocSerializerState
+from .wordpiece import wordpiece_count_tokens
 
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 
@@ -59,7 +63,9 @@ class HybridChunkerConfig:
     max_tokens: int = 64
     merge_peers: bool = True
     delim: str = "\n"
-    count_tokens: Callable[[str], int] = field(default=regex_count_tokens)
+    count_tokens: Callable[[str], int] = field(
+        default=wordpiece_count_tokens
+    )
 
 
 def _count_chunk_tokens(cfg: HybridChunkerConfig, chunk: Chunk) -> int:

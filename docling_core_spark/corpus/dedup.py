@@ -100,7 +100,9 @@ def clear_caches() -> None:
 
 
 def _persisted_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir)
+    # applicationId, not id(sparkContext): CPython can reuse an id after
+    # the old context is garbage-collected (see similarity._cache_key)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SHINGLE_CACHE:
         df = _shingles_df(spark, sf_dir).persist()
         # materialize EAGERLY: lazily-filled caches consumed by several

@@ -123,6 +123,12 @@ def roundtrip_doc(doc_id: str, spans) -> dict:
         "doc_id": doc_id,
         "reload_md5": hashlib.md5(s2.encode()).hexdigest(),
         "stable": s2 == s3,
+        # chart docs are the subset the REFERENCE cannot replay
+        # (load_from_doctags UnboundLocalError on <chart> without an
+        # image, reference document.py:3841ff); the non-chart subset is
+        # gated against a reference-derived golden
+        # (pipeline_doctags_roundtrip_ref)
+        "has_chart": "<chart>" in s1,
     }
 
 
@@ -132,7 +138,9 @@ def _roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             roundtrip_doc(doc_id, spans)
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"])
         ]
-        yield pd.DataFrame(out, columns=["doc_id", "reload_md5", "stable"])
+        yield pd.DataFrame(
+            out, columns=["doc_id", "reload_md5", "stable", "has_chart"]
+        )
 
 
 def doctags_roundtrip(docs: DataFrame) -> DataFrame:
@@ -141,7 +149,8 @@ def doctags_roundtrip(docs: DataFrame) -> DataFrame:
     faithful) reload. `stable` must be uniformly true."""
     return docs.mapInPandas(
         _roundtrip_batches,
-        schema="doc_id string, reload_md5 string, stable boolean",
+        schema="doc_id string, reload_md5 string, stable boolean,"
+               " has_chart boolean",
     )
 
 
@@ -199,7 +208,7 @@ def variant_exports_doc(doc_id: str, spans) -> dict:
 
     from .model.yaml_io import dump_yaml_str
     from .serialize.common import SerParams
-    from .serialize.html import export_to_html, html_body
+    from .serialize.html import export_to_html
     from .serialize.legacy import doc_to_legacy
     from .serialize.markdown import serialize_markdown
 
@@ -217,14 +226,15 @@ def variant_exports_doc(doc_id: str, spans) -> dict:
         "md_referenced_md5": md5(
             serialize_markdown(doc, SerParams(image_mode="referenced")).text
         ),
-        "html_embedded_md5": md5(
-            html_body(export_to_html(doc, image_mode="embedded"))
-        ),
+        # FULL-document HTML (head + CSS + body): byte parity with the
+        # reference since round 3 (stylesheet assets extracted from the
+        # reference's own output — serialize/html.py:_load_css)
+        "html_embedded_md5": md5(export_to_html(doc, image_mode="embedded")),
         "html_referenced_md5": md5(
-            html_body(export_to_html(doc, image_mode="referenced"))
+            export_to_html(doc, image_mode="referenced")
         ),
         "html_split_page_md5": md5(
-            html_body(export_to_html(doc, html_output_style="split_page"))
+            export_to_html(doc, html_output_style="split_page")
         ),
         "yaml_md5": md5(dump_yaml_str(doc)),
         "legacy_md5": md5(_json.dumps(legacy, sort_keys=True)),
@@ -264,8 +274,9 @@ def chunk_rows_doc(doc_id: str, spans, hybrid: bool, max_tokens: int) -> list:
     """Chunk one doc into gate rows (pure; shared by the distributed
     stage and tools/gen_goldens.py)."""
     from .chunk import chunk_doc, hybrid_chunk_doc
-    from .chunk.hybrid import HybridChunkerConfig, regex_count_tokens
+    from .chunk.hybrid import HybridChunkerConfig
     from .chunk.hierarchical import contextualize
+    from .chunk.wordpiece import wordpiece_count_tokens
 
     cfg = HybridChunkerConfig(max_tokens=max_tokens)
     doc, _ = parse_span_doc(doc_id, list(spans) if spans is not None else [])
@@ -277,8 +288,8 @@ def chunk_rows_doc(doc_id: str, spans, hybrid: bool, max_tokens: int) -> list:
             "text": c.text,
             "headings": c.headings or [],
             "item_refs": c.doc_item_refs,
-            "n_tokens": regex_count_tokens(c.text),
-            "context_tokens": regex_count_tokens(contextualize(c)),
+            "n_tokens": wordpiece_count_tokens(c.text),
+            "context_tokens": wordpiece_count_tokens(contextualize(c)),
         }
         for i, c in enumerate(chunks)
     ]

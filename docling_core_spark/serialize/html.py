@@ -10,6 +10,7 @@ an import-try with the reference's own `<pre>` fallback semantics
 from __future__ import annotations
 
 import html as _html
+import os
 import re
 import unicodedata
 from typing import List, Optional, Set
@@ -422,27 +423,39 @@ def _fallback_ser(state: DocSerializerState, item: dict) -> SerResult:
     return SerResult()
 
 
-_OWN_CSS = (
-    "<style>\n"
-    "html{background-color:#f5f5f5;font-family:sans-serif}\n"
-    "body{margin:0 auto;max-width:800px;padding:2rem;"
-    "background-color:#fff}\n"
-    "table{border-collapse:collapse;width:100%}\n"
-    "th,td{border:1px solid #ddd;padding:4px 8px}\n"
-    "figure{margin:1rem 0;text-align:center}\n"
-    "</style>"
-)
+def _load_css(fname: str) -> str:
+    """Stylesheet data assets extracted from the reference's OWN
+    exported HTML (tools/extract_ref_css.py): the CSS is part of the
+    reference's observable output bytes, and full-document parity
+    (pipeline_exports html_full_md5) requires reproducing it exactly."""
+    path = os.path.join(os.path.dirname(__file__), "assets", fname)
+    with open(path) as f:
+        return f.read()
+
+
+_CSS_SINGLE_COLUMN = _load_css("html_single_column.css")
+_CSS_SPLIT_PAGE = _load_css("html_split_page.css")
 
 
 def _generate_head(state: DocSerializerState) -> str:
+    """Head parity with the reference serializer (html.py:1029-1069
+    defaults: add_document_metadata=True, prettify=True): charset,
+    title (doc name or the 'Docling Document' fallback), generator
+    meta, per-output-style stylesheet."""
     doc = state.doc
     head_parts = ["<head>", '<meta charset="UTF-8">']
-    name = doc.get("name") or "Docling Document"
-    head_parts.append(f"<title>{_html.escape(name)}</title>")
+    name = doc.get("name")
+    if name:
+        head_parts.append(f"<title>{_html.escape(name)}</title>")
+    else:
+        head_parts.append("<title>Docling Document</title>")
     head_parts.append(
-        '<meta name="generator" content="docling-core-spark HTML Serializer">'
+        '<meta name="generator" content="Docling HTML Serializer">'
     )
-    head_parts.append(_OWN_CSS)
+    if state.params.html_output_style == "split_page":
+        head_parts.append(_CSS_SPLIT_PAGE)
+    else:
+        head_parts.append(_CSS_SINGLE_COLUMN)
     head_parts.append("</head>")
     return "\n".join(head_parts)
 

@@ -60,6 +60,18 @@ def test_hybrid_respects_budget():
         for c in hybrid_chunk_doc(doc, cfg):
             # every emitted chunk fits the contextualized budget, except
             # irreducible single units (one word/sentence over budget)
+            ctx = cfg.count_tokens(contextualize(c))
+            assert ctx <= cfg.max_tokens or len(c.text.split()) == 1
+
+
+def test_hybrid_budget_with_regex_counter():
+    """The counter is pluggable (reference allows any tokenizer,
+    tokenizer/base.py:9-27): the legacy regex counter must satisfy the
+    same budget contract."""
+    cfg = HybridChunkerConfig(max_tokens=48, count_tokens=regex_count_tokens)
+    for did in DOC_IDS[:4]:
+        doc, _ = parse_span_doc(did, gen_spans(did))
+        for c in hybrid_chunk_doc(doc, cfg):
             ctx = regex_count_tokens(contextualize(c))
             assert ctx <= cfg.max_tokens or len(c.text.split()) == 1
 
@@ -107,7 +119,7 @@ def test_pack_text_contract():
     cfg = HybridChunkerConfig(max_tokens=8)
     text = "one two three. four five six seven. eight nine ten eleven."
     pieces = _pack_text(cfg, text, 8)
-    assert all(regex_count_tokens(p) <= 8 for p in pieces)
+    assert all(cfg.count_tokens(p) <= 8 for p in pieces)
     assert " ".join(pieces).split() == text.split()
 
 

@@ -69,13 +69,19 @@ def _inflate_docs(factor: int = 8, src: str = "/root/testdata/sf0.1"):
                 spark.range(0, factor).withColumnRenamed("id", "copy")
             )
             .select(
-                (F.col("doc_id") * factor + F.col("copy")).alias("doc_id"),
+                # string-built id: safe on string-keyed corpora too
+                # (arithmetic on a string doc_id silently yields NULLs)
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("_"),
+                    F.col("copy").cast("string"),
+                ).alias("doc_id"),
                 F.concat(
                     F.lit("v"), F.col("copy").cast("string"), F.lit(" "),
                     F.col("text"),
                 ).alias("text"),
-                "lang", "source", "n_chars",
+                "lang", "source",
             )
+            .withColumn("n_chars", F.length("text"))
             .repartition(8)
             .write.mode("overwrite").parquet(dest)
         )
@@ -89,7 +95,7 @@ def run_dedup_at(cpus: int) -> dict:
     Jaccard joins) over the inflated near-duplicate corpus. Complements
     the shuffle-free pipeline in the scaling evidence: the banding
     shuffle and candidate joins must also scale with worker count."""
-    from docling_core_spark.corpus import dedup as CD
+    from docling_core_spark.corpus import dedup as CD, similarity as CS
 
     _inflate_docs()
     spark = _session(cpus)
@@ -99,7 +105,10 @@ def run_dedup_at(cpus: int) -> dict:
         ).count()
         best = None
         for _ in range(2):
-            CD.clear_caches()  # full recompute each run, no leaked RDDs
+            # full recompute each run, no leaked RDDs (similarity's
+            # banded/IVF caches share the same leak class)
+            CD.clear_caches()
+            CS.clear_caches()
             t0 = time.time()
             n_pairs = CD.q_neardup_pairs(spark, _DEDUP_SCALE_DIR).count()
             dt = time.time() - t0

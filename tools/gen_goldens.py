@@ -21,10 +21,14 @@ reference defines the semantics:
     - pipeline_doctags_roundtrip : the reference's load_from_doctags
       crashes on <chart> pages with no image (UnboundLocalError
       pic_title, document.py:3841ff) so it cannot replay ~40% of the
-      corpus; parity for the non-chart subset is pytest-asserted
-      (tests/test_doctags_parse.py). The golden pins the single-threaded
-      pure-Python result; the gate then proves the distributed run
-      (partitioning, Arrow batching, ordering) reproduces it exactly.
+      corpus. Since round 3 the NON-chart subset has its own
+      reference-derived golden (pipeline_doctags_roundtrip_ref:
+      reload_md5 computed by replaying the doctags through the
+      reference's load_from_doctags -> export_to_doctags chain, and
+      asserted equal to the engine's row); the all-docs golden pins the
+      single-threaded pure-Python result, so the gate proves the
+      distributed run (partitioning, Arrow batching, ordering)
+      reproduces it exactly.
     - pipeline_chunks_hybrid : reference HybridChunker needs
       transformers+semchunk (absent in sandbox; reference untestable) —
       contract tests in tests/test_chunkers.py, golden pins the
@@ -112,14 +116,15 @@ def gold_for_doc(did: str) -> dict:
     # --- exports (reference-derived) ---
     ref_md = rdoc.export_to_markdown()
     ref_dt = rdoc.export_to_doctags()
-    ref_hb = html_body(rdoc.export_to_html())
+    ref_html_full = rdoc.export_to_html()
+    ref_hb = html_body(ref_html_full)
     ref_et = rdoc.export_to_element_tree()
     if our["markdown"] != ref_md:
         errs.append("markdown")
     if our["doctags"] != ref_dt:
         errs.append("doctags")
-    if html_body(our["html"]) != ref_hb:
-        errs.append("html_body")
+    if our["html"] != ref_html_full:
+        errs.append("html_full")
     if our["etree"] != ref_et:
         errs.append("etree")
     n_items_ref = sum(
@@ -136,6 +141,7 @@ def gold_for_doc(did: str) -> dict:
         "markdown_md5": _md5(ref_md),
         "doctags_md5": _md5(ref_dt),
         "html_body_md5": _md5(ref_hb),
+        "html_full_md5": _md5(ref_html_full),
         "etree_md5": _md5(ref_et),
         "n_items": n_items_ref,
         "n_pages": len(rdoc.pages),
@@ -179,7 +185,6 @@ def gold_for_doc(did: str) -> dict:
     )
     from docling_core.utils.legacy import docling_document_to_legacy
     from docling_core_spark.pipeline import variant_exports_doc
-    from docling_core_spark.serialize.html import html_body as _hb
 
     ref_legacy = docling_document_to_legacy(rdoc).model_dump(
         mode="json", by_alias=True, exclude_none=True
@@ -193,18 +198,18 @@ def gold_for_doc(did: str) -> dict:
         "md_referenced_md5": _md5(
             rdoc.export_to_markdown(image_mode=ImageRefMode.REFERENCED)
         ),
-        "html_embedded_md5": _md5(_hb(
+        "html_embedded_md5": _md5(
             rdoc.export_to_html(image_mode=ImageRefMode.EMBEDDED)
-        )),
-        "html_referenced_md5": _md5(_hb(
+        ),
+        "html_referenced_md5": _md5(
             rdoc.export_to_html(image_mode=ImageRefMode.REFERENCED)
-        )),
-        "html_split_page_md5": _md5(_hb(
+        ),
+        "html_split_page_md5": _md5(
             HTMLDocSerializer(
                 doc=rdoc,
                 params=HTMLParams(output_style=HTMLOutputStyle.SPLIT_PAGE),
             ).serialize().text
-        )),
+        ),
         "yaml_md5": _md5(
             _yaml.dump(rdoc.export_to_dict(), default_flow_style=False)
         ),
@@ -222,8 +227,40 @@ def gold_for_doc(did: str) -> dict:
     _, manifest = externalize_spans_py(spans)
     media_rows = [{"doc_id": did, **m} for m in manifest]
 
-    # --- roundtrips (engine-snapshot; see module docstring) ---
+    # --- doctags roundtrip ---
     rt = roundtrip_doc(did, spans)
+    # reference-derived twin for the non-chart subset: replay OUR
+    # serializer's doctags (already asserted byte-equal to the
+    # reference's export above) through the reference's own
+    # load_from_doctags -> export_to_doctags chain. The engine row must
+    # match it exactly — so for these docs the golden is an independent
+    # reference oracle, not an engine snapshot. Chart docs stay
+    # snapshot-only (reference crash: UnboundLocalError pic_title,
+    # document.py:3841ff).
+    ref_rt_row = None
+    if not rt["has_chart"]:
+        from docling_core.types.doc.document import (
+            DocTagsDocument as _RefDT,
+            DoclingDocument as _RefDoc,
+        )
+
+        def _ref_reload(s: str) -> str:
+            dt = _RefDT.from_multipage_doctags_and_images(s, None)
+            return _RefDoc.load_from_doctags(
+                dt, document_name=did
+            ).export_to_doctags()
+
+        ref_s2 = _ref_reload(ref_dt)
+        ref_s3 = _ref_reload(ref_s2)
+        ref_rt_row = {
+            "doc_id": did,
+            "reload_md5": _md5(ref_s2),
+            "stable": ref_s2 == ref_s3,
+        }
+        if (ref_rt_row["reload_md5"] != rt["reload_md5"]
+                or ref_rt_row["stable"] != rt["stable"]):
+            errs.append("doctags_roundtrip_ref")
+
     jrt = json_roundtrip_doc(did, spans)
     if not rt["stable"]:
         errs.append("doctags_roundtrip_unstable")
@@ -254,7 +291,8 @@ def gold_for_doc(did: str) -> dict:
         "hybrid_rows": hybrid_rows,
         "variant_row": variant_row,
         "media_rows": media_rows,
-        "rt_row": rt,
+        "rt_row": {k: rt[k] for k in ("doc_id", "reload_md5", "stable")},
+        "ref_rt_row": ref_rt_row,
         "jrt_row": jrt,
         "json_matches_ref": json_matches_ref,
         "metrics": {
@@ -316,6 +354,7 @@ def generate(sf: str, pool=None) -> dict:
     )
     media_rows = []
     variant_rows = []
+    ref_rt_rows = []
     m = {
         "n_docs": 0, "total_items": 0, "total_spans": 0,
         "total_anomalies": 0, "invalid_trees": 0,
@@ -330,6 +369,8 @@ def generate(sf: str, pool=None) -> dict:
         media_rows.extend(r["media_rows"])
         variant_rows.append(r["variant_row"])
         rt_rows.append(r["rt_row"])
+        if r["ref_rt_row"] is not None:
+            ref_rt_rows.append(r["ref_rt_row"])
         jrt_rows.append(r["jrt_row"])
         json_ref_matches += bool(r["json_matches_ref"])
         mm = r["metrics"]
@@ -359,6 +400,7 @@ def generate(sf: str, pool=None) -> dict:
     _write(outdir, "media_externalize", media_rows, int_cols=("pic_idx",))
     _write(outdir, "pipeline_export_variants", variant_rows)
     _write(outdir, "pipeline_doctags_roundtrip", rt_rows)
+    _write(outdir, "pipeline_doctags_roundtrip_ref", ref_rt_rows)
     _write(outdir, "pipeline_json_roundtrip", jrt_rows,
            int_cols=("json_bytes",))
     stats = {
@@ -368,6 +410,7 @@ def generate(sf: str, pool=None) -> dict:
         "chunk_rows": len(chunk_rows),
         "hybrid_rows": len(hybrid_rows),
         "media_rows": len(media_rows),
+        "doctags_rt_ref_derived": f"{len(ref_rt_rows)}/{len(ids)}",
         "json_dump_matches_reference": f"{json_ref_matches}/{len(ids)}",
         "gen_sec": round(time.time() - t0, 1),
     }
