@@ -530,7 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": CS.sql_knn_bruteforce(),
         "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),
         "ann_lsh_topk": CS.sql_ann_lsh_topk(),
-        "ann_ivf_topk": CS.sql_ann_ivf_topk(),
+        "ann_ivf_topk": CS.sql_ann_ivf_topk(f"/root/testdata/sf{gate_sf}"),
         "neardup_cosine": CS.sql_neardup_cosine(),
         "decode_features": CM.sql_decode_features(),
         "frame_sample": CM.sql_frame_sample(),

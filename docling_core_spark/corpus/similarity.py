@@ -332,14 +332,103 @@ def sql_ann_lsh_topk() -> str:
 
 IVF_NUM_CENTROIDS = 32
 IVF_NPROBE = 2
-# deterministic "training": fixed corpus rows act as coarse centroids
-# (a k-means iteration would be data-dependent state; fixed seeds keep
-# the op reproducible and oracle-checkable). At production scale the
-# centroid table comes from an offline clustering job with K ~ sqrt(n)
-# (10^6 cells at 10^12 rows) and is BROADCAST — the op is parameterized
-# by (centroid table, nprobe); the fixed ids below are the test harness
-# instantiation, not a design limit.
+IVF_KMEANS_ITERS = 3
+# k-means init: fixed corpus rows seed the Lloyd iterations (fixed
+# seed => reproducible artifact). At production scale the centroid
+# table comes from this same offline clustering job with K ~ sqrt(n)
+# (10^6 cells at 10^12 rows) and is BROADCAST — the op is
+# parameterized by (centroid table, nprobe).
 IVF_CENTROID_IDS = list(range(100, 100 + IVF_NUM_CENTROIDS))
+
+
+def compute_ivf_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_NUM_CENTROIDS,
+    iters: int = IVF_KMEANS_ITERS,
+) -> list:
+    """Offline IVF training job — deterministic k-means with Spark
+    built-ins (the production path: run once, broadcast the result).
+
+    Init = the k fixed corpus rows (IVF_CENTROID_IDS); then `iters`
+    Lloyd steps: assign every vector to its max-cosine centroid
+    (broadcast 32-row centroid table x corpus scan, pure JVM exprs,
+    argmax via one window) and recompute each cell's centroid as the
+    per-dimension mean (EMB_DIM avg aggregates -> map-side partial
+    aggregation, one tiny shuffle of k x EMB_DIM partials). Every
+    coordinate is rounded to 6dp per step so the artifact is bit-stable
+    across partitionings and engines (float sums reorder under
+    parallelism; at 6dp the reordering noise vanishes). Empty cells
+    keep their previous centroid. The per-iteration collect is k x
+    EMB_DIM doubles — the standard train-then-broadcast pattern, not a
+    driver-side data loop."""
+    from pyspark.sql.window import Window
+
+    e = _emb_df(spark, sf_dir)
+    seed_rows = (
+        e.filter(F.col("vec_id").isin(IVF_CENTROID_IDS[:k]))
+        .orderBy("vec_id").collect()
+    )
+    cents = [[round(float(x), 6) for x in r["emb"]] for r in seed_rows]
+
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("c_id")
+    )
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "c_id int, c_emb array<double>",
+        ).withColumn("c_nrm", F.expr(f"sqrt({_norm2_spark('c_emb')})"))
+        assigned = (
+            e.crossJoin(F.broadcast(cdf))
+            .select(
+                "vec_id", "emb", "c_id",
+                F.expr(
+                    f"round({_dot_spark('emb', 'c_emb')}"
+                    f" / (nrm * c_nrm), 6)"
+                ).alias("c_cos"),
+            )
+            .withColumn("crnk", F.row_number().over(wc))
+            .filter(F.col("crnk") == 1)
+        )
+        means = assigned.groupBy("c_id").agg(
+            *[
+                F.round(F.avg(F.col("emb").getItem(d)), 6).alias(f"d{d}")
+                for d in range(C.EMB_DIM)
+            ]
+        ).collect()
+        new_cents = list(cents)
+        for r in means:
+            new_cents[r["c_id"]] = [r[f"d{d}"] for d in range(C.EMB_DIM)]
+        cents = new_cents
+    return cents
+
+
+def _centroids_path(sf_dir: str) -> str:
+    import os
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)
+    )))
+    return os.path.join(repo, "goldens", f"ivf_centroids_sf{sf}.json")
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Centroids for the sf: the committed artifact when present
+    (tools/gen_centroids.py — also what the DuckDB oracle embeds), else
+    trained on the fly (memoized per session)."""
+    import json
+    import os
+
+    path = _centroids_path(sf_dir)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)["centroids"]
+    key = _cache_key(spark, sf_dir, "ivf_centroids")
+    if key not in _BANDED_CACHE:
+        _BANDED_CACHE[key] = compute_ivf_centroids(spark, sf_dir)
+    return _BANDED_CACHE[key]
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,17 +436,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast centroid join + per-vector argmax window); a query probes
     its IVF_NPROBE nearest cells and ranks exact cosine among their
     members. Neighbors have a unique home cell so no cross-probe dedup
-    is needed."""
+    is needed. Centroids come from the offline deterministic k-means
+    artifact (compute_ivf_centroids / tools/gen_centroids.py) — the
+    train-once-broadcast-everywhere production shape."""
     from pyspark.sql.window import Window
 
     e = _emb_df(spark, sf_dir)
-    cents = e.filter(
-        F.col("vec_id").isin(IVF_CENTROID_IDS)
-    ).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("emb").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(ivf_centroids(spark, sf_dir))],
+        "c_id int, c_emb array<double>",
+    ).withColumn("c_nrm", F.expr(f"sqrt({_norm2_spark('c_emb')})"))
     scored = (
         e.alias("a")
         .crossJoin(F.broadcast(cents))
@@ -416,18 +504,42 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_ann_ivf_topk() -> str:
-    ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
-    cdot = _dot_duck("a.embedding", "c.embedding")
+def _centroid_values_duck(sf_dir: str) -> str:
+    """The committed k-means artifact as DuckDB literal rows — the
+    oracle consumes the SAME broadcast table the Spark query does."""
+    import json
+    import os
+
+    path = _centroids_path(sf_dir)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} missing — run tools/gen_centroids.py"
+        )
+    with open(path) as f:
+        cents = json.load(f)["centroids"]
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"(VALUES {rows}) AS t(c_id, c_emb)"
+
+
+def sql_ann_ivf_topk(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    cdot = (
+        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> a.embedding[i]::DOUBLE * c.c_emb[i]))"
+    )
     cna = _norm2_duck("a.embedding")
-    cnc = _norm2_duck("c.embedding")
+    cnc = (
+        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> c.c_emb[i] * c.c_emb[i]))"
+    )
     dot = _dot_duck("a.embedding", "b.embedding")
     na = _norm2_duck("a.embedding")
     nb = _norm2_duck("b.embedding")
     return f"""
         WITH cents AS (
-            SELECT vec_id AS c_id, embedding FROM embeddings
-            WHERE vec_id IN ({ids})
+            SELECT * FROM {_centroid_values_duck(sf_dir)}
         ),
         scored AS (
             SELECT a.vec_id, a.embedding, c.c_id,

@@ -102,3 +102,34 @@ GRAPH_LINK_TO_CHILD = "to_child"
 # CoordOrigin (types/doc/base.py)
 COORD_TOPLEFT = "TOPLEFT"
 COORD_BOTTOMLEFT = "BOTTOMLEFT"
+
+# CodeLanguageLabel (labels.py:203-266) — public data-format values
+CODE_LANGUAGES = (
+    "Ada", "Awk", "Bash", "bc", "C", "C#", "C++", "CMake", "COBOL",
+    "CSS", "Ceylon", "Clojure", "Crystal", "Cuda", "Cython", "D",
+    "Dart", "dc", "Dockerfile", "Elixir", "Erlang", "FORTRAN", "Forth",
+    "Go", "HTML", "Haskell", "Haxe", "Java", "JavaScript", "Julia",
+    "Kotlin", "Lisp", "Lua", "Matlab", "MoonScript", "Nim", "OCaml",
+    "ObjectiveC", "Octave", "PHP", "Pascal", "Perl", "Prolog", "Python",
+    "Racket", "Ruby", "Rust", "SML", "SQL", "Scala", "Scheme", "Swift",
+    "TypeScript", "unknown", "VisualBasic", "XML", "YAML",
+)
+
+# Formatting.script values (document.py:841-848)
+SCRIPT_VALUES = ("baseline", "sub", "super")
+
+# TextItem's allowed label subset (the plain-TextItem discriminated
+# union arm — labels NOT claimed by a specialized item class;
+# document.py:851-916)
+TEXT_ITEM_LABELS = (
+    CAPTION, CHECKBOX_SELECTED, CHECKBOX_UNSELECTED, FOOTNOTE,
+    PAGE_FOOTER, PAGE_HEADER, PARAGRAPH, REFERENCE, TEXT, EMPTY_VALUE,
+)
+
+# GroupLabel values in the reference's enum order (labels.py:73-93)
+GROUP_LABELS_ORDERED = (
+    GROUP_UNSPECIFIED, GROUP_LIST, GROUP_ORDERED_LIST, GROUP_CHAPTER,
+    GROUP_SECTION, GROUP_SHEET, GROUP_SLIDE, GROUP_FORM_AREA,
+    GROUP_KEY_VALUE_AREA, GROUP_COMMENT_SECTION, GROUP_INLINE,
+    GROUP_PICTURE_AREA,
+)

@@ -70,7 +70,10 @@ def _pairs():
         "knn_bruteforce": (CS.q_knn_bruteforce, CS.sql_knn_bruteforce),
         "lsh_bucket_stats": (CS.q_lsh_bucket_stats, CS.sql_lsh_bucket_stats),
         "ann_lsh_topk": (CS.q_ann_lsh_topk, CS.sql_ann_lsh_topk),
-        "ann_ivf_topk": (CS.q_ann_ivf_topk, CS.sql_ann_ivf_topk),
+        # oracle embeds the per-sf centroid artifact -> bind the test sf
+        "ann_ivf_topk": (
+            CS.q_ann_ivf_topk, lambda: CS.sql_ann_ivf_topk(SF_DIR),
+        ),
         "neardup_cosine": (CS.q_neardup_cosine, CS.sql_neardup_cosine),
         "decode_features": (CM.q_decode_features, CM.sql_decode_features),
         "frame_sample": (CM.q_frame_sample, CM.sql_frame_sample),
