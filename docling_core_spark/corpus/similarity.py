@@ -180,17 +180,16 @@ def _cache_key(spark: SparkSession, *parts):
     return (spark.sparkContext.applicationId, *parts)
 
 
-def _banded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per (vector, band): JVM-side bucket ids for all bands via
-    a single posexplode — no shuffle until the consumer groups/joins on
-    the uniformly-distributed (band_id, bucket) key. Each row also
-    carries the vector's full `buckets` signature (all EMB_BANDS bucket
-    ids) so pair-generating joins can dedup collisions map-side (emit a
-    pair only from its FIRST colliding band) instead of shuffling the
-    whole candidate set through a distinct. Persisted once per
-    (session, sf): self-joins read the cache instead of recomputing the
-    16x64-dim hyperplane projection per side (at production scale this
-    is the materialized bucket-assignment table)."""
+def _emb_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE persisted row per vector: (vec_id, emb, nrm, buckets) where
+    `buckets` is the full EMB_BANDS-bucket LSH signature computed by
+    pure JVM expressions. This is the only similarity table worth
+    materializing — everything else (the exploded per-band view, the
+    candidate joins) derives from it by narrow ops. Round 2 persisted
+    the EXPLODED view instead, duplicating the 64-dim embedding 16x
+    (~4.4 GB at sf0.1); the executor-storage pressure slowed every
+    later query sharing the JVM. Persisted once per (session, sf) — at
+    production scale this is the materialized signature table."""
     key = _cache_key(spark, sf_dir)
     if key not in _BANDED_CACHE:
         e = _emb_df(spark, sf_dir)
@@ -200,13 +199,20 @@ def _banded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = e.select(
             "vec_id", "emb", "nrm",
             F.expr(f"array({bucket_arr})").alias("buckets"),
-        ).select(
-            "vec_id", "emb", "nrm", "buckets",
-            F.posexplode("buckets").alias("band_id", "bucket"),
         ).persist()
         df.count()  # eager fill (see dedup._persisted_shingles)
         _BANDED_CACHE[key] = df
     return _BANDED_CACHE[key]
+
+
+def _banded_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (vec_id, band_id, bucket, buckets) view — a narrow
+    posexplode over the persisted signature table, cheap to recompute,
+    so it is NOT persisted separately."""
+    return _emb_banded(spark, sf_dir).select(
+        "vec_id", "buckets",
+        F.posexplode("buckets").alias("band_id", "bucket"),
+    )
 
 
 # Keep a collision row only in the FIRST band where the pair collides:
@@ -231,7 +237,7 @@ def _banded_cte_duck() -> str:
 def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-band bucket histogram — the data-distribution check an
     operator would run before trusting the ANN path (skew detection)."""
-    b = _banded_df(spark, sf_dir)
+    b = _banded_ids(spark, sf_dir)
     return b.groupBy("band_id", "bucket").agg(
         F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
     )
@@ -251,12 +257,9 @@ def sql_lsh_bucket_stats() -> str:
 # ---------------------------------------------------------------------------
 
 def _cached_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, emb, nrm) served from the persisted banded table (one
-    row per vector = band 0's slice) — no recompute of the embedding
-    scan/norms."""
-    return _banded_df(spark, sf_dir).filter(F.col("band_id") == 0).select(
-        "vec_id", "emb", "nrm"
-    )
+    """(vec_id, emb, nrm) served from the persisted signature table —
+    no recompute of the embedding scan/norms."""
+    return _emb_banded(spark, sf_dir).select("vec_id", "emb", "nrm")
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,8 +271,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands — a 16x saving exactly where the data is densest)."""
     from pyspark.sql.window import Window
 
-    bk = _banded_df(spark, sf_dir)
-    ids = bk.select("vec_id", "band_id", "bucket", "buckets")
+    ids = _banded_ids(spark, sf_dir)
     cand = (
         ids.filter(F.col("vec_id") < C.KNN_NUM_QUERIES).alias("a")
         .join(ids.alias("b"), on=["band_id", "bucket"])
@@ -441,19 +443,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-once-broadcast-everywhere production shape."""
     from pyspark.sql.window import Window
 
-    e = _emb_df(spark, sf_dir)
+    e = _cached_emb(spark, sf_dir)
     cents = spark.createDataFrame(
         [(i, c) for i, c in enumerate(ivf_centroids(spark, sf_dir))],
         "c_id int, c_emb array<double>",
     ).withColumn("c_nrm", F.expr(f"sqrt({_norm2_spark('c_emb')})"))
     scored = (
-        e.alias("a")
+        e.alias("s")
         .crossJoin(F.broadcast(cents))
         .select(
-            "a.vec_id", "a.emb", "a.nrm", "c_id",
+            "s.vec_id", "c_id",
             F.expr(
-                f"round({_dot_spark('a.emb', 'c_emb')}"
-                f" / (a.nrm * c_nrm), 6)"
+                f"round({_dot_spark('s.emb', 'c_emb')}"
+                f" / (s.nrm * c_nrm), 6)"
             ).alias("c_cos"),
         )
     )
@@ -463,22 +465,30 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the cell assignment and the probe list derive from this
     # ranking; persist so the centroid-scoring cross join runs once
     # (at production scale this is the materialized assignment table).
-    # Memoized per (session, sf): repeated calls must not stack
-    # persisted copies in the storage pool.
+    # Persist ONLY the nprobe-truncated id triples — round 2 persisted
+    # the full n x K ranking WITH the 64-dim embeddings (~9 GB at
+    # sf0.1), and that storage pressure slowed every query sharing the
+    # executor; embeddings re-join from the cached signature table at
+    # candidate scale instead. Memoized per (session, sf): repeated
+    # calls must not stack persisted copies.
     ckey = _cache_key(spark, sf_dir, "ivf_ranked")
     if ckey not in _BANDED_CACHE:
-        rc = scored.withColumn("crnk", F.row_number().over(wc)).persist()
+        rc = (
+            scored.withColumn("crnk", F.row_number().over(wc))
+            .filter(F.col("crnk") <= IVF_NPROBE)
+            .select("vec_id", F.col("c_id").alias("cell"), "crnk")
+            .persist()
+        )
         rc.count()  # eager fill (see dedup._persisted_shingles)
         _BANDED_CACHE[ckey] = rc
     ranked_cells = _BANDED_CACHE[ckey]
     assigned = ranked_cells.filter(F.col("crnk") == 1).select(
-        "vec_id", "emb", "nrm", F.col("c_id").alias("cell")
+        "vec_id", "cell"
     )
     probes = ranked_cells.filter(
-        (F.col("crnk") <= IVF_NPROBE)
-        & (F.col("vec_id") < C.KNN_NUM_QUERIES)
-    ).select("vec_id", "emb", "nrm", F.col("c_id").alias("cell"))
-    joined = (
+        F.col("vec_id") < C.KNN_NUM_QUERIES
+    ).select("vec_id", "cell")
+    pairs = (
         probes.alias("a")
         .join(assigned.alias("b"), on="cell")
         .filter(F.col("a.vec_id") != F.col("b.vec_id"))
@@ -486,6 +496,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("q_id"),
             F.col("cell"),
             F.col("b.vec_id").alias("neighbor_id"),
+        )
+    )
+    joined = (
+        pairs.join(e.alias("a"), F.col("q_id") == F.col("a.vec_id"))
+        .join(e.alias("b"), F.col("neighbor_id") == F.col("b.vec_id"))
+        .select(
+            "q_id", "cell", "neighbor_id",
             F.expr(
                 _COS_SPARK.format(dot=_dot_spark("a.emb", "b.emb"))
             ).alias("cos_sim"),
@@ -594,8 +611,7 @@ def q_neardup_cosine(
     output, replacing the round-2 global `.distinct()` that shuffled the
     full pre-verification candidate set (round-2 VERDICT "What's wrong
     #2")."""
-    bk = _banded_df(spark, sf_dir)
-    ids = bk.select("vec_id", "band_id", "bucket", "buckets")
+    ids = _banded_ids(spark, sf_dir)
     if max_bucket > 0:
         sizes = ids.groupBy("band_id", "bucket").agg(
             F.count("*").alias("_bsz")

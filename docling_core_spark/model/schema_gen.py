@@ -297,12 +297,16 @@ def _defs() -> dict:
             },
         ),
         "FormulaItem": _strict(_TEXT_REQ, _text_props(_const(L.FORMULA))),
+        # CodeItem is both TextItem- and FloatingItem-shaped
+        # (document.py:1017: captions/references/footnotes/image)
         "CodeItem": _strict(
             _TEXT_REQ,
             {
                 **_text_props(_const(L.CODE)),
-                **{k: v for k, v in _floating_props(_const(L.CODE)).items()
-                   if k in ("captions", "references", "footnotes", "image")},
+                "captions": _arr(_ref("RefItem"), default=[]),
+                "references": _arr(_ref("RefItem"), default=[]),
+                "footnotes": _arr(_ref("RefItem"), default=[]),
+                "image": _opt(_ref("ImageRef")),
                 "code_language": _ref_d("CodeLanguageLabel", "unknown"),
             },
         ),
