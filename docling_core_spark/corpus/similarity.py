@@ -273,7 +273,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _banded_ids(spark, sf_dir)
     cand = (
-        ids.filter(F.col("vec_id") < C.KNN_NUM_QUERIES).alias("a")
+        F.broadcast(
+            ids.filter(F.col("vec_id") < C.KNN_NUM_QUERIES)
+        ).alias("a")
         .join(ids.alias("b"), on=["band_id", "bucket"])
         .filter(F.col("a.vec_id") != F.col("b.vec_id"))
         .filter(F.expr(_MIN_BAND_FILTER))
@@ -283,8 +285,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     e = _cached_emb(spark, sf_dir)
+    # cand is bounded by the query set (KNN_NUM_QUERIES x collisions) —
+    # broadcast it so both embedding joins stay scan-shaped over the
+    # cached signature table instead of shuffling the corpus by vec_id
     joined = (
-        cand.join(e.alias("a"), F.col("q_id") == F.col("a.vec_id"))
+        F.broadcast(cand)
+        .join(e.alias("a"), F.col("q_id") == F.col("a.vec_id"))
         .join(e.alias("b"), F.col("neighbor_id") == F.col("b.vec_id"))
         .select(
             "q_id",
@@ -489,7 +495,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < C.KNN_NUM_QUERIES
     ).select("vec_id", "cell")
     pairs = (
-        probes.alias("a")
+        F.broadcast(probes).alias("a")
         .join(assigned.alias("b"), on="cell")
         .filter(F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
@@ -498,8 +504,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("neighbor_id"),
         )
     )
+    # pairs is bounded by queries x probed-cell membership — broadcast
+    # it so the embedding joins stay scan-shaped (no corpus shuffle)
     joined = (
-        pairs.join(e.alias("a"), F.col("q_id") == F.col("a.vec_id"))
+        F.broadcast(pairs)
+        .join(e.alias("a"), F.col("q_id") == F.col("a.vec_id"))
         .join(e.alias("b"), F.col("neighbor_id") == F.col("b.vec_id"))
         .select(
             "q_id", "cell", "neighbor_id",
