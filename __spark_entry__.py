@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine": CS.q_neardup_cosine,
         # multimodal plumbing
         "decode_features": CM.q_decode_features,
+        "media_resize": CM.q_media_resize,
         "frame_sample": CM.q_frame_sample,
         # layout geometry (bbox interval algebra, SURVEY.md §1.3)
         "bbox_ops": _q_bbox_ops,
@@ -533,6 +534,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": CS.sql_ann_ivf_topk(f"/root/testdata/sf{gate_sf}"),
         "neardup_cosine": CS.sql_neardup_cosine(),
         "decode_features": CM.sql_decode_features(),
+        "media_resize": CM.sql_media_resize(),
         "frame_sample": CM.sql_frame_sample(),
         "corpus_curation": CC.sql_corpus_curation(),
         "bbox_ops": _bbox_oracle(),

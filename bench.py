@@ -54,7 +54,7 @@ GROUPS: dict[str, list[str]] = {
     "sim": [
         # multimodal first: they are cheap Arrow-stage queries and must
         # not pay for the similarity family's persisted tables
-        "decode_features", "frame_sample",
+        "decode_features", "media_resize", "frame_sample",
         "knn_bruteforce", "lsh_bucket_stats", "ann_lsh_topk",
         "ann_ivf_topk", "neardup_cosine",
     ],

@@ -126,6 +126,88 @@ def sql_decode_features() -> str:
     """
 
 
+MAX_EDGE = 256  # resize target: fit the longest edge to 256 px
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("dst_w", T.IntegerType()),
+        T.StructField("dst_h", T.IntegerType()),
+        T.StructField("resized_sig", T.StringType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        sigs = [
+            hashlib.md5(
+                f"{hashlib.sha256(p).hexdigest()}:{w}x{h}".encode()
+            ).hexdigest()
+            for p, w, h in zip(pdf["payload"], pdf["dst_w"], pdf["dst_h"])
+        ]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "src_w": pdf["src_w"],
+                "src_h": pdf["src_h"],
+                "dst_w": pdf["dst_w"],
+                "dst_h": pdf["dst_h"],
+                "resized_sig": sigs,
+            }
+        )
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: the target geometry (aspect-preserving fit
+    of the longest edge to MAX_EDGE, never upscaling) is INTEGER-exact
+    JVM expressions — pushed before the Python stage so the Arrow batch
+    carries exactly what the resampler needs; the per-payload resample
+    itself is the deterministic stand-in (real codec = decode_real,
+    absent here). Zero shuffle: filter + projection + one mapInPandas."""
+    media = media_df(spark, sf_dir).filter(F.col("kind") == "image")
+    sized = media.select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("src_w"),
+        F.col("meta.height").alias("src_h"),
+        F.expr(
+            f"cast(CASE WHEN greatest(meta.width, meta.height) <= {MAX_EDGE}"
+            f" THEN meta.width ELSE (meta.width * {MAX_EDGE})"
+            f" div greatest(meta.width, meta.height) END as int)"
+        ).alias("dst_w"),
+        F.expr(
+            f"cast(CASE WHEN greatest(meta.width, meta.height) <= {MAX_EDGE}"
+            f" THEN meta.height ELSE (meta.height * {MAX_EDGE})"
+            f" div greatest(meta.width, meta.height) END as int)"
+        ).alias("dst_h"),
+    )
+    return sized.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+def sql_media_resize() -> str:
+    w = "(320 + doc_id % 320)::INT"
+    h = "(240 + doc_id % 240)::INT"
+    m = f"greatest({w}, {h})"
+    dst_w = f"CASE WHEN {m} <= {MAX_EDGE} THEN {w} ELSE ({w} * {MAX_EDGE}) // {m} END"
+    dst_h = f"CASE WHEN {m} <= {MAX_EDGE} THEN {h} ELSE ({h} * {MAX_EDGE}) // {m} END"
+    return f"""
+        SELECT doc_id AS media_id,
+               {w} AS src_w,
+               {h} AS src_h,
+               ({dst_w})::INT AS dst_w,
+               ({dst_h})::INT AS dst_h,
+               md5(sha256(text) || ':' || ({dst_w})::VARCHAR || 'x'
+                   || ({dst_h})::VARCHAR) AS resized_sig
+        FROM documents
+        WHERE doc_id % 3 = 0
+    """
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for video rows: JVM-side posexplode of the sampled
     timeline — the Python decoder is only ever invoked per sampled frame

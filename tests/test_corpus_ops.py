@@ -76,6 +76,7 @@ def _pairs():
         ),
         "neardup_cosine": (CS.q_neardup_cosine, CS.sql_neardup_cosine),
         "decode_features": (CM.q_decode_features, CM.sql_decode_features),
+        "media_resize": (CM.q_media_resize, CM.sql_media_resize),
         "frame_sample": (CM.q_frame_sample, CM.sql_frame_sample),
     }
 
