@@ -21,7 +21,6 @@ once per process (module-level cache), never per row.
 
 from __future__ import annotations
 
-import os
 import unicodedata
 from typing import Dict, Iterable, List, Optional, Tuple
 
@@ -29,7 +28,16 @@ UNK_TOKEN = "[UNK]"
 SPECIAL_TOKENS = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
 MAX_CHARS_PER_WORD = 100
 
-_ASSET = os.path.join(os.path.dirname(__file__), "assets", "wordpiece_vocab.txt")
+def _read_vocab_text() -> str:
+    """importlib.resources, not open(__file__-relative): the package
+    ships to executors as a spark-submit --py-files ZIP, where plain
+    open() on an in-zip path fails (tests/test_spark_submit.py)."""
+    from importlib import resources
+
+    return (
+        resources.files(__package__).joinpath("assets")
+        .joinpath("wordpiece_vocab.txt").read_text(encoding="utf-8")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -119,10 +127,9 @@ def load_default() -> WordPieceTokenizer:
     it off the per-row path)."""
     global _DEFAULT
     if _DEFAULT is None:
-        with open(_ASSET, encoding="utf-8") as f:
-            _DEFAULT = WordPieceTokenizer(
-                line.rstrip("\n") for line in f if line.rstrip("\n")
-            )
+        _DEFAULT = WordPieceTokenizer(
+            line for line in _read_vocab_text().splitlines() if line
+        )
     return _DEFAULT
 
 

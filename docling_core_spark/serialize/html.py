@@ -427,10 +427,17 @@ def _load_css(fname: str) -> str:
     """Stylesheet data assets extracted from the reference's OWN
     exported HTML (tools/extract_ref_css.py): the CSS is part of the
     reference's observable output bytes, and full-document parity
-    (pipeline_exports html_full_md5) requires reproducing it exactly."""
-    path = os.path.join(os.path.dirname(__file__), "assets", fname)
-    with open(path) as f:
-        return f.read()
+    (pipeline_exports html_full_md5) requires reproducing it exactly.
+    Loaded via importlib.resources so it works when the package ships
+    to executors as a spark-submit --py-files ZIP (plain open() on a
+    __file__-relative path raises NotADirectoryError inside a zip —
+    caught by tests/test_spark_submit.py)."""
+    from importlib import resources
+
+    return (
+        resources.files(__package__).joinpath("assets").joinpath(fname)
+        .read_text(encoding="utf-8")
+    )
 
 
 _CSS_SINGLE_COLUMN = _load_css("html_single_column.css")
