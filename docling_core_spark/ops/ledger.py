@@ -103,12 +103,22 @@ def run_with_ledger(
     num_shards: int = 8,
     shards_per_batch: int = 4,
     fail_after_batches: Optional[int] = None,
+    sink: str = "parquet",
 ) -> List[LedgerEntry]:
     """Process all pending shards of `docs` through the extraction
     pipeline, committing the ledger after each batch. Idempotent:
     re-invoking after any crash resumes exactly at the first uncommitted
     shard. `fail_after_batches` is a test hook simulating a mid-run
     crash (raises AFTER committing that many batches).
+
+    `sink="parquet"` (default) durably writes the extracted output and
+    derives the ledger stats from a re-read of the written files — the
+    lineage fingerprint then certifies what actually landed in storage.
+    `sink="noop"` runs the identical pipeline + ledger commits but
+    skips the durable write (stats aggregate the in-flight output):
+    the launch-path benchmarking mode, isolating extraction compute
+    from this sandbox's single-disk write bandwidth (on a real cluster
+    the write scales with executors; one local disk does not).
     """
     from ..pipeline import run_pipeline
 
@@ -123,14 +133,22 @@ def run_with_ledger(
         batch = pending[i: i + shards_per_batch]
         t0 = time.time()
         subset = sharded.filter(F.col("shard").isin(batch))
-        out = run_pipeline(subset.drop("shard")).join(
-            subset.select("doc_id", "shard"), on="doc_id"
-        )
-        out.write.mode("overwrite").partitionBy("shard").parquet(data_dir)
-        # per-shard lineage + metrics from the written output (one agg job)
+        # `shard` is a pure function of doc_id — recompute it on the
+        # pipeline output instead of joining back to the input (a join
+        # would shuffle the WIDE extracted rows; the expression is free)
+        out = _with_shard(run_pipeline(subset.drop("shard")), num_shards)
+        if sink == "parquet":
+            out.write.mode("overwrite").partitionBy("shard").parquet(
+                data_dir
+            )
+            # per-shard lineage + metrics from the WRITTEN output
+            stats_src = spark.read.parquet(data_dir).filter(
+                F.col("shard").isin(batch)
+            )
+        else:
+            stats_src = out
         stats = (
-            spark.read.parquet(data_dir)
-            .filter(F.col("shard").isin(batch))
+            stats_src
             .groupBy("shard")
             .agg(
                 F.count("*").alias("doc_count"),

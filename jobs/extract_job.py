@@ -59,6 +59,10 @@ def build_args():
     )
     p.add_argument("--audit", action="store_true",
                    help="verify ledger lineage against the input after run")
+    p.add_argument("--sink", default="parquet",
+                   choices=["parquet", "noop"],
+                   help="noop = benchmarking mode: identical pipeline +"
+                        " ledger, no durable write (see run_with_ledger)")
     p.add_argument("--master", default=None,
                    help="override master (default: spark-submit's)")
     return p.parse_args()
@@ -98,6 +102,7 @@ def main():
         spark, docs, args.output,
         num_shards=args.num_shards,
         shards_per_batch=args.shards_per_batch,
+        sink=args.sink,
     )
     ledger = read_ledger(args.output)
     summary = {
