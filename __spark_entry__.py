@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": CD.q_minhash_signatures,
         "lsh_buckets": CD.q_lsh_buckets,
         "neardup_pairs": CD.q_neardup_pairs,
+        "dedup_clusters": CD.q_dedup_clusters,
         "simhash": CD.q_simhash,
         # similarity search
         "knn_bruteforce": CS.q_knn_bruteforce,
@@ -527,6 +528,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": CD.sql_minhash_signatures(),
         "lsh_buckets": CD.sql_lsh_buckets(),
         "neardup_pairs": CD.sql_neardup_pairs(),
+        "dedup_clusters": CD.sql_dedup_clusters(),
         "simhash": CD.sql_simhash(),
         "knn_bruteforce": CS.sql_knn_bruteforce(),
         "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),

@@ -49,7 +49,7 @@ GROUPS: dict[str, list[str]] = {
         # pure-scan queries first; the LSH family fills the persisted
         # shingle table and runs after them
         "dedup_exact", "simhash", "minhash_signatures", "lsh_buckets",
-        "neardup_pairs",
+        "neardup_pairs", "dedup_clusters",
     ],
     "sim": [
         # multimodal first: they are cheap Arrow-stage queries and must

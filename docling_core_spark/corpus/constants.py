@@ -23,6 +23,10 @@ NUM_PERMS = 16
 LSH_BANDS = 4
 ROWS_PER_BAND = NUM_PERMS // LSH_BANDS
 JACCARD_THRESHOLD = 0.5
+# min-label propagation fixpoint cap for connected-component clustering:
+# rounds needed = component diameter; near-dup components are dense, so
+# real corpora converge in a handful — 32 is a generous runaway guard
+CC_MAX_ROUNDS = 32
 
 
 def _lcg(seed: int):

@@ -371,3 +371,129 @@ def sql_simhash() -> str:
         SELECT doc_id, {bit_terms} AS simhash, len(hs) AS n_tokens
         FROM hss
     """
+
+
+# ---------------------------------------------------------------------------
+# Connected-component dedup clustering (pairs -> clusters -> keep list)
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group verified near-duplicate pairs into connected components and
+    elect one canonical document per component (the minimum doc_id) —
+    the step that turns pairwise similarity into an actual keep/drop
+    decision. Covers every corpus row: documents with no near-duplicate
+    are singleton clusters of themselves.
+
+    Algorithm: iterative min-label propagation to a fixpoint —
+    label(v) <- min(label(v), min over neighbors' labels) — each round
+    ONE shuffle join on the uniform doc_id key plus one groupBy, with
+    `localCheckpoint` truncating the lineage so the plan does not grow
+    with the iteration count (a cluster job would use a durable
+    checkpoint dir). Rounds needed = component diameter; near-duplicate
+    components are dense (every member collides with most others in
+    some LSH band), so the diameter is tiny in practice — 2 rounds at
+    test scale. For adversarially chain-shaped graphs the same loop
+    accepts the large-star/small-star edge rewriting (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) which
+    converges in O(log n) rounds; the per-round plan shape is identical
+    so the gate-checked fixpoint semantics carry over unchanged.
+
+    The reference library has no corpus-level dedup (SURVEY.md §2's
+    training-data extension surface); semantics follow the standard
+    MinHash-LSH dedup recipe (Broder '97; GPL-free public description).
+    """
+    pairs = q_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = read_spread(spark, sf_dir, "documents").select("doc_id")
+    labels = _min_label_components(docs, pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def _min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Fixpoint min-label propagation: (doc_id) nodes + (doc_a, doc_b)
+    undirected edges -> (doc_id, cluster_id) where cluster_id is the
+    minimum doc_id in the node's connected component."""
+    # symmetrized edge list; persist — it is re-joined every round
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .persist()
+    )
+    edges.count()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(C.CC_MAX_ROUNDS):
+        nbr = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a.alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        nxt = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", "cluster_id"),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup clustering did not converge in {C.CC_MAX_ROUNDS} rounds"
+        )
+    edges.unpersist()
+    return labels
+
+
+def sql_dedup_clusters() -> str:
+    """DuckDB oracle: exact connected components by recursive CTE —
+    min doc_id reachable from each node over the symmetrized verified
+    near-dup pairs (UNION dedup guarantees termination on cycles)."""
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({sql_neardup_pairs()}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, reach.lbl
+            FROM reach JOIN edges e ON e.src = reach.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sized AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM comp GROUP BY cluster_id
+        )
+        SELECT comp.doc_id, comp.cluster_id, sized.cluster_size,
+               comp.doc_id = comp.cluster_id AS is_canonical
+        FROM comp JOIN sized USING (cluster_id)
+    """

@@ -66,6 +66,7 @@ def _pairs():
         ),
         "lsh_buckets": (CD.q_lsh_buckets, CD.sql_lsh_buckets),
         "neardup_pairs": (CD.q_neardup_pairs, CD.sql_neardup_pairs),
+        "dedup_clusters": (CD.q_dedup_clusters, CD.sql_dedup_clusters),
         "simhash": (CD.q_simhash, CD.sql_simhash),
         "knn_bruteforce": (CS.q_knn_bruteforce, CS.sql_knn_bruteforce),
         "lsh_bucket_stats": (CS.q_lsh_bucket_stats, CS.sql_lsh_bucket_stats),
@@ -108,6 +109,42 @@ def test_neardup_pairs_find_planted_duplicates(spark):
     assert len(rows) > 0
     assert all(r["jaccard"] >= C.JACCARD_THRESHOLD for r in rows)
     assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """Min-label propagation must merge a CHAIN a-b, b-c, c-d into one
+    component even though a-d is not a direct pair (diameter 3 > 1
+    round), and leave untouched nodes as singletons."""
+    from docling_core_spark.corpus.dedup import _min_label_components
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in _min_label_components(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Every verified near-dup pair lands in one cluster; every cluster
+    id is the minimum member; canonical flags mark exactly one doc per
+    cluster."""
+    from docling_core_spark.corpus import dedup as CD
+
+    clusters = CD.q_dedup_clusters(spark, SF_DIR).collect()
+    lbl = {r["doc_id"]: r["cluster_id"] for r in clusters}
+    for p in CD.q_neardup_pairs(spark, SF_DIR).collect():
+        assert lbl[p["doc_a"]] == lbl[p["doc_b"]]
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["doc_id"] for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert all(m["cluster_size"] == len(members) for m in members)
 
 
 def test_knn_is_superset_quality_of_ann(spark):
