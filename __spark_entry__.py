@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": CS.q_ann_lsh_topk,
         "ann_ivf_topk": CS.q_ann_ivf_topk,
         "neardup_cosine": CS.q_neardup_cosine,
+        "semdedup_clusters": CS.q_semdedup_clusters,
         # multimodal plumbing
         "decode_features": CM.q_decode_features,
         "media_resize": CM.q_media_resize,
@@ -535,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": CS.sql_ann_lsh_topk(),
         "ann_ivf_topk": CS.sql_ann_ivf_topk(f"/root/testdata/sf{gate_sf}"),
         "neardup_cosine": CS.sql_neardup_cosine(),
+        "semdedup_clusters": CS.sql_semdedup_clusters(),
         "decode_features": CM.sql_decode_features(),
         "media_resize": CM.sql_media_resize(),
         "frame_sample": CM.sql_frame_sample(),

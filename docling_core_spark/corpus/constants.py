@@ -27,6 +27,12 @@ JACCARD_THRESHOLD = 0.5
 # rounds needed = component diameter; near-dup components are dense, so
 # real corpora converge in a handful — 32 is a generous runaway guard
 CC_MAX_ROUNDS = 32
+# below this many edges the clustering finishes locally in ONE task
+# (union-find over the edge subgraph) instead of iterating shuffle
+# rounds — the standard last step of the MapReduce CC algorithms
+# (Kiveris et al., SoCC'14 §3: "once the graph fits on one machine").
+# 5M edges ~ 80 MB of longs: trivially within one executor task.
+CC_LOCAL_EDGE_LIMIT = 5_000_000
 
 
 def _lcg(seed: int):

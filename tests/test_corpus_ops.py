@@ -76,6 +76,9 @@ def _pairs():
             CS.q_ann_ivf_topk, lambda: CS.sql_ann_ivf_topk(SF_DIR),
         ),
         "neardup_cosine": (CS.q_neardup_cosine, CS.sql_neardup_cosine),
+        "semdedup_clusters": (
+            CS.q_semdedup_clusters, CS.sql_semdedup_clusters,
+        ),
         "decode_features": (CM.q_decode_features, CM.sql_decode_features),
         "media_resize": (CM.q_media_resize, CM.sql_media_resize),
         "frame_sample": (CM.q_frame_sample, CM.sql_frame_sample),
@@ -126,6 +129,39 @@ def test_dedup_clusters_transitive_chain(spark):
         for r in _min_label_components(docs, pairs).collect()
     }
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_cc_iterative_path_matches_local_union_find(spark, monkeypatch):
+    """`_min_label_components` finishes locally (single-task union-find)
+    under CC_LOCAL_EDGE_LIMIT and iterates pointer-jumping min-label
+    rounds above it; both paths must produce identical labels — checked
+    on the real sf0.001 near-dup graph AND a chain whose diameter (17)
+    exercises multiple jump rounds."""
+    from docling_core_spark.corpus import constants as C
+    from docling_core_spark.corpus import dedup as CD
+
+    def labels_for(docs, pairs):
+        return {
+            r["doc_id"]: r["cluster_id"]
+            for r in CD._min_label_components(docs, pairs).collect()
+        }
+
+    chain_docs = spark.createDataFrame(
+        [(i,) for i in range(20)], ["doc_id"]
+    )
+    chain_pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(2, 19)], ["doc_a", "doc_b"]
+    )
+    real_docs = CD.read_spread(spark, SF_DIR, "documents").select("doc_id")
+    real_pairs = CD.q_neardup_pairs(spark, SF_DIR).select("doc_a", "doc_b")
+
+    local = (labels_for(chain_docs, chain_pairs),
+             labels_for(real_docs, real_pairs))
+    monkeypatch.setattr(C, "CC_LOCAL_EDGE_LIMIT", 0)
+    iterative = (labels_for(chain_docs, chain_pairs),
+                 labels_for(real_docs, real_pairs))
+    assert local == iterative
+    assert local[0][19] == 2 and local[0][0] == 0  # chain semantics
 
 
 def test_dedup_clusters_consistent_with_pairs(spark):
