@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_core_spark.corpus import (
         curation as CC,
         dedup as CD,
+        filters as CF,
         multimodal as CM,
         similarity as CS,
         textstats as CT,
@@ -433,6 +434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": CT.q_fingerprint,
         "lang_stats": _q_lang_stats,
         "corpus_curation": _q_corpus_curation,
+        "gopher_quality": CF.q_gopher_quality,
+        "dup_ngrams": CF.q_dup_ngrams,
+        "pii_scrub": CF.q_pii_scrub,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": CD.q_minhash_signatures,
@@ -487,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
     from docling_core_spark.corpus import (
         curation as CC,
         dedup as CD,
+        filters as CF,
         multimodal as CM,
         similarity as CS,
         textstats as CT,
@@ -541,6 +546,9 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": CM.sql_media_resize(),
         "frame_sample": CM.sql_frame_sample(),
         "corpus_curation": CC.sql_corpus_curation(),
+        "gopher_quality": CF.sql_gopher_quality(),
+        "dup_ngrams": CF.sql_dup_ngrams(),
+        "pii_scrub": CF.sql_pii_scrub(),
         "bbox_ops": _bbox_oracle(),
         "page_cells_in_bbox": _pages_oracle("cells_in_bbox"),
         "page_crop_text": _pages_oracle("crop_text"),

@@ -43,7 +43,8 @@ if _REPO not in sys.path:
 GROUPS: dict[str, list[str]] = {
     "text": [
         "token_stats", "lang_id", "quality_score", "fingerprint",
-        "lang_stats", "corpus_curation",
+        "lang_stats", "corpus_curation", "gopher_quality", "dup_ngrams",
+        "pii_scrub",
     ],
     "dedup": [
         # pure-scan queries first; the LSH family fills the persisted

@@ -1,0 +1,306 @@
+"""Corpus filter operators for training-data curation: Gopher-style
+quality rules, duplicate-n-gram repetition stats, and PII scrubbing.
+
+Spark side is pure JVM expressions / built-in DataFrame ops (whole-stage
+codegen; zero Python UDFs); each op ships a DuckDB oracle built from the
+same constants so the correctness gate checks both engines bit-for-bit.
+
+Reference analog: docling-core has no corpus curation (SURVEY.md §2's
+training-data extension surface). Rule semantics follow the public
+Gopher data-quality recipe (Rae et al. 2021, "Scaling Language Models",
+appendix A1.1) adapted to word-level signals — this corpus is
+single-line text, so the line-shape rules (bullet/ellipsis lines) are
+inapplicable and the word-level ladder is implemented in full. PII
+patterns follow the public BigScience/ROOTS scrubbing recipe (regex
+email/IPv4/phone redaction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import constants as C, read_spread
+from .textstats import TOKENS_DUCK, TOKENS_SPARK, _spark_re
+
+# ---------------------------------------------------------------------------
+# Gopher word-level quality rules (public thresholds)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1     # '#' or '...' per word
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8  # words containing >= 1 [a-z]
+GOPHER_MIN_STOPWORD_HITS = 2      # distinct required stopwords present
+
+# the 'required words' set: Gopher uses {the, be, to, of, and, that,
+# have, with}; we use the overlap with the engine's stopword list so
+# both dialects share one constant source
+GOPHER_REQUIRED = [w for w in C.STOPWORDS["en"] if w in
+                   ("the", "to", "of", "and", "that", "for", "is", "was")]
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule signals, one boolean per rule, and the
+    AND'd keep decision. Zero shuffles: narrow per-row expressions over
+    a pruned (doc_id, text) scan."""
+    docs = read_spread(spark, sf_dir, "documents")
+    req = "array(" + ", ".join(f"'{w}'" for w in GOPHER_REQUIRED) + ")"
+    base = docs.select(
+        "doc_id",
+        F.expr(f"size({TOKENS_SPARK})").alias("n_words"),
+        F.expr(
+            f"aggregate(transform({TOKENS_SPARK}, t -> length(t)),"
+            f" 0, (acc, x) -> acc + x)"
+        ).alias("sum_word_len"),
+        F.expr(
+            "(length(text) - length(replace(text, '#', '')))"
+            " + (length(text) - length(replace(text, '...', ''))) div 3"
+        ).alias("n_symbols"),
+        F.expr(
+            f"size(filter({TOKENS_SPARK}, t -> t rlike '[a-z]'))"
+        ).alias("n_alpha_words"),
+        F.expr(
+            f"size(filter({req}, w -> array_contains({TOKENS_SPARK}, w)))"
+        ).alias("n_required_hits"),
+    )
+    mean_len = "round(sum_word_len / cast(n_words as double), 6)"
+    sym = "round(n_symbols / cast(n_words as double), 6)"
+    alpha = "round(n_alpha_words / cast(n_words as double), 6)"
+    rules = {
+        "r_word_count": (
+            f"n_words >= {GOPHER_MIN_WORDS}"
+            f" AND n_words <= {GOPHER_MAX_WORDS}"
+        ),
+        "r_mean_word_len": (
+            f"{mean_len} >= {GOPHER_MIN_MEAN_WORD_LEN}"
+            f" AND {mean_len} <= {GOPHER_MAX_MEAN_WORD_LEN}"
+        ),
+        "r_symbol_ratio": f"{sym} <= {GOPHER_MAX_SYMBOL_RATIO}",
+        "r_alpha_words": f"{alpha} >= {GOPHER_MIN_ALPHA_WORD_FRAC}",
+        "r_stopwords": f"n_required_hits >= {GOPHER_MIN_STOPWORD_HITS}",
+    }
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.expr(mean_len).alias("mean_word_len"),
+        F.expr(sym).alias("symbol_ratio"),
+        F.expr(alpha).alias("alpha_word_frac"),
+        "n_required_hits",
+        *[F.expr(e).alias(name) for name, e in rules.items()],
+        F.expr(" AND ".join(f"({e})" for e in rules.values())).alias(
+            "keep"
+        ),
+    )
+
+
+def sql_gopher_quality() -> str:
+    req = "[" + ", ".join(f"'{w}'" for w in GOPHER_REQUIRED) + "]"
+    mean_len = "round(sum_word_len / n_words::DOUBLE, 6)"
+    sym = "round(n_symbols / n_words::DOUBLE, 6)"
+    alpha = "round(n_alpha_words / n_words::DOUBLE, 6)"
+    rules = {
+        "r_word_count": (
+            f"n_words >= {GOPHER_MIN_WORDS}"
+            f" AND n_words <= {GOPHER_MAX_WORDS}"
+        ),
+        "r_mean_word_len": (
+            f"{mean_len} >= {GOPHER_MIN_MEAN_WORD_LEN}"
+            f" AND {mean_len} <= {GOPHER_MAX_MEAN_WORD_LEN}"
+        ),
+        "r_symbol_ratio": f"{sym} <= {GOPHER_MAX_SYMBOL_RATIO}",
+        "r_alpha_words": f"{alpha} >= {GOPHER_MIN_ALPHA_WORD_FRAC}",
+        "r_stopwords": f"n_required_hits >= {GOPHER_MIN_STOPWORD_HITS}",
+    }
+    rule_cols = ",\n               ".join(
+        f"{e} AS {name}" for name, e in rules.items()
+    )
+    keep = " AND ".join(f"({e})" for e in rules.values())
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({TOKENS_DUCK}) AS n_words,
+                   list_sum(list_transform({TOKENS_DUCK},
+                            t -> length(t)))::BIGINT AS sum_word_len,
+                   (length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', '')))
+                       // 3 AS n_symbols,
+                   len(list_filter({TOKENS_DUCK},
+                       t -> regexp_matches(t, '[a-z]'))) AS n_alpha_words,
+                   len(list_filter({req},
+                       w -> list_contains({TOKENS_DUCK}, w)))
+                       AS n_required_hits
+            FROM documents
+        )
+        SELECT doc_id, n_words,
+               {mean_len} AS mean_word_len,
+               {sym} AS symbol_ratio,
+               {alpha} AS alpha_word_frac,
+               n_required_hits,
+               {rule_cols},
+               {keep} AS keep
+        FROM base
+    """
+
+
+# ---------------------------------------------------------------------------
+# duplicate-n-gram repetition stats (Gopher repetition ladder, bigrams)
+# ---------------------------------------------------------------------------
+
+def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram repetition: total bigrams, the modal bigram's
+    share, and the fraction of bigram mass in duplicated bigrams —
+    Gopher's top-n-gram / dup-n-gram rules at n=2.
+
+    Two shuffles, both on uniform keys: groupBy (doc_id, gram) — gram
+    cardinality is huge so no hot keys — then groupBy doc_id. A left
+    join from the corpus covers <2-token documents with zero rows."""
+    docs = read_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 2 then"
+                " transform(sequence(1, size(toks) - 1),"
+                "   i -> concat(element_at(toks, i), ' ',"
+                "               element_at(toks, i + 1)))"
+                " else array() end"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.max("cnt").alias("top_bigram_n"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "dup_mass"
+        ),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            F.expr(
+                "case when n_bigrams > 0 then"
+                " round(top_bigram_n / cast(n_bigrams as double), 6)"
+                " else cast(0.0 as double) end"
+            ).alias("top_bigram_frac"),
+            F.expr(
+                "case when n_bigrams > 0 then"
+                " round(coalesce(dup_mass, 0)"
+                "       / cast(n_bigrams as double), 6)"
+                " else cast(0.0 as double) end"
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def sql_dup_ngrams() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, unnest(list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS gram
+            FROM toks
+        ),
+        per_gram AS (
+            SELECT doc_id, gram, COUNT(*) AS cnt
+            FROM grams GROUP BY doc_id, gram
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   SUM(cnt)::BIGINT AS n_bigrams,
+                   MAX(cnt)::BIGINT AS top_bigram_n,
+                   SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT
+                       AS dup_mass
+            FROM per_gram GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_bigrams, 0) AS n_bigrams,
+               COALESCE(p.top_bigram_n, 0) AS top_bigram_n,
+               CASE WHEN COALESCE(p.n_bigrams, 0) > 0 THEN
+                   round(p.top_bigram_n / p.n_bigrams::DOUBLE, 6)
+               ELSE 0.0 END AS top_bigram_frac,
+               CASE WHEN COALESCE(p.n_bigrams, 0) > 0 THEN
+                   round(COALESCE(p.dup_mass, 0) / p.n_bigrams::DOUBLE, 6)
+               ELSE 0.0 END AS dup_bigram_frac
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (email / IPv4 / phone redaction)
+# ---------------------------------------------------------------------------
+
+# patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+_PII = [("email", PII_EMAIL, "<EMAIL>"), ("ipv4", PII_IPV4, "<IP>"),
+        ("phone", PII_PHONE, "<PHONE>")]
+
+
+def scrub_expr_spark(col: str) -> str:
+    """Nested regexp_replace applying all three redactions; phone/IP
+    before email is irrelevant here because the patterns are disjoint
+    (an IPv4 inside an email-like token fails \\b)."""
+    e = col
+    for _, pat, tag in _PII:
+        e = f"regexp_replace({e}, '{_spark_re(pat)}', '{tag}')"
+    return e
+
+
+def scrub_expr_duck(col: str) -> str:
+    e = col
+    for _, pat, tag in _PII:
+        e = f"regexp_replace({e}, '{pat}', '{tag}', 'g')"
+    return e
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction counts per category plus the md5 of the scrubbed text —
+    the gate proves the two engines' regex stacks redact identically.
+    Zero shuffles; the scrub itself is the column a production run
+    writes back. The synthetic corpus contains no PII (every count is
+    0 and scrub_md5 == md5(text)) — the redaction behavior itself is
+    pytest-asserted on crafted fixtures (tests/test_filters.py)."""
+    docs = read_spread(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"size(regexp_extract_all(text, '{_spark_re(pat)}', 0))"
+            ).alias(f"n_{name}")
+            for name, pat, _ in _PII
+        ],
+        F.expr(
+            f"md5(encode({scrub_expr_spark('text')}, 'utf-8'))"
+        ).alias("scrub_md5"),
+    )
+
+
+def sql_pii_scrub() -> str:
+    counts = ",\n               ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in _PII
+    )
+    return f"""
+        SELECT doc_id,
+               {counts},
+               md5({scrub_expr_duck('text')}) AS scrub_md5
+        FROM documents
+    """

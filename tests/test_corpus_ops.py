@@ -51,6 +51,7 @@ def duck():
 def _pairs():
     from docling_core_spark.corpus import (
         dedup as CD,
+        filters as CF,
         multimodal as CM,
         similarity as CS,
         textstats as CT,
@@ -79,6 +80,9 @@ def _pairs():
         "semdedup_clusters": (
             CS.q_semdedup_clusters, CS.sql_semdedup_clusters,
         ),
+        "gopher_quality": (CF.q_gopher_quality, CF.sql_gopher_quality),
+        "dup_ngrams": (CF.q_dup_ngrams, CF.sql_dup_ngrams),
+        "pii_scrub": (CF.q_pii_scrub, CF.sql_pii_scrub),
         "decode_features": (CM.q_decode_features, CM.sql_decode_features),
         "media_resize": (CM.q_media_resize, CM.sql_media_resize),
         "frame_sample": (CM.q_frame_sample, CM.sql_frame_sample),

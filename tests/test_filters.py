@@ -1,0 +1,134 @@
+"""Behavioral tests for the corpus filter operators (the cross-engine
+value parity is covered by tests/test_corpus_ops.py and the driver
+gate; these assert the SEMANTICS on crafted fixtures — the synthetic
+corpus contains no PII and no line structure, so redaction and rule
+edge cases need their own inputs)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from docling_core_spark.corpus import filters as CF
+
+PII_TEXT = (
+    "contact alice.smith+spam@example.co.uk or bob@sub.domain.org, "
+    "server at 192.168.001.250 port 80, call 555-867-5309 or "
+    "555 123 4567, not-an-ip 1234.5.6.7890, not-a-phone 12-34-56"
+)
+
+
+def test_pii_scrub_redacts_crafted_fixture(spark):
+    df = spark.createDataFrame([(1, PII_TEXT)], ["doc_id", "text"])
+    out = df.select(
+        F.expr(CF.scrub_expr_spark("text")).alias("scrubbed"),
+        *[
+            F.expr(
+                "size(regexp_extract_all(text,"
+                f" '{CF._spark_re(pat)}', 0))"
+            ).alias(f"n_{name}")
+            for name, pat, _ in CF._PII
+        ],
+    ).collect()[0]
+    assert out["n_email"] == 2
+    assert out["n_ipv4"] == 1
+    assert out["n_phone"] == 2
+    s = out["scrubbed"]
+    assert "<EMAIL>" in s and "<IP>" in s and "<PHONE>" in s
+    assert "example.co.uk" not in s and "192.168" not in s
+    assert "867-5309" not in s
+    # non-matches survive untouched
+    assert "1234.5.6.7890" in s and "12-34-56" in s
+
+
+def test_pii_scrub_spark_duckdb_same_on_crafted_fixture(spark):
+    """The gate corpus has no PII, so prove the two regex stacks agree
+    on text that actually exercises the patterns."""
+    spark_s = spark.createDataFrame([(PII_TEXT,)], ["text"]).select(
+        F.expr(CF.scrub_expr_spark("text")).alias("s")
+    ).collect()[0]["s"]
+    duck_s = duckdb.sql(
+        f"SELECT {CF.scrub_expr_duck('?')} AS s",
+        params=[PII_TEXT],
+    ).fetchone()[0]
+    assert spark_s == duck_s
+
+
+def test_gopher_rules_on_crafted_docs(spark, tmp_path):
+    """A fluent English paragraph passes every rule; word salad without
+    stopwords fails r_stopwords; a hash-spam doc fails r_symbol_ratio;
+    a short doc fails r_word_count."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs to the "
+        "river for a drink of cool water that was flowing past the "
+        "old mill near the edge of the quiet village where people "
+        "gather in the evening to talk about the news of the day and "
+        "share stories that were told for many years"
+    )
+    salad = " ".join(f"zz{i}qx" for i in range(60))
+    hashy = "the of " + "# " * 60 + " ".join(
+        "word" for _ in range(50)
+    )
+    short = "the of and to in is"
+    docs = spark.createDataFrame(
+        [(1, good), (2, salad), (3, hashy), (4, short)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(path)
+
+    import shutil
+
+    # q_gopher_quality reads <sf_dir>/documents.parquet (a directory
+    # works the same for spark.read.parquet)
+    sf_dir = str(tmp_path)
+    shutil.move(path, str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in CF.q_gopher_quality(spark, sf_dir).collect()
+    }
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[2]["r_stopwords"] is False
+    assert rows[3]["keep"] is False and rows[3]["r_symbol_ratio"] is False
+    assert rows[4]["keep"] is False and rows[4]["r_word_count"] is False
+
+
+def test_dup_ngrams_counts_repetition(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab ba ab ba ab -> all dup
+            (2, "one two three four"),  # 3 distinct bigrams, no dups
+            (3, "single"),           # no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in CF.q_dup_ngrams(spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["n_bigrams"] == 5
+    assert rows[1]["top_bigram_n"] == 3  # "a b" x3
+    assert rows[1]["dup_bigram_frac"] == 1.0
+    assert rows[2]["n_bigrams"] == 3
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[3]["n_bigrams"] == 0
+    assert rows[3]["top_bigram_frac"] == 0.0
+
+
+def test_gopher_plan_is_scan_shaped(spark):
+    """Zero exchanges: the rules are narrow per-row expressions."""
+    plan = CF.q_gopher_quality(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    # read_spread may inject its fan-out repartition on the tiny test
+    # file; beyond that the plan must be exchange-free
+    assert plan.count("Exchange") <= 1
+
+
+def test_pii_plan_is_scan_shaped(spark):
+    plan = CF.q_pii_scrub(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
