@@ -434,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": CT.q_fingerprint,
         "lang_stats": _q_lang_stats,
         "corpus_curation": _q_corpus_curation,
+        "corpus_stats": CT.q_corpus_stats,
         "gopher_quality": CF.q_gopher_quality,
         "dup_ngrams": CF.q_dup_ngrams,
         "pii_scrub": CF.q_pii_scrub,
@@ -443,6 +444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": CD.q_lsh_buckets,
         "neardup_pairs": CD.q_neardup_pairs,
         "dedup_clusters": CD.q_dedup_clusters,
+        "jaccard_pairs": CD.q_jaccard_pairs,
+        "dedup_savings": CD.q_dedup_savings,
         "simhash": CD.q_simhash,
         # similarity search
         "knn_bruteforce": CS.q_knn_bruteforce,
@@ -534,6 +537,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": CD.sql_minhash_signatures(),
         "lsh_buckets": CD.sql_lsh_buckets(),
         "neardup_pairs": CD.sql_neardup_pairs(),
+        "jaccard_pairs": CD.sql_jaccard_pairs(),
+        "dedup_savings": CD.sql_dedup_savings(),
         "dedup_clusters": CD.sql_dedup_clusters(),
         "simhash": CD.sql_simhash(),
         "knn_bruteforce": CS.sql_knn_bruteforce(),
@@ -546,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": CM.sql_media_resize(),
         "frame_sample": CM.sql_frame_sample(),
         "corpus_curation": CC.sql_corpus_curation(),
+        "corpus_stats": CT.sql_corpus_stats(),
         "gopher_quality": CF.sql_gopher_quality(),
         "dup_ngrams": CF.sql_dup_ngrams(),
         "pii_scrub": CF.sql_pii_scrub(),

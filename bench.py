@@ -44,13 +44,14 @@ GROUPS: dict[str, list[str]] = {
     "text": [
         "token_stats", "lang_id", "quality_score", "fingerprint",
         "lang_stats", "corpus_curation", "gopher_quality", "dup_ngrams",
-        "pii_scrub",
+        "pii_scrub", "corpus_stats",
     ],
     "dedup": [
         # pure-scan queries first; the LSH family fills the persisted
         # shingle table and runs after them
         "dedup_exact", "simhash", "minhash_signatures", "lsh_buckets",
-        "neardup_pairs", "dedup_clusters",
+        "neardup_pairs", "dedup_clusters", "jaccard_pairs",
+        "dedup_savings",
     ],
     "sim": [
         # multimodal first: they are cheap Arrow-stage queries and must

@@ -27,6 +27,14 @@ JACCARD_THRESHOLD = 0.5
 # rounds needed = component diameter; near-dup components are dense, so
 # real corpora converge in a handful — 32 is a generous runaway guard
 CC_MAX_ROUNDS = 32
+# inverted-index exact-Jaccard join: shingles whose document frequency
+# exceeds this are dropped from the posting index (and from BOTH
+# engines' Jaccard sets — the oracle applies the same cap, so the
+# semantics stay cross-engine identical when it fires). A shingle in
+# >100k documents is corpus boilerplate with no discriminative value;
+# without the cap the posting self-join grows O(sum df^2) — the
+# standard stop-shingle guard of the AllPairs/PPJoin family.
+JACCARD_MAX_DF = 100_000
 # below this many edges the clustering finishes locally in ONE task
 # (union-find over the edge subgraph) instead of iterating shuffle
 # rounds — the standard last step of the MapReduce CC algorithms

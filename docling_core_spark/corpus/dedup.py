@@ -401,6 +401,111 @@ def sql_simhash() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram-Jaccard all-pairs (inverted-index similarity join)
+# ---------------------------------------------------------------------------
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-Jaccard similarity join — no LSH recall loss.
+
+    Inverted-index plan (the AllPairs/PPJoin family, Bayardo et al.
+    WWW'07): explode each document's distinct-shingle set into posting
+    rows, drop stop-shingles whose document frequency exceeds
+    `JACCARD_MAX_DF` (boilerplate mass with no discriminative value —
+    without the cap the self-join grows O(sum df^2); the DuckDB oracle
+    applies the same cap so both engines compute identical sets), then
+    self-join postings on the shingle, count intersections per ordered
+    pair, and compute |A∩B| / (|A| + |B| - |A∩B|).
+
+    Shuffle inventory: postings groupBy shingle (uniform: shingles are
+    near-unique text trigrams), pair groupBy (doc_a, doc_b) (uniform),
+    two joins on doc_id for set sizes (uniform). Complements
+    `neardup_pairs` (MinHash-LSH candidates -> Jaccard verify): LSH is
+    the sub-quadratic scale path with banding recall; this is the exact
+    path whose cost is bounded by the posting DF distribution.
+    """
+    sh = _persisted_shingles(spark, sf_dir)
+    counts = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    posts = sh.select("doc_id", F.explode("sh").alias("g"))
+    hot = (
+        posts.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > C.JACCARD_MAX_DF)
+        .select("g")
+    )
+    posts = posts.join(F.broadcast(hot), "g", "left_anti")
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            counts.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            counts.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "inter",
+            F.expr(
+                "round(inter / cast(n_a + n_b - inter as double), 6)"
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= C.JACCARD_THRESHOLD)
+    )
+
+
+def sql_jaccard_pairs() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+        ),
+        shs AS (SELECT doc_id, {_shingles_duck()} AS sh FROM toks),
+        cnts AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
+        posts0 AS (SELECT doc_id, unnest(sh) AS g FROM shs),
+        hot AS (
+            SELECT g FROM posts0 GROUP BY g
+            HAVING count(*) > {C.JACCARD_MAX_DF}
+        ),
+        posts AS (
+            SELECT * FROM posts0 WHERE g NOT IN (SELECT g FROM hot)
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS inter
+            FROM posts a JOIN posts b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.doc_a, i.doc_b, ca.n_sh AS n_a, cb.n_sh AS n_b,
+               i.inter,
+               round(i.inter / (ca.n_sh + cb.n_sh - i.inter)::DOUBLE, 6)
+                   AS jaccard
+        FROM inter i
+        JOIN cnts ca ON ca.doc_id = i.doc_a
+        JOIN cnts cb ON cb.doc_id = i.doc_b
+        WHERE round(i.inter / (ca.n_sh + cb.n_sh - i.inter)::DOUBLE, 6)
+              >= {C.JACCARD_THRESHOLD}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Connected-component dedup clustering (pairs -> clusters -> keep list)
 # ---------------------------------------------------------------------------
 
@@ -662,4 +767,74 @@ def sql_dedup_clusters() -> str:
         SELECT comp.doc_id, comp.cluster_id, sized.cluster_size,
                comp.doc_id = comp.cluster_id AS is_canonical
         FROM comp JOIN sized USING (cluster_id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# dedup savings report (what the keep list buys)
+# ---------------------------------------------------------------------------
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row report of what applying the dedup keep list saves:
+    document / token / char mass dropped by keeping one canonical per
+    near-dup cluster — the number a curation run reports to decide
+    whether the dedup pass paid for itself. Reuses the memoized
+    cluster table; one corpus-width join on doc_id + a global agg
+    (AQE collapses it to a single partial-aggregated exchange)."""
+    from .textstats import TOKENS_SPARK as _TOKS
+
+    clusters = q_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    docs = read_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"size({_TOKS})").alias("n_toks"),
+        "n_chars",
+    )
+    joined = docs.join(clusters, "doc_id")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_dropped"),
+        F.sum("n_toks").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(~F.col("is_canonical"), F.col("n_toks")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_dropped"),
+        F.sum(F.when(~F.col("is_canonical"), F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_dropped"),
+    ).select(
+        "*",
+        F.expr(
+            "round(tokens_dropped / cast(tokens_total as double), 6)"
+        ).alias("token_drop_frac"),
+    )
+
+
+def sql_dedup_savings() -> str:
+    from .textstats import TOKENS_DUCK as _TOKS
+
+    return f"""
+        WITH clusters AS ({sql_dedup_clusters()}),
+        toks AS (
+            SELECT doc_id, len({_TOKS}) AS n_toks, n_chars
+            FROM documents
+        ),
+        j AS (
+            SELECT t.n_toks, t.n_chars, c.is_canonical
+            FROM toks t JOIN clusters c USING (doc_id)
+        )
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END)::BIGINT
+                   AS docs_dropped,
+               sum(n_toks)::BIGINT AS tokens_total,
+               sum(CASE WHEN NOT is_canonical THEN n_toks ELSE 0
+                   END)::BIGINT AS tokens_dropped,
+               sum(CASE WHEN NOT is_canonical THEN n_chars ELSE 0
+                   END)::BIGINT AS chars_dropped,
+               round(sum(CASE WHEN NOT is_canonical THEN n_toks ELSE 0
+                         END) / sum(n_toks)::DOUBLE, 6)
+                   AS token_drop_frac
+        FROM j
     """

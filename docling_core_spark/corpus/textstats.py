@@ -287,3 +287,49 @@ def sql_fingerprint() -> str:
                    h -> h::VARCHAR), ','), '')) AS fingerprint_md5
         FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus rollup stats (the curation dashboard query)
+# ---------------------------------------------------------------------------
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus rollup: document counts, token mass,
+    and EXACT token-count percentiles (p50/p90/p99, linear
+    interpolation — Spark `percentile` and DuckDB `quantile_cont`
+    share the definition; values rounded to 6dp for the cross-engine
+    hash). One shuffle on the tiny (source, lang) key; the percentile
+    agg holds each group's token-count list, fine for dashboard
+    cardinality — a per-document percentile at 10^12 rows would use
+    approx_percentile with a documented error bound instead."""
+    docs = read_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "lang",
+        F.expr(f"size({TOKENS_SPARK})").alias("n_toks"),
+        "n_chars",
+    )
+    return toks.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("sum_tokens"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.expr("round(percentile(n_toks, 0.5), 6)").alias("p50_tokens"),
+        F.expr("round(percentile(n_toks, 0.9), 6)").alias("p90_tokens"),
+        F.expr("round(percentile(n_toks, 0.99), 6)").alias("p99_tokens"),
+    )
+
+
+def sql_corpus_stats() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT source, lang, len({TOKENS_DUCK}) AS n_toks, n_chars
+            FROM documents
+        )
+        SELECT source, lang, count(*) AS n_docs,
+               sum(n_toks)::BIGINT AS sum_tokens,
+               sum(n_chars)::BIGINT AS sum_chars,
+               round(quantile_cont(n_toks, 0.5), 6) AS p50_tokens,
+               round(quantile_cont(n_toks, 0.9), 6) AS p90_tokens,
+               round(quantile_cont(n_toks, 0.99), 6) AS p99_tokens
+        FROM toks GROUP BY source, lang
+    """

@@ -68,6 +68,8 @@ def _pairs():
         "lsh_buckets": (CD.q_lsh_buckets, CD.sql_lsh_buckets),
         "neardup_pairs": (CD.q_neardup_pairs, CD.sql_neardup_pairs),
         "dedup_clusters": (CD.q_dedup_clusters, CD.sql_dedup_clusters),
+        "jaccard_pairs": (CD.q_jaccard_pairs, CD.sql_jaccard_pairs),
+        "dedup_savings": (CD.q_dedup_savings, CD.sql_dedup_savings),
         "simhash": (CD.q_simhash, CD.sql_simhash),
         "knn_bruteforce": (CS.q_knn_bruteforce, CS.sql_knn_bruteforce),
         "lsh_bucket_stats": (CS.q_lsh_bucket_stats, CS.sql_lsh_bucket_stats),
@@ -80,6 +82,7 @@ def _pairs():
         "semdedup_clusters": (
             CS.q_semdedup_clusters, CS.sql_semdedup_clusters,
         ),
+        "corpus_stats": (CT.q_corpus_stats, CT.sql_corpus_stats),
         "gopher_quality": (CF.q_gopher_quality, CF.sql_gopher_quality),
         "dup_ngrams": (CF.q_dup_ngrams, CF.sql_dup_ngrams),
         "pii_scrub": (CF.q_pii_scrub, CF.sql_pii_scrub),
@@ -116,6 +119,22 @@ def test_neardup_pairs_find_planted_duplicates(spark):
     assert len(rows) > 0
     assert all(r["jaccard"] >= C.JACCARD_THRESHOLD for r in rows)
     assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_lsh_pairs_subset_of_exact_jaccard(spark):
+    """The MinHash-LSH path can only MISS pairs (banding recall), never
+    invent them: every LSH-verified near-dup pair must appear in the
+    exact inverted-index Jaccard join with the identical score."""
+    from docling_core_spark.corpus import dedup as CD
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in CD.q_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    lsh = CD.q_neardup_pairs(spark, SF_DIR).collect()
+    assert 0 < len(lsh) <= len(exact)
+    for r in lsh:
+        assert exact[(r["doc_a"], r["doc_b"])] == r["jaccard"]
 
 
 def test_dedup_clusters_transitive_chain(spark):
