@@ -152,3 +152,45 @@ def test_ivf_pairs_broadcast_into_embedding_joins(spark):
 
     plan = _plan(q_ann_ivf_topk(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_jaccard_pairs_broadcasts_stop_shingle_list(spark):
+    """The hot-shingle exclusion list (tiny: shingles with df > cap)
+    must reach the posting table as a broadcast anti-join, and the
+    whole exact-join plan stays within its bounded shuffle budget:
+    posting-df agg, pair agg, two doc_id joins (+ read_spread fan-out
+    on the tiny test file)."""
+    import re
+
+    from docling_core_spark.corpus.dedup import q_jaccard_pairs
+
+    plan = _plan(q_jaccard_pairs(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "Broadcast" in plan, plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 6, plan
+
+
+def test_dup_ngrams_bounded_exchanges(spark):
+    """Bigram stats: gram groupBy + doc groupBy + the stitch join (+
+    read_spread fan-out) — no hidden extra shuffles."""
+    import re
+
+    from docling_core_spark.corpus.filters import q_dup_ngrams
+
+    plan = _plan(q_dup_ngrams(spark, SF))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 5, plan
+
+
+def test_corpus_stats_single_rollup_exchange(spark):
+    """One groupBy on the tiny (source, lang) key with map-side partial
+    aggregation (+ read_spread fan-out)."""
+    import re
+
+    from docling_core_spark.corpus.textstats import q_corpus_stats
+
+    plan = _plan(q_corpus_stats(spark, SF))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 2, plan
+    assert "partial_" in plan.lower() or "ObjectHashAggregate" in plan, plan
