@@ -304,3 +304,112 @@ def sql_pii_scrub() -> str:
                md5({scrub_expr_duck('text')}) AS scrub_md5
         FROM documents
     """
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+# Word-level n-gram size: the public decontamination recipes use 8-13
+# grams (GPT-3 appendix C uses 13-grams, Gopher/MassiveText 8-grams; we
+# follow the 8-gram variant). The "eval set" here is a deterministic
+# pseudo-benchmark carved out of the corpus itself: doc_id % DECON_MOD ==
+# DECON_RESIDUE (~1% of docs) — in production it would be the real
+# benchmark suites, which are similarly tiny next to a 100 TB corpus.
+DECON_NGRAM = 8
+DECON_MOD = 97
+DECON_RESIDUE = 13
+
+_DECON_EVAL_PRED = f"doc_id % {DECON_MOD} = {DECON_RESIDUE}"
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing any word-level 8-gram with the eval
+    set (contamination), with per-doc hit counts.
+
+    100 TB story: the eval side is benchmark-sized (thousands of docs)
+    regardless of corpus scale, so its distinct-gram table is broadcast
+    — the training side never shuffles its exploded grams; the only
+    wide exchange is the final per-doc aggregation on uniform doc_id.
+    Eval docs are excluded from the output (they trivially self-match)."""
+    n = DECON_NGRAM
+    docs = read_spread(spark, sf_dir, "documents")
+    gram_expr = (
+        f"case when size(toks) >= {n} then"
+        f" transform(sequence(1, size(toks) - {n - 1}),"
+        f"   i -> concat_ws(' ', slice(toks, i, {n})))"
+        f" else array() end"
+    )
+    toks = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    )
+    eval_grams = (
+        toks.where(_DECON_EVAL_PRED)
+        .select(F.explode(F.expr(gram_expr)).alias("gram"))
+        .distinct()
+    )
+    train_toks = toks.where(f"NOT ({_DECON_EVAL_PRED})")
+    train = train_toks.select(
+        "doc_id", F.explode(F.expr(gram_expr)).alias("gram")
+    )
+    hits = (
+        train.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hit_grams"))
+    )
+    # per-doc gram counts come from the un-exploded token table — no
+    # second pass over the exploded gram rows
+    sizes = train_toks.select(
+        "doc_id", F.expr(f"size({gram_expr})").alias("n_grams")
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_hit_grams", F.lit(0)).cast("bigint").alias(
+                "n_hit_grams"
+            ),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sql_decontaminate() -> str:
+    n = DECON_NGRAM
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+        ),
+        gr AS (
+            SELECT doc_id, len(toks) AS n_toks,
+                   CASE WHEN len(toks) >= {n} THEN
+                       list_transform(range(1, len(toks) - {n - 2}),
+                           i -> array_to_string(toks[i:i + {n - 1}], ' '))
+                   ELSE [] END AS grams
+            FROM toks
+        ),
+        eval_grams AS (
+            SELECT DISTINCT unnest(grams) AS gram
+            FROM gr WHERE {_DECON_EVAL_PRED}
+        ),
+        train AS (
+            SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+            FROM gr WHERE NOT ({_DECON_EVAL_PRED})
+        ),
+        hits AS (
+            SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_hit_grams
+            FROM train t
+            WHERE t.gram IN (SELECT gram FROM eval_grams)
+            GROUP BY t.doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, len(grams) AS n_grams
+            FROM gr WHERE NOT ({_DECON_EVAL_PRED})
+        )
+        SELECT s.doc_id,
+               COALESCE(s.n_grams, 0)::BIGINT AS n_grams,
+               COALESCE(h.n_hit_grams, 0)::BIGINT AS n_hit_grams,
+               COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+        FROM sizes s
+        LEFT JOIN hits h USING (doc_id)
+    """

@@ -334,19 +334,59 @@ def is_doc_item(item: dict) -> bool:
     return not is_group(item)
 
 
-def iterate_items(
+def build_ref_map(doc: dict) -> dict:
+    """Positional-pointer -> item map equivalent to `resolve` over every
+    live ref of a frozen document (O(n) once vs string-parse per call)."""
+    m = {"#/body": doc["body"], "#/furniture": doc["furniture"]}
+    for arr in (
+        "groups", "texts", "pictures", "tables",
+        "key_value_items", "form_items",
+    ):
+        for i, it in enumerate(doc.get(arr) or ()):
+            m[f"#/{arr}/{i}"] = it
+    for k, v in (doc.get("pages") or {}).items():
+        m[f"#/pages/{k}"] = v
+    return m
+
+
+class SharedDocContext:
+    """Memoized traversal state for ONE document whose tree is no longer
+    being mutated (create it *after* parse/normalize, before export).
+
+    Serializing a document runs the same pre-order DFS many times — once
+    per format per exclusion/caption-set build plus one sub-walk per list
+    group — so the flagship pipeline's per-doc cost was dominated by
+    re-walking an identical tree (~377 iterate_items calls/doc profiled).
+    Sharing this context across the markdown/doctags/html/etree exports
+    makes each distinct (root, filter) traversal happen once.
+
+    Not thread-safe and MUST be discarded if the tree is mutated.
+    """
+
+    __slots__ = ("doc", "ref_map", "iter_cache", "captions", "excluded")
+
+    def __init__(self, doc: dict):
+        self.doc = doc
+        self.ref_map = build_ref_map(doc)
+        self.iter_cache: dict = {}
+        self.captions = None  # filled by serialize.common on first use
+        self.excluded: dict = {}  # params-signature -> frozenset of refs
+
+    def resolve(self, ref: str):
+        return self.ref_map.get(ref)
+
+
+def _walk_items(
     doc: dict,
-    root: Optional[dict] = None,
-    with_groups: bool = False,
-    traverse_pictures: bool = False,
-    page_no: Optional[int] = None,
-    included_content_layers: Optional[frozenset] = None,
+    root: dict,
+    with_groups: bool,
+    traverse_pictures: bool,
+    page_no: Optional[int],
+    layers: frozenset,
+    shared: Optional[SharedDocContext],
 ) -> Iterator[Tuple[dict, int]]:
-    """Pre-order DFS yielding (item, level). Parity: document.py:2699-2767."""
-    layers = (
-        included_content_layers
-        if included_content_layers is not None
-        else L.DEFAULT_CONTENT_LAYERS
+    resolve_ref = shared.ref_map.get if shared is not None else (
+        lambda r: resolve(doc, r)
     )
 
     def walk(node: dict, level: int) -> Iterator[Tuple[dict, int]]:
@@ -367,7 +407,7 @@ def iterate_items(
             set(node.get("captions", [])) if node_is_picture else ()
         )
         for child_ref in node.get("children", []):
-            child = resolve(doc, child_ref)
+            child = resolve_ref(child_ref)
             if child is None:
                 continue
             if (
@@ -379,7 +419,45 @@ def iterate_items(
                 continue
             yield from walk(child, level + 1)
 
-    yield from walk(root if root is not None else doc["body"], 0)
+    yield from walk(root, 0)
+
+
+def iterate_items(
+    doc: dict,
+    root: Optional[dict] = None,
+    with_groups: bool = False,
+    traverse_pictures: bool = False,
+    page_no: Optional[int] = None,
+    included_content_layers: Optional[frozenset] = None,
+    shared: Optional[SharedDocContext] = None,
+) -> Iterator[Tuple[dict, int]]:
+    """Pre-order DFS yielding (item, level). Parity: document.py:2699-2767.
+
+    With `shared`, the materialized traversal is memoized per
+    (root, filters) key — identical sequence, paid once per document."""
+    layers = (
+        included_content_layers
+        if included_content_layers is not None
+        else L.DEFAULT_CONTENT_LAYERS
+    )
+    start = root if root is not None else doc["body"]
+    if shared is None:
+        return _walk_items(
+            doc, start, with_groups, traverse_pictures, page_no, layers, None
+        )
+    key = (
+        id(start), with_groups, traverse_pictures, page_no, layers,
+    )
+    hit = shared.iter_cache.get(key)
+    if hit is None:
+        hit = list(
+            _walk_items(
+                doc, start, with_groups, traverse_pictures, page_no,
+                layers, shared,
+            )
+        )
+        shared.iter_cache[key] = hit
+    return iter(hit)
 
 
 def iterate_items_with_stack(

@@ -47,7 +47,13 @@ def process_doc(doc_id: str, spans) -> dict:
     doc, diags = parse_span_doc(doc_id, spans)
     violations = validate_doc(doc)
     tree_valid = violations["broken_tree"] == 0
-    md_res = serialize_markdown(doc)
+    # The tree is frozen from here on: share one memoized traversal
+    # context across all four serializers (each otherwise re-walks the
+    # same tree for exclusions, captions, parts, and per-list sub-walks).
+    from .model.doc import SharedDocContext
+
+    shared = SharedDocContext(doc)
+    md_res = serialize_markdown(doc, shared=shared)
     seq = span_seq_from_result(md_res)
     anomalies = (
         diags["unknown_kind"]
@@ -62,9 +68,9 @@ def process_doc(doc_id: str, spans) -> dict:
             for (k, t, m, o) in seq
         ],
         "markdown": md_res.text,
-        "doctags": export_to_doctags(doc),
-        "html": export_to_html(doc),
-        "etree": export_to_element_tree(doc),
+        "doctags": export_to_doctags(doc, shared=shared),
+        "html": export_to_html(doc, shared=shared),
+        "etree": export_to_element_tree(doc, shared=shared),
         "n_items": sum(
             len(doc[a])
             for a in ("texts", "tables", "pictures", "groups",

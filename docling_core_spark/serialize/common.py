@@ -92,6 +92,7 @@ def iterate_with_page_breaks(
     add_page_breaks: bool = False,
     visited: Optional[Set[str]] = None,
     traverse_pictures: bool = False,
+    shared: Optional[D.SharedDocContext] = None,
 ) -> Iterator[dict]:
     """DFS (with groups) interleaving synthetic page-break nodes.
 
@@ -105,13 +106,22 @@ def iterate_with_page_breaks(
     ``#/pb/{i}`` refs happens in the caller's visited set — this ref
     collision is what prevents double page-break emission in the reference.
     """
+    if not add_page_breaks:
+        # pure pass-through: identical item sequence, no pb logic to run
+        for item, _lvl in D.iterate_items(
+            doc, root=node, with_groups=True, included_content_layers=layers,
+            traverse_pictures=traverse_pictures, shared=shared,
+        ):
+            yield item
+        return
+
     my_visited: Set[str] = visited if visited is not None else set()
     prev_page: Optional[int] = None
     page_break_i = 0
 
     for item, _lvl in D.iterate_items(
         doc, root=node, with_groups=True, included_content_layers=layers,
-        traverse_pictures=traverse_pictures,
+        traverse_pictures=traverse_pictures, shared=shared,
     ):
         if add_page_breaks:
             if (
@@ -129,6 +139,7 @@ def iterate_with_page_breaks(
                     add_page_breaks=add_page_breaks,
                     visited=my_visited,
                     traverse_pictures=traverse_pictures,
+                    shared=shared,
                 ):
                     if D.is_doc_item(it) and it.get("prov"):
                         page_no = it["prov"][0]["page_no"]
@@ -155,26 +166,52 @@ def iterate_with_page_breaks(
         yield item
 
 
-def captions_of_some_item(doc: dict) -> Set[str]:
+def captions_of_some_item(
+    doc: dict, shared: Optional[D.SharedDocContext] = None
+) -> Set[str]:
     """Refs that are captions of a floating item (common.py:225-238)."""
+    if shared is not None and shared.captions is not None:
+        return shared.captions
     refs: Set[str] = set()
     for item, _ in D.iterate_items(
         doc,
         with_groups=True,
         traverse_pictures=True,
         included_content_layers=L.CONTENT_LAYERS,
+        shared=shared,
     ):
         for cap in item.get("captions", []) or []:
             refs.add(cap)
+    if shared is not None:
+        shared.captions = refs
     return refs
 
 
-def excluded_refs(doc: dict, params: SerParams) -> Set[str]:
+def _excl_key(params: SerParams):
+    return (
+        params.start_idx,
+        params.stop_idx,
+        params.labels if isinstance(params.labels, frozenset)
+        else frozenset(params.labels),
+        params.layers,
+        None if params.pages is None else frozenset(params.pages),
+    )
+
+
+def excluded_refs(
+    doc: dict, params: SerParams,
+    shared: Optional[D.SharedDocContext] = None,
+) -> Set[str]:
     """Slice/label/layer/page exclusion set (common.py:240-275)."""
+    if shared is not None:
+        memo_key = _excl_key(params)
+        cached = shared.excluded.get(memo_key)
+        if cached is not None:
+            return cached
     out: Set[str] = set()
     for ix, item in enumerate(
         iterate_with_page_breaks(
-            doc, layers=params.layers, traverse_pictures=True
+            doc, layers=params.layers, traverse_pictures=True, shared=shared
         )
     ):
         excl = ix < params.start_idx or ix >= params.stop_idx
@@ -192,18 +229,27 @@ def excluded_refs(doc: dict, params: SerParams) -> Set[str]:
             )
         if excl:
             out.add(item["self_ref"])
+    if shared is not None:
+        shared.excluded[memo_key] = out
     return out
 
 
 class DocSerializerState:
     """Per-document serialization context shared by all formats."""
 
-    def __init__(self, doc: dict, params: SerParams, vtable: Dict[str, Callable]):
+    def __init__(
+        self,
+        doc: dict,
+        params: SerParams,
+        vtable: Dict[str, Callable],
+        shared: Optional[D.SharedDocContext] = None,
+    ):
         self.doc = doc
         self.params = params
         self.vtable = vtable
-        self.captions = captions_of_some_item(doc)
-        self.excluded = excluded_refs(doc, params)
+        self.shared = shared
+        self.captions = captions_of_some_item(doc, shared=shared)
+        self.excluded = excluded_refs(doc, params, shared=shared)
         self.requires_page_break = vtable.get("requires_page_break", lambda p: False)(
             params
         )
@@ -262,6 +308,7 @@ class DocSerializerState:
             layers=self.params.layers,
             node=item,
             add_page_breaks=self.requires_page_break,
+            shared=self.shared,
         ):
             if node["self_ref"] in my_visited:
                 continue
@@ -287,7 +334,11 @@ class DocSerializerState:
             return ser_result(text="")
         results: List[SerResult] = []
         for cap_ref in item.get("captions", []) or []:
-            cap = D.resolve(self.doc, cap_ref)
+            cap = (
+                self.shared.resolve(cap_ref)
+                if self.shared is not None
+                else D.resolve(self.doc, cap_ref)
+            )
             if (
                 cap is not None
                 and cap.get("kind") == "texts"

@@ -108,7 +108,11 @@ def _serialize_captions_dt(state: DocSerializerState, item: dict) -> SerResult:
     if state.params.add_location:
         for cap_ref in item["captions"]:
             if cap_ref not in state.excluded:
-                cap = D.resolve(state.doc, cap_ref)
+                cap = (
+                    state.shared.resolve(cap_ref)
+                    if state.shared is not None
+                    else D.resolve(state.doc, cap_ref)
+                )
                 if cap is not None and D.is_doc_item(cap):
                     results.append(
                         SerResult(text=_get_location_tokens(state, cap))
@@ -303,7 +307,7 @@ def _inline_ser(
         boxes = []
         items = []
         last_prov = None
-        for it, _ in D.iterate_items(state.doc, root=item):
+        for it, _ in D.iterate_items(state.doc, root=item, shared=state.shared):
             if D.is_doc_item(it):
                 for prov in it.get("prov", []) or []:
                     boxes.append(prov)
@@ -374,21 +378,23 @@ DOCTAGS_VTABLE = {
 }
 
 
-def serialize_doctags(doc: dict, params: Optional[SerParams] = None) -> SerResult:
+def serialize_doctags(
+    doc: dict, params: Optional[SerParams] = None, shared=None
+) -> SerResult:
     # DocTags default layers = ALL content layers (common.py:57,185) — page
     # headers/footers (furniture) are included, unlike markdown.
     p = params or SerParams(
         labels=L.DOCUMENT_TOKENS_EXPORT_LABELS,
         layers=L.CONTENT_LAYERS,
     )
-    state = DocSerializerState(doc, p, DOCTAGS_VTABLE)
+    state = DocSerializerState(doc, p, DOCTAGS_VTABLE, shared=shared)
     return state.serialize_doc()
 
 
-def export_to_doctags(doc: dict, minified: bool = False) -> str:
+def export_to_doctags(doc: dict, minified: bool = False, shared=None) -> str:
     p = SerParams(
         labels=L.DOCUMENT_TOKENS_EXPORT_LABELS,
         layers=L.CONTENT_LAYERS,
         minified=minified,
     )
-    return serialize_doctags(doc, p).text
+    return serialize_doctags(doc, p, shared=shared).text

@@ -12,7 +12,7 @@ from ..model import doc as D
 from ..model import labels as L
 
 
-def export_to_element_tree(doc: dict) -> str:
+def export_to_element_tree(doc: dict, shared=None) -> str:
     texts = []
     for ix, (item, level) in enumerate(
         D.iterate_items(
@@ -20,6 +20,7 @@ def export_to_element_tree(doc: dict) -> str:
             with_groups=True,
             traverse_pictures=True,
             included_content_layers=L.CONTENT_LAYERS,
+            shared=shared,
         )
     ):
         kind = item.get("kind", "groups")

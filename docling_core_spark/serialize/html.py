@@ -33,7 +33,9 @@ except ImportError:
 
 def _text_direction(text: str) -> str:
     """LTR/RTL detection (types/doc/utils.py:62-75)."""
-    if not text:
+    if not text or text.isascii():
+        # no ASCII codepoint has bidirectional class R/AL — C-speed
+        # shortcut for the dominant case, same answer as the full scan
         return "ltr"
     rtl = {"R", "AL"}
     rtl_chars = sum(unicodedata.bidirectional(c) in rtl for c in text)
@@ -131,7 +133,11 @@ def _serialize_captions_html(
     results: List[SerResult] = []
     if L.CAPTION in p.labels:
         for cap_ref in item.get("captions", []) or []:
-            cap = D.resolve(state.doc, cap_ref)
+            cap = (
+                state.shared.resolve(cap_ref)
+                if state.shared is not None
+                else D.resolve(state.doc, cap_ref)
+            )
             if (
                 cap is not None
                 and cap.get("kind") == "texts"
@@ -478,7 +484,7 @@ def _applicable_pages(state: DocSerializerState) -> Optional[List[int]]:
     for ix, (item, _lvl) in enumerate(
         D.iterate_items(
             state.doc, with_groups=True, traverse_pictures=True,
-            included_content_layers=p.layers,
+            included_content_layers=p.layers, shared=state.shared,
         )
     ):
         prov = item.get("prov")
@@ -560,14 +566,18 @@ HTML_VTABLE = {
 }
 
 
-def serialize_html(doc: dict, params: Optional[SerParams] = None) -> SerResult:
+def serialize_html(
+    doc: dict, params: Optional[SerParams] = None, shared=None
+) -> SerResult:
     p = params or SerParams()
-    state = DocSerializerState(doc, p, HTML_VTABLE)
+    state = DocSerializerState(doc, p, HTML_VTABLE, shared=shared)
     return state.serialize_doc()
 
 
-def export_to_html(doc: dict, **kw) -> str:
-    return serialize_html(doc, SerParams(**kw) if kw else None).text
+def export_to_html(doc: dict, shared=None, **kw) -> str:
+    return serialize_html(
+        doc, SerParams(**kw) if kw else None, shared=shared
+    ).text
 
 
 def html_body(html_text: str) -> str:

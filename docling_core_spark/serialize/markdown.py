@@ -322,9 +322,13 @@ MARKDOWN_VTABLE = {
 }
 
 
-def serialize_markdown(doc: dict, params: Optional[SerParams] = None) -> SerResult:
+def serialize_markdown(
+    doc: dict, params: Optional[SerParams] = None, shared=None
+) -> SerResult:
     """doc dict -> markdown SerResult (text + north-rule span sequence)."""
-    state = DocSerializerState(doc, params or SerParams(), MARKDOWN_VTABLE)
+    state = DocSerializerState(
+        doc, params or SerParams(), MARKDOWN_VTABLE, shared=shared
+    )
     return state.serialize_doc()
 
 
