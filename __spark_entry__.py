@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": CF.q_gopher_quality,
         "dup_ngrams": CF.q_dup_ngrams,
         "pii_scrub": CF.q_pii_scrub,
+        "decontaminate": CF.q_decontaminate,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": CD.q_minhash_signatures,
@@ -555,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": CF.sql_gopher_quality(),
         "dup_ngrams": CF.sql_dup_ngrams(),
         "pii_scrub": CF.sql_pii_scrub(),
+        "decontaminate": CF.sql_decontaminate(),
         "bbox_ops": _bbox_oracle(),
         "page_cells_in_bbox": _pages_oracle("cells_in_bbox"),
         "page_crop_text": _pages_oracle("crop_text"),

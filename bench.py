@@ -44,7 +44,7 @@ GROUPS: dict[str, list[str]] = {
     "text": [
         "token_stats", "lang_id", "quality_score", "fingerprint",
         "lang_stats", "corpus_curation", "gopher_quality", "dup_ngrams",
-        "pii_scrub", "corpus_stats",
+        "pii_scrub", "corpus_stats", "decontaminate",
     ],
     "dedup": [
         # pure-scan queries first; the LSH family fills the persisted

@@ -132,3 +132,91 @@ def test_pii_plan_is_scan_shaped(spark):
         spark, "/root/testdata/sf0.001"
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
+
+
+def test_decontaminate_flags_8gram_overlap(spark, tmp_path):
+    """doc 13 is the eval doc (13 % 97 == 13); doc 1 copies one of its
+    8-grams verbatim, doc 2 shares only shorter overlaps."""
+    eval_text = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliett kilo lima"
+    )
+    # contains 'alpha ... hotel' = the eval doc's first 8-gram
+    contaminated = (
+        "intro words alpha bravo charlie delta echo foxtrot golf hotel "
+        "then it diverges completely afterwards"
+    )
+    # 7-gram overlap only -> clean
+    clean = (
+        "alpha bravo charlie delta echo foxtrot golf DIFFERENT tail "
+        "words here"
+    )
+    docs = spark.createDataFrame(
+        [(13, eval_text), (1, contaminated), (2, clean)],
+        ["doc_id", "text"],
+    )
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in CF.q_decontaminate(spark, str(tmp_path)).collect()
+    }
+    assert 13 not in rows  # eval docs excluded from the output
+    assert rows[1]["contaminated"] is True
+    assert rows[1]["n_hit_grams"] == 1
+    assert rows[2]["contaminated"] is False
+    assert rows[2]["n_hit_grams"] == 0
+    assert rows[2]["n_grams"] == 4  # 11 words -> 4 8-grams
+
+
+def test_decontaminate_spark_duckdb_agree_on_crafted_fixture(
+    spark, tmp_path
+):
+    docs = spark.createDataFrame(
+        [
+            (13, "one two three four five six seven eight nine ten"),
+            (1, "x one two three four five six seven eight y"),
+            (2, "totally different text with no overlap at all here ok"),
+            (20, "one two three four five six seven eight tail tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    pq = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+    got = (
+        CF.q_decontaminate(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import glob
+
+    part = glob.glob(pq + "/*.parquet")[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{part}')"
+    )
+    want = (
+        con.execute(CF.sql_decontaminate())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["n_grams"]) == list(want["n_grams"])
+    assert list(got["n_hit_grams"]) == list(want["n_hit_grams"])
+    assert [bool(x) for x in got["contaminated"]] == [
+        bool(x) for x in want["contaminated"]
+    ]
+    # both train docs overlap the eval doc's 8-grams
+    by_id = dict(zip(got["doc_id"], got["contaminated"]))
+    assert bool(by_id[1]) and bool(by_id[20]) and not bool(by_id[2])
+
+
+def test_decontaminate_plan_broadcasts_eval_grams(spark):
+    plan = CF.q_decontaminate(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
