@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal as CM,
         similarity as CS,
         textstats as CT,
+        webextract as CW,
     )
 
     return {
@@ -439,6 +440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": CF.q_dup_ngrams,
         "pii_scrub": CF.q_pii_scrub,
         "decontaminate": CF.q_decontaminate,
+        # main-content extraction (HTML boilerplate strip, DOM heuristics)
+        "html_strip": CW.q_html_strip,
+        "main_content": CW.q_main_content,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": CD.q_minhash_signatures,
@@ -499,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         multimodal as CM,
         similarity as CS,
         textstats as CT,
+        webextract as CW,
     )
 
     # pipeline_* oracles: reference-derived golden parquet, pre-generated
@@ -557,6 +562,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngrams": CF.sql_dup_ngrams(),
         "pii_scrub": CF.sql_pii_scrub(),
         "decontaminate": CF.sql_decontaminate(),
+        "html_strip": CW.sql_html_strip(),
+        "main_content": CW.sql_main_content(),
         "bbox_ops": _bbox_oracle(),
         "page_cells_in_bbox": _pages_oracle("cells_in_bbox"),
         "page_crop_text": _pages_oracle("crop_text"),

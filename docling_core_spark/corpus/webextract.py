@@ -1,0 +1,278 @@
+"""Main-content extraction over web-style documents: HTML boilerplate
+strip + DOM-heuristic block classification (the north rule's "HTML
+boilerplate strip ... DOM heuristics" surface).
+
+The corpus tables carry plain text, so each operator first *synthesises*
+a deterministic HTML page around every document — head with title /
+style / script, a nav link bar, an h1, the document text as content
+paragraphs, a sponsored aside, and a footer — entirely inside the query
+(no external data), then extracts the main content back out:
+
+* ``html_strip``  — script/style removal + tag strip + whitespace
+  normalisation; the classic "visible text" pass.
+* ``main_content`` — block segmentation (p/h1/nav/aside/footer) and a
+  context-free Boilerpipe/jusText-style classifier: a block is content
+  iff it is long enough AND its link density is <= 0.2 (Kohlschuetter
+  et al., WSDM 2010 "Boilerplate Detection using Shallow Text Features";
+  Pomikalek 2011 jusText). The link-density threshold is applied as an
+  exact integer comparison (5*link_chars <= n_chars) so Spark and DuckDB
+  agree bit-for-bit with no float rounding.
+
+Because the page is synthesised around known text, both operators are
+self-validating: ``html_strip`` must *contain* the original text and
+``main_content`` must *equal* it (whitespace-normalised) whenever the
+content paragraphs clear the length floor — reported per-row as
+``contains_source`` / ``recovered`` booleans that the gate hashes.
+
+100 TB story: both operators are narrow per-row expression pipelines
+over a pruned (doc_id, text[, lang, source]) scan — zero shuffles, zero
+Python, whole-stage codegen end to end. Block stats are computed with
+transform()/aggregate() HOFs over the extracted block array instead of
+an explode, so no row multiplication ever reaches an exchange.
+
+Reference analog: none — docling-core starts from already-parsed
+documents; this is the upstream acquisition step a web-scale corpus
+needs before the SURVEY.md §2 pipeline runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import read_spread
+from .textstats import _spark_re
+
+# Classifier constants (shared by both dialects).
+# LENGTH_LOW: jusText's length_low is 70 chars for real web paragraphs;
+# this corpus' documents are 47-560 chars so paragraphs are half that —
+# 15 keeps every real content paragraph while rejecting the h1/nav
+# stubs. MAX_LINK_DENSITY 0.2 is the jusText default, applied as
+# 5*link_chars <= n_chars (exact in integers).
+LENGTH_LOW = 15
+LINK_DENSITY_NUM = 5  # content iff LINK_DENSITY_NUM * link_chars <= n_chars
+
+_BLOCK_RE = r"<(?:p|h1|nav|aside|footer)\b[^>]*>.*?</(?:p|h1|nav|aside|footer)>"
+_TAG_RE = r"<[^>]*>"
+_ANCHOR_RE = r"<a\b[^>]*>(.*?)</a>"
+_SCRIPT_STYLE_RE = r"<(?:script|style)\b[^>]*>.*?</(?:script|style)>"
+
+
+# ---------------------------------------------------------------------------
+# deterministic page synthesis (identical byte output in both dialects)
+# ---------------------------------------------------------------------------
+
+def _page_spark() -> str:
+    """Spark SQL expr: the synthesised page, from (doc_id, text, lang,
+    source). Paragraphs are the first/second halves of the token list."""
+    toks = r"split(trim(text), '\\s+')"
+    k = f"(size({toks}) + 1) div 2"
+    p1 = f"concat_ws(' ', slice({toks}, 1, {k}))"
+    p2 = (
+        f"concat_ws(' ', slice({toks}, {k} + 1,"
+        f" size({toks}) - ({k})))"
+    )
+    did = "cast(doc_id as string)"
+    return f"""concat(
+        '<html><head><title>doc ', {did}, '</title>',
+        '<style>body{{margin:0}}</style>',
+        '<script>var t=1;</script></head><body>',
+        '<nav><a href="/">home</a> <a href="/s/', source, '">', source,
+        '</a> <a href="/l/', lang, '">', lang, '</a></nav>',
+        '<h1>doc ', {did}, '</h1>',
+        '<p>', {p1}, '</p>',
+        '<p>', {p2}, '</p>',
+        '<aside><a href="/ad">sponsored</a> click here now</aside>',
+        '<footer>copyright ', source,
+        ' <a href="/t">terms</a> <a href="/p">privacy</a></footer>',
+        '</body></html>')"""
+
+
+def _page_duck() -> str:
+    """DuckDB SQL expr producing byte-identical pages."""
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    k = f"((len({toks}) + 1) // 2)"
+    p1 = f"array_to_string({toks}[1:{k}], ' ')"
+    p2 = f"array_to_string({toks}[{k} + 1:len({toks})], ' ')"
+    did = "doc_id::VARCHAR"
+    return f"""'<html><head><title>doc ' || {did} || '</title>' ||
+        '<style>body{{margin:0}}</style>' ||
+        '<script>var t=1;</script></head><body>' ||
+        '<nav><a href="/">home</a> <a href="/s/' || source || '">' ||
+        source || '</a> <a href="/l/' || lang || '">' || lang ||
+        '</a></nav>' ||
+        '<h1>doc ' || {did} || '</h1>' ||
+        '<p>' || {p1} || '</p>' ||
+        '<p>' || {p2} || '</p>' ||
+        '<aside><a href="/ad">sponsored</a> click here now</aside>' ||
+        '<footer>copyright ' || source ||
+        ' <a href="/t">terms</a> <a href="/p">privacy</a></footer>' ||
+        '</body></html>'"""
+
+
+_NORM_SPARK = r"trim(regexp_replace({0}, '\\s+', ' '))"
+_NORM_DUCK = r"trim(regexp_replace({0}, '\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# html_strip: script/style removal + tag strip -> visible text
+# ---------------------------------------------------------------------------
+
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visible-text extraction: drop <script>/<style> subtrees, strip
+    every remaining tag, normalise whitespace. ``contains_source`` is
+    the self-check: the stripped page must contain the original
+    (normalised) document text."""
+    docs = read_spread(spark, sf_dir, "documents")
+    stripped = (
+        f"regexp_replace(regexp_replace({_page_spark()},"
+        f" '{_spark_re(_SCRIPT_STYLE_RE)}', ' '), '{_TAG_RE}', ' ')"
+    )
+    norm = _NORM_SPARK.format(stripped)
+    norm_text = _NORM_SPARK.format("text")
+    return docs.select(
+        "doc_id",
+        F.expr(f"cast(length({_page_spark()}) as bigint)").alias(
+            "n_html_chars"
+        ),
+        F.expr(f"cast(length({norm}) as bigint)").alias("n_text_chars"),
+        F.expr(f"instr({norm}, {norm_text}) > 0").alias(
+            "contains_source"
+        ),
+        F.expr(f"md5({norm})").alias("strip_md5"),
+    )
+
+
+def sql_html_strip() -> str:
+    stripped = (
+        f"regexp_replace(regexp_replace(page,"
+        f" '{_SCRIPT_STYLE_RE}', ' ', 'g'), '{_TAG_RE}', ' ', 'g')"
+    )
+    norm = _NORM_DUCK.format(stripped)
+    norm_text = _NORM_DUCK.format("text")
+    return f"""
+        WITH pages AS (
+            SELECT doc_id, text, {_page_duck()} AS page FROM documents
+        )
+        SELECT doc_id,
+               length(page)::BIGINT AS n_html_chars,
+               length({norm})::BIGINT AS n_text_chars,
+               strpos({norm}, {norm_text}) > 0 AS contains_source,
+               md5({norm}) AS strip_md5
+        FROM pages
+    """
+
+
+# ---------------------------------------------------------------------------
+# main_content: block segmentation + length/link-density classifier
+# ---------------------------------------------------------------------------
+
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerpipe/jusText-style main-content extraction. Blocks are the
+    p/h1/nav/aside/footer regions; a block is content iff its visible
+    text has >= LENGTH_LOW chars and link density <= 0.2. ``recovered``
+    asserts the concatenated content blocks equal the original text."""
+    docs = read_spread(spark, sf_dir, "documents")
+    inner = (
+        "trim(regexp_replace(regexp_replace(b,"
+        f" '{_TAG_RE}', ' '), '\\\\s+', ' '))"
+    )
+    link_chars = (
+        f"aggregate(regexp_extract_all(b, '{_spark_re(_ANCHOR_RE)}', 1),"
+        " 0, (acc, x) -> acc + length(x))"
+    )
+    stats = (
+        f"transform(regexp_extract_all({_page_spark()},"
+        f" '{_spark_re(_BLOCK_RE)}', 0),"
+        f" b -> named_struct("
+        f"'txt', {inner},"
+        f" 'n_chars', length({inner}),"
+        f" 'link_chars', {link_chars}))"
+    )
+    is_content = (
+        f"s -> s.n_chars >= {LENGTH_LOW}"
+        f" AND {LINK_DENSITY_NUM} * s.link_chars <= s.n_chars"
+    )
+    norm_text = _NORM_SPARK.format("text")
+    base = docs.select(
+        "doc_id",
+        F.expr(norm_text).alias("norm_text"),
+        F.expr(stats).alias("stats"),
+    ).select(
+        "doc_id",
+        "norm_text",
+        "stats",
+        F.expr(f"filter(stats, {is_content})").alias("content"),
+    )
+    total = "aggregate(stats, 0, (acc, s) -> acc + s.n_chars)"
+    kept = "aggregate(content, 0, (acc, s) -> acc + s.n_chars)"
+    main = "concat_ws(' ', transform(content, s -> s.txt))"
+    return base.select(
+        "doc_id",
+        F.expr("cast(size(stats) as bigint)").alias("n_blocks"),
+        F.expr("cast(size(content) as bigint)").alias("n_content_blocks"),
+        F.expr(f"cast({kept} as bigint)").alias("content_chars"),
+        F.expr(f"cast({total} - {kept} as bigint)").alias("boiler_chars"),
+        F.expr(f"md5({main})").alias("main_md5"),
+        F.expr(f"{main} = norm_text").alias("recovered"),
+    )
+
+
+def sql_main_content() -> str:
+    inner = (
+        "trim(regexp_replace(regexp_replace(b,"
+        f" '{_TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    link_chars = (
+        "coalesce(list_aggregate(list_transform("
+        f"regexp_extract_all(b, '{_ANCHOR_RE}', 1),"
+        " x -> length(x)), 'sum'), 0)"
+    )
+    stats = (
+        f"list_transform(regexp_extract_all(page, '{_BLOCK_RE}', 0),"
+        f" b -> struct_pack(txt := {inner},"
+        f" n_chars := length({inner}),"
+        f" link_chars := {link_chars}))"
+    )
+    is_content = (
+        f"s -> struct_extract(s, 'n_chars') >= {LENGTH_LOW}"
+        f" AND {LINK_DENSITY_NUM} * struct_extract(s, 'link_chars')"
+        " <= struct_extract(s, 'n_chars')"
+    )
+    total = (
+        "coalesce(list_aggregate(list_transform(stats,"
+        " s -> struct_extract(s, 'n_chars')), 'sum'), 0)"
+    )
+    kept = (
+        "coalesce(list_aggregate(list_transform(content,"
+        " s -> struct_extract(s, 'n_chars')), 'sum'), 0)"
+    )
+    # coalesce: DuckDB's array_to_string yields NULL on an empty list
+    # where Spark's concat_ws yields '' — canonicalise to ''
+    main = (
+        "coalesce(array_to_string(list_transform(content,"
+        " s -> struct_extract(s, 'txt')), ' '), '')"
+    )
+    norm_text = _NORM_DUCK.format("text")
+    return f"""
+        WITH pages AS (
+            SELECT doc_id, text, {_page_duck()} AS page FROM documents
+        ),
+        blk AS (
+            SELECT doc_id, {norm_text} AS norm_text, {stats} AS stats
+            FROM pages
+        ),
+        cls AS (
+            SELECT doc_id, norm_text, stats,
+                   list_filter(stats, {is_content}) AS content
+            FROM blk
+        )
+        SELECT doc_id,
+               len(stats)::BIGINT AS n_blocks,
+               len(content)::BIGINT AS n_content_blocks,
+               ({kept})::BIGINT AS content_chars,
+               ({total} - {kept})::BIGINT AS boiler_chars,
+               md5({main}) AS main_md5,
+               {main} = norm_text AS recovered
+        FROM cls
+    """
