@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         filters as CF,
         multimodal as CM,
         similarity as CS,
+        keywords as CK,
         textstats as CT,
         webextract as CW,
     )
@@ -443,6 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # main-content extraction (HTML boilerplate strip, DOM heuristics)
         "html_strip": CW.q_html_strip,
         "main_content": CW.q_main_content,
+        # corpus keywords
+        "top_ngrams": CK.q_top_ngrams,
+        "tfidf_topk": CK.q_tfidf_topk,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": CD.q_minhash_signatures,
@@ -502,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
         filters as CF,
         multimodal as CM,
         similarity as CS,
+        keywords as CK,
         textstats as CT,
         webextract as CW,
     )
@@ -564,6 +569,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": CF.sql_decontaminate(),
         "html_strip": CW.sql_html_strip(),
         "main_content": CW.sql_main_content(),
+        "top_ngrams": CK.sql_top_ngrams(),
+        "tfidf_topk": CK.sql_tfidf_topk(),
         "bbox_ops": _bbox_oracle(),
         "page_cells_in_bbox": _pages_oracle("cells_in_bbox"),
         "page_crop_text": _pages_oracle("crop_text"),

@@ -45,7 +45,7 @@ GROUPS: dict[str, list[str]] = {
         "token_stats", "lang_id", "quality_score", "fingerprint",
         "lang_stats", "corpus_curation", "gopher_quality", "dup_ngrams",
         "pii_scrub", "corpus_stats", "decontaminate",
-        "html_strip", "main_content",
+        "html_strip", "main_content", "top_ngrams", "tfidf_topk",
     ],
     "dedup": [
         # pure-scan queries first; the LSH family fills the persisted

@@ -1,0 +1,84 @@
+"""Corpus keyword operators: top n-grams and per-doc TF-IDF top-k."""
+
+import glob
+
+import duckdb
+from pyspark.sql import functions as F
+
+from docling_core_spark.corpus import keywords as K
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_top_ngrams_shape_and_order(spark):
+    rows = K.q_top_ngrams(spark, SF).collect()
+    assert len(rows) == K.TOP_NGRAMS_K
+    assert [r["rank"] for r in rows] == list(range(1, 101))
+    # deterministic (count desc, gram asc) order
+    keys = [(-r["n_occurrences"], r["gram"]) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r["n_docs"] <= r["n_occurrences"] for r in rows)
+
+
+def test_tfidf_crafted_fixture(spark, tmp_path):
+    """'rare' appears only in doc 1 -> highest idf there; 'common' is in
+    every doc -> lowest idf."""
+    docs = spark.createDataFrame(
+        [(1, "common rare common alpha"),
+         (2, "common beta beta gamma"),
+         (3, "common gamma delta alpha")],
+        ["doc_id", "text"],
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = K.q_tfidf_topk(spark, str(tmp_path))
+    d1 = {r["rank"]: r for r in out.where("doc_id = 1").collect()}
+    assert d1[1]["term"] == "rare"
+    assert d1[1]["df"] == 1
+    # the everywhere-term scores idf = ln(4/4) = 0 exactly
+    common = [r for r in d1.values() if r["term"] == "common"][0]
+    assert common["score"] == 0.0
+    assert common["df"] == 3 and common["tf"] == 2
+    # every doc emits at most TFIDF_TOPK rows
+    counts = (out.groupBy("doc_id").count().collect())
+    assert all(c["count"] <= K.TFIDF_TOPK for c in counts)
+
+
+def test_cross_engine_parity_sf0001(spark):
+    part = glob.glob(f"{SF}/documents.parquet")[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{part}')"
+    )
+    for name, qf, sqlf, sort_cols in [
+        ("top_ngrams", K.q_top_ngrams, K.sql_top_ngrams, ["rank"]),
+        ("tfidf_topk", K.q_tfidf_topk, K.sql_tfidf_topk,
+         ["doc_id", "rank"]),
+    ]:
+        got = (qf(spark, SF).toPandas()
+               .sort_values(sort_cols).reset_index(drop=True))
+        want = (con.execute(sqlf()).df()
+                .sort_values(sort_cols).reset_index(drop=True))
+        assert sorted(got.columns) == sorted(want.columns), name
+        for c in sorted(got.columns):
+            fmt = lambda x: (f"{x:.6g}" if isinstance(x, float) else str(x))
+            assert [fmt(x) for x in got[c]] == [fmt(x) for x in want[c]], (
+                name, c)
+
+
+def test_top_ngrams_plan_no_global_window_before_cut(spark):
+    """The rank window must run AFTER the TakeOrdered top-k cut — a
+    global row_number over the full aggregate would single-partition
+    the whole vocabulary at scale."""
+    plan = (K.q_top_ngrams(spark, SF)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_plan_shape(spark):
+    plan = (K.q_tfidf_topk(spark, SF)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
