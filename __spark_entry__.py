@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal as CM,
         similarity as CS,
         keywords as CK,
+        sampling as CSA,
         textstats as CT,
         webextract as CW,
     )
@@ -447,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus keywords
         "top_ngrams": CK.q_top_ngrams,
         "tfidf_topk": CK.q_tfidf_topk,
+        "stratified_sample": CSA.q_stratified_sample,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": CD.q_minhash_signatures,
@@ -507,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         multimodal as CM,
         similarity as CS,
         keywords as CK,
+        sampling as CSA,
         textstats as CT,
         webextract as CW,
     )
@@ -571,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": CW.sql_main_content(),
         "top_ngrams": CK.sql_top_ngrams(),
         "tfidf_topk": CK.sql_tfidf_topk(),
+        "stratified_sample": CSA.sql_stratified_sample(),
         "bbox_ops": _bbox_oracle(),
         "page_cells_in_bbox": _pages_oracle("cells_in_bbox"),
         "page_crop_text": _pages_oracle("crop_text"),

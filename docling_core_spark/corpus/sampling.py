@@ -1,0 +1,94 @@
+"""Deterministic stratified sampling: a balanced per-(source, lang)
+sample of K documents per stratum, selected by hash order so the sample
+is reproducible across runs, engines, and cluster sizes (no RNG state).
+
+Scale design (the part that matters at 100 TB): a naive "row_number
+per stratum, keep <= K" window ranks EVERY row of every stratum — a
+mega-stratum with 10^10 docs single-tasks its whole partition. Instead:
+
+1. one tiny agg computes stratum sizes (as many rows as strata);
+2. it is BROADCAST back onto the corpus;
+3. a map-side hash prefilter keeps only rows whose 30-bit doc hash
+   falls under ``ceil(K * SAFETY * H30_MOD / n_stratum)`` — an expected
+   K*SAFETY survivors per stratum, integer math, engine-exact;
+4. the top-K-by-hash window then runs on the tiny survivor set only.
+
+The oracle applies the IDENTICAL prefilter, so both engines agree
+bit-for-bit even in the (astronomically unlikely at SAFETY=8) case the
+prefilter under-selects a stratum. Strata smaller than K pass through
+whole.
+
+Reference analog: none — training-data extension surface (SURVEY.md §2
+addendum; dev-scale corpus carving, eval splits, per-source caps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import constants as C, read_spread
+from .textstats import _h30_duck, _h30_spark
+
+# K is a job parameter; 3 keeps the gate corpus' ~5-doc strata actually
+# selecting (a production carve would use thousands per stratum).
+SAMPLE_K = 3
+SAMPLE_SAFETY = 8  # prefilter over-selection factor
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang",
+        F.expr(_h30_spark("cast(doc_id as string)")).alias("h"),
+    )
+    sizes = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_stratum")
+    )
+    bound = (
+        f"least(cast({C.H30_MOD} as bigint),"
+        f" cast(ceil({SAMPLE_K} * {SAMPLE_SAFETY} * cast({C.H30_MOD} as"
+        f" bigint) / n_stratum) as bigint))"
+    )
+    pre = docs.join(F.broadcast(sizes), ["source", "lang"]).where(
+        F.expr(f"h < {bound}")
+    )
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.asc("h"), F.asc("doc_id")
+    )
+    return (
+        pre.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("source", "lang", "rk", "doc_id", "n_stratum")
+    )
+
+
+def sql_stratified_sample() -> str:
+    h = _h30_duck("doc_id::VARCHAR")
+    bound = (
+        f"least({C.H30_MOD}::BIGINT,"
+        f" ceil({SAMPLE_K} * {SAMPLE_SAFETY} * {C.H30_MOD}::BIGINT"
+        f" / n_stratum)::BIGINT)"
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT doc_id, source, lang, {h} AS h FROM documents
+        ),
+        sizes AS (
+            SELECT source, lang, COUNT(*)::BIGINT AS n_stratum
+            FROM documents GROUP BY source, lang
+        ),
+        pre AS (
+            SELECT hashed.*, sizes.n_stratum
+            FROM hashed JOIN sizes USING (source, lang)
+            WHERE h < {bound}
+        ),
+        ranked AS (
+            SELECT source, lang, doc_id, n_stratum,
+                   row_number() OVER (
+                       PARTITION BY source, lang ORDER BY h ASC, doc_id ASC
+                   )::BIGINT AS rk
+            FROM pre
+        )
+        SELECT source, lang, rk, doc_id, n_stratum
+        FROM ranked WHERE rk <= {SAMPLE_K}
+    """

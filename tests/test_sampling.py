@@ -1,0 +1,63 @@
+"""Deterministic stratified sampling: balance, determinism, parity,
+and the scale-critical broadcast-prefilter plan shape."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from docling_core_spark.corpus import sampling as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_balanced_and_deterministic(spark):
+    out = S.q_stratified_sample(spark, SF)
+    per = out.groupBy("source", "lang").count().collect()
+    assert all(r["count"] <= S.SAMPLE_K for r in per)
+    # strata with >= K docs yield exactly K
+    full = [r for r in per if r["count"] == S.SAMPLE_K]
+    assert len(full) > 50  # most of the ~100 strata are selecting
+    # rerun == same rows (no RNG state)
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in S.q_stratified_sample(spark, SF).collect())
+    assert a == b
+
+
+def test_small_strata_pass_through(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "only", 10) for i in range(2)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = S.q_stratified_sample(spark, str(tmp_path)).collect()
+    assert len(rows) == 2  # stratum smaller than K is kept whole
+    assert {r["doc_id"] for r in rows} == {0, 1}
+    assert all(r["n_stratum"] == 2 for r in rows)
+
+
+def test_cross_engine_parity(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    )
+    cols = ["source", "lang", "rk"]
+    got = (S.q_stratified_sample(spark, SF).toPandas()
+           .sort_values(cols).reset_index(drop=True))
+    want = (con.execute(S.sql_stratified_sample()).df()
+            .sort_values(cols).reset_index(drop=True))
+    assert sorted(got.columns) == sorted(want.columns)
+    for c in sorted(got.columns):
+        assert [str(x) for x in got[c]] == [str(x) for x in want[c]], c
+
+
+def test_plan_broadcasts_stratum_sizes(spark):
+    """The stratum-size table must broadcast and the hash prefilter must
+    run before the window — the window may only see the survivor set."""
+    plan = (S.q_stratified_sample(spark, SF)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the prefilter is a Filter on h below the Window operator
+    assert plan.index("Window") < plan.index("BroadcastHashJoin")
