@@ -181,13 +181,18 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate(regexp_extract_all(b, '{_spark_re(_ANCHOR_RE)}', 1),"
         " 0, (acc, x) -> acc + length(x))"
     )
+    # two-level transform so the tag-strip regex runs ONCE per block
+    # (txt), with n_chars derived from it — not re-stripped
     stats = (
-        f"transform(regexp_extract_all({_page_spark()},"
+        f"transform(transform(regexp_extract_all({_page_spark()},"
         f" '{_spark_re(_BLOCK_RE)}', 0),"
         f" b -> named_struct("
         f"'txt', {inner},"
-        f" 'n_chars', length({inner}),"
-        f" 'link_chars', {link_chars}))"
+        f" 'link_chars', {link_chars})),"
+        f" t -> named_struct("
+        f"'txt', t.txt,"
+        f" 'n_chars', length(t.txt),"
+        f" 'link_chars', t.link_chars))"
     )
     is_content = (
         f"s -> s.n_chars >= {LENGTH_LOW}"
@@ -229,10 +234,13 @@ def sql_main_content() -> str:
         " x -> length(x)), 'sum'), 0)"
     )
     stats = (
-        f"list_transform(regexp_extract_all(page, '{_BLOCK_RE}', 0),"
+        f"list_transform(list_transform("
+        f"regexp_extract_all(page, '{_BLOCK_RE}', 0),"
         f" b -> struct_pack(txt := {inner},"
-        f" n_chars := length({inner}),"
-        f" link_chars := {link_chars}))"
+        f" link_chars := {link_chars})),"
+        " t -> struct_pack(txt := struct_extract(t, 'txt'),"
+        " n_chars := length(struct_extract(t, 'txt')),"
+        " link_chars := struct_extract(t, 'link_chars')))"
     )
     is_content = (
         f"s -> struct_extract(s, 'n_chars') >= {LENGTH_LOW}"
