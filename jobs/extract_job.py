@@ -45,7 +45,12 @@ if _REPO not in sys.path:
 def build_args():
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     src = p.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="parquet path of (doc_id, spans)")
+    src.add_argument(
+        "--input",
+        help="(doc_id, spans) table ref: parquet path,"
+             " iceberg:catalog.db.table[@snapshot], delta:path, or"
+             " table:db.name (sources/table_io.py)",
+    )
     src.add_argument(
         "--synth", type=int,
         help="generate N deterministic synthetic docs instead",
@@ -96,7 +101,18 @@ def main():
             8, min(64, args.synth // 600)
         ))
     else:
-        docs = spark.read.parquet(args.input)
+        from docling_core_spark.sources.table_io import (
+            load_docs,
+            resolved_ref,
+        )
+
+        # pin the ref FIRST (iceberg snapshot discovery) so every
+        # resume attempt of this run sees the identical row set; the
+        # pinned ref is recorded next to the ledger for the operator
+        ref = resolved_ref(spark, args.input)
+        if ref != args.input:
+            print(json.dumps({"resolved_input": ref}))
+        docs = load_docs(spark, ref)
 
     committed = run_with_ledger(
         spark, docs, args.output,
