@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal as CM,
         similarity as CS,
         keywords as CK,
+        packing as CP,
         sampling as CSA,
         textstats as CT,
         webextract as CW,
@@ -449,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": CK.q_top_ngrams,
         "tfidf_topk": CK.q_tfidf_topk,
         "stratified_sample": CSA.q_stratified_sample,
+        "pack_sequences": CP.q_pack_sequences,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": CD.q_minhash_signatures,
@@ -509,6 +511,7 @@ def oracle_sql() -> dict[str, str]:
         multimodal as CM,
         similarity as CS,
         keywords as CK,
+        packing as CP,
         sampling as CSA,
         textstats as CT,
         webextract as CW,
@@ -575,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": CK.sql_top_ngrams(),
         "tfidf_topk": CK.sql_tfidf_topk(),
         "stratified_sample": CSA.sql_stratified_sample(),
+        "pack_sequences": CP.sql_pack_sequences(),
         "bbox_ops": _bbox_oracle(),
         "page_cells_in_bbox": _pages_oracle("cells_in_bbox"),
         "page_crop_text": _pages_oracle("crop_text"),

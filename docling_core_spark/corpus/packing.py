@@ -1,0 +1,147 @@
+"""Sequence packing: assign every document a contiguous token range in
+the GPT-style concat-then-chunk training layout (documents concatenated
+in a deterministic global order, the token stream cut into fixed
+SEQ_LEN sequences), so a training job knows exactly which sequences and
+offsets each document lands in.
+
+The global token offset is a corpus-wide prefix sum — the textbook
+"doesn't fit one window" operator. A naive `sum() OVER (ORDER BY ...)`
+with no partition key forces the whole corpus through ONE task; instead
+the offset is computed as a two-level prefix sum:
+
+1. docs are assigned to ``PACK_GROUPS`` groups by document hash
+   (uniform by construction); the within-group running sum is a
+   window over the uniform group key — every partition-sized task;
+2. per-group totals (PACK_GROUPS rows, tiny) get their own exclusive
+   running sum — the only global window, over the group table, never
+   the corpus;
+3. the group-prefix table is BROADCAST back and
+   ``global_start = group_prefix + within_group_prefix``.
+
+The deterministic concat order is (group, doc-hash, doc_id) — stable
+across runs, engines, and cluster sizes. All integer math, so the
+DuckDB oracle (same three steps) matches bit-for-bit.
+
+Token counts use the whitespace tokenizer shared with the corpus ops;
+a production run would swap in the vendored WordPiece counts
+(chunk/wordpiece.py) — same plumbing, different count column.
+
+Reference analog: none — training-data extension surface. Packing
+semantics follow the public GPT/T5 "concatenate documents, split into
+SEQ_LEN blocks" recipe (Brown et al. 2020 §2.2; Raffel et al. 2020).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import read_spread
+from .textstats import TOKENS_DUCK, TOKENS_SPARK, _h30_duck, _h30_spark
+
+SEQ_LEN = 2048
+# Prefix-sum fan-out: the group count bounds the global window to
+# PACK_GROUPS rows. 64 here; a production run sizes it ~10x the
+# executor count so within-group windows stay task-sized.
+PACK_GROUPS = 64
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"cast(size({TOKENS_SPARK}) as bigint)").alias("n_tokens"),
+        F.expr(_h30_spark("cast(doc_id as string)")).alias("h"),
+    ).withColumn("g", F.expr(f"cast(h % {PACK_GROUPS} as bigint)"))
+
+    w_in = (
+        Window.partitionBy("g")
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = docs.withColumn(
+        "cum_in_group", F.sum("n_tokens").over(w_in).cast("bigint")
+    )
+
+    totals = docs.groupBy("g").agg(
+        F.sum("n_tokens").cast("bigint").alias("group_total")
+    )
+    w_g = (
+        Window.orderBy(F.asc("g"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefixes = totals.withColumn(
+        "group_prefix",
+        (F.sum("group_total").over(w_g) - F.col("group_total"))
+        .cast("bigint"),
+    ).select("g", "group_prefix")
+
+    out = within.join(F.broadcast(prefixes), "g").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("group_prefix") + F.col("cum_in_group")
+         - F.col("n_tokens")).cast("bigint").alias("global_start"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "global_start",
+        F.expr(f"cast(global_start div {SEQ_LEN} as bigint)").alias(
+            "first_seq"
+        ),
+        F.expr(
+            f"cast(case when n_tokens = 0 then global_start div {SEQ_LEN}"
+            f" else (global_start + n_tokens - 1) div {SEQ_LEN} end"
+            " as bigint)"
+        ).alias("last_seq"),
+        F.expr(
+            f"cast(global_start % {SEQ_LEN} as bigint)"
+        ).alias("start_pos"),
+    )
+
+
+def sql_pack_sequences() -> str:
+    h = _h30_duck("doc_id::VARCHAR")
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({TOKENS_DUCK})::BIGINT AS n_tokens,
+                   {h} AS h
+            FROM documents
+        ),
+        grouped AS (
+            SELECT *, (h % {PACK_GROUPS})::BIGINT AS g FROM base
+        ),
+        within AS (
+            SELECT *,
+                   sum(n_tokens) OVER (
+                       PARTITION BY g ORDER BY h ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum_in_group
+            FROM grouped
+        ),
+        totals AS (
+            SELECT g, sum(n_tokens)::BIGINT AS group_total
+            FROM grouped GROUP BY g
+        ),
+        prefixes AS (
+            SELECT g,
+                   (sum(group_total) OVER (
+                       ORDER BY g ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - group_total)::BIGINT AS group_prefix
+            FROM totals
+        ),
+        placed AS (
+            SELECT w.doc_id, w.n_tokens,
+                   (p.group_prefix + w.cum_in_group - w.n_tokens)::BIGINT
+                       AS global_start
+            FROM within w JOIN prefixes p USING (g)
+        )
+        SELECT doc_id, n_tokens, global_start,
+               (global_start // {SEQ_LEN})::BIGINT AS first_seq,
+               (CASE WHEN n_tokens = 0 THEN global_start // {SEQ_LEN}
+                     ELSE (global_start + n_tokens - 1) // {SEQ_LEN}
+                END)::BIGINT AS last_seq,
+               (global_start % {SEQ_LEN})::BIGINT AS start_pos
+        FROM placed
+    """

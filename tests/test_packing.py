@@ -1,0 +1,71 @@
+"""Sequence packing: contiguity/coverage invariants, cross-engine
+parity, and the two-level prefix-sum plan shape."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from docling_core_spark.corpus import packing as P
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_packing_is_a_contiguous_disjoint_cover(spark):
+    rows = sorted(
+        P.q_pack_sequences(spark, SF).collect(),
+        key=lambda r: r["global_start"],
+    )
+    assert rows[0]["global_start"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["global_start"] == a["global_start"] + a["n_tokens"]
+    total = sum(r["n_tokens"] for r in rows)
+    last = rows[-1]
+    assert last["global_start"] + last["n_tokens"] == total
+    # seq/offset arithmetic
+    for r in rows:
+        assert r["first_seq"] == r["global_start"] // P.SEQ_LEN
+        assert r["start_pos"] == r["global_start"] % P.SEQ_LEN
+        if r["n_tokens"] > 0:
+            assert r["last_seq"] == (
+                r["global_start"] + r["n_tokens"] - 1
+            ) // P.SEQ_LEN
+            assert r["last_seq"] >= r["first_seq"]
+
+
+def test_deterministic_across_runs(spark):
+    a = sorted(tuple(r) for r in P.q_pack_sequences(spark, SF).collect())
+    b = sorted(tuple(r) for r in P.q_pack_sequences(spark, SF).collect())
+    assert a == b
+
+
+def test_cross_engine_parity(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    )
+    got = (P.q_pack_sequences(spark, SF).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = (con.execute(P.sql_pack_sequences()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert sorted(got.columns) == sorted(want.columns)
+    for c in sorted(got.columns):
+        assert [str(x) for x in got[c]] == [str(x) for x in want[c]], c
+
+
+def test_plan_has_no_global_corpus_window(spark):
+    """Every corpus-wide Window must be partitioned (the within-group
+    cumsum); the only unpartitioned window runs over the PACK_GROUPS-row
+    totals table, and the prefix table comes back via broadcast."""
+    df = P.q_pack_sequences(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    # unpartitioned windows sort with a single global ordering and no
+    # partition spec: 'Window [...], [g ASC ...]' carries the partition
+    # list as its 2nd bracket group; count windows missing 'g#' there
+    windows = re.findall(r"Window \[[^\]]*\](?:, \[([^\]]*)\])?", plan)
+    unpartitioned = [w for w in windows if "g#" not in (w or "")]
+    # exactly the group-prefix window (over 64 rows) may be global
+    assert len(unpartitioned) <= 1, plan
