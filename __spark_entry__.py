@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": CK.q_tfidf_topk,
         "stratified_sample": CSA.q_stratified_sample,
         "pack_sequences": CP.q_pack_sequences,
+        "curation_funnel": CC.q_curation_funnel,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": CD.q_minhash_signatures,
@@ -579,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": CK.sql_tfidf_topk(),
         "stratified_sample": CSA.sql_stratified_sample(),
         "pack_sequences": CP.sql_pack_sequences(),
+        "curation_funnel": CC.sql_curation_funnel(),
         "bbox_ops": _bbox_oracle(),
         "page_cells_in_bbox": _pages_oracle("cells_in_bbox"),
         "page_crop_text": _pages_oracle("crop_text"),

@@ -50,10 +50,12 @@ GROUPS: dict[str, list[str]] = {
     ],
     "dedup": [
         # pure-scan queries first; the LSH family fills the persisted
-        # shingle table and runs after them
+        # shingle table and runs after them. curation_funnel composes
+        # quality + decontamination + the memoized cluster table, so it
+        # runs last where the clusters are already warm.
         "dedup_exact", "simhash", "minhash_signatures", "lsh_buckets",
         "neardup_pairs", "dedup_clusters", "jaccard_pairs",
-        "dedup_savings",
+        "dedup_savings", "curation_funnel",
     ],
     "sim": [
         # multimodal first: they are cheap Arrow-stage queries and must

@@ -119,3 +119,94 @@ def sql_corpus_curation() -> str:
                 AND quality_score >= {CURATION_MIN_QUALITY}) AS keep
         FROM ranked
     """
+
+
+# ---------------------------------------------------------------------------
+# curation funnel: the composed end-to-end keep/drop report
+# ---------------------------------------------------------------------------
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row cumulative funnel across the full curation chain —
+    quality scoring -> benchmark decontamination -> near-dup
+    canonicalization — the report a 100 TB curation run emits to show
+    how much corpus each stage dropped and what token mass survives.
+    (The quality stage is the corpus-calibrated score; the Gopher rule
+    ladder is gate-verified separately as `gopher_quality`, whose
+    50-word floor is inapplicable to this short-text fixture corpus.)
+
+    Composition, not re-implementation: each stage IS the corresponding
+    gate-verified operator (q_corpus_curation's quality score,
+    filters.q_decontaminate, dedup.q_dedup_clusters), joined on uniform
+    doc_id and collapsed by one global partial-aggregated agg. Eval
+    docs (absent from the decontaminate output) count as dropped at the
+    decontamination stage — they are held out of training by
+    definition. The DuckDB oracle chains the same three oracle SQL
+    bodies as CTEs, so both engines compose identically."""
+    from .dedup import q_dedup_clusters
+    from .filters import q_decontaminate
+
+    base = read_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"size({TOKENS_SPARK})").alias("n_words")
+    )
+    cur = q_corpus_curation(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    dec = q_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    cl = q_dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    j = (base.join(cur, "doc_id", "left")
+         .join(dec, "doc_id", "left")
+         .join(cl, "doc_id", "left"))
+    pass_q = f"quality_score >= {CURATION_MIN_QUALITY}"
+    pass_d = f"{pass_q} AND contaminated = false"
+    pass_c = f"{pass_d} AND is_canonical"
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr(f"sum(case when {pass_q} then 1 else 0 end)")
+        .cast("bigint").alias("n_pass_quality"),
+        F.expr(f"sum(case when {pass_d} then 1 else 0 end)")
+        .cast("bigint").alias("n_pass_decontam"),
+        F.expr(f"sum(case when {pass_c} then 1 else 0 end)")
+        .cast("bigint").alias("n_final"),
+        F.expr(f"sum(case when {pass_c} then n_words else 0 end)")
+        .cast("bigint").alias("tokens_final"),
+        F.sum("n_words").cast("bigint").alias("tokens_total"),
+    )
+
+
+def sql_curation_funnel() -> str:
+    from .dedup import sql_dedup_clusters
+    from .filters import sql_decontaminate
+
+    pass_q = f"quality_score >= {CURATION_MIN_QUALITY}"
+    pass_d = f"{pass_q} AND contaminated = false"
+    pass_c = f"{pass_d} AND is_canonical"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, len({TOKENS_DUCK})::BIGINT AS n_words
+            FROM documents
+        ),
+        cur AS (
+            SELECT doc_id, quality_score
+            FROM ({sql_corpus_curation()})
+        ),
+        dec AS (
+            SELECT doc_id, contaminated FROM ({sql_decontaminate()})
+        ),
+        cl AS (
+            SELECT doc_id, is_canonical FROM ({sql_dedup_clusters()})
+        )
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN {pass_q} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_pass_quality,
+               sum(CASE WHEN {pass_d} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_pass_decontam,
+               sum(CASE WHEN {pass_c} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_final,
+               sum(CASE WHEN {pass_c} THEN n_words ELSE 0 END)::BIGINT
+                   AS tokens_final,
+               sum(n_words)::BIGINT AS tokens_total
+        FROM base
+        LEFT JOIN cur USING (doc_id)
+        LEFT JOIN dec USING (doc_id)
+        LEFT JOIN cl USING (doc_id)
+    """
