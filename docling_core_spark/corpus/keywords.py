@@ -39,13 +39,18 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-cut result, never on the full aggregate."""
     n = TOP_NGRAMS_N
     docs = read_spread(spark, sf_dir, "documents")
-    grams = docs.select(
+    # project toks ONCE: a tokenizer referenced inside the transform
+    # lambda would re-split the whole document per gram position
+    toks = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    )
+    grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"case when size({TOKENS_SPARK}) >= {n} then"
-                f" transform(sequence(1, size({TOKENS_SPARK}) - {n - 1}),"
-                f"   i -> concat_ws(' ', slice({TOKENS_SPARK}, i, {n})))"
+                f"case when size(toks) >= {n} then"
+                f" transform(sequence(1, size(toks) - {n - 1}),"
+                f"   i -> concat_ws(' ', slice(toks, i, {n})))"
                 f" else array() end"
             )
         ).alias("gram"),
@@ -106,7 +111,9 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on term (sort-merge at prod vocab scale); the final top-k is a
     per-doc window on uniform doc_id."""
     docs = read_spread(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar N folded into the idf constant
+    # N joins in lazily as a broadcast 1-row aggregate (mirrors the
+    # oracle's CROSS JOIN n CTE) — no eager count() job at plan time
+    n_tbl = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("term")
     )
@@ -116,13 +123,15 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tbl = tf.groupBy("term").agg(
         F.count("*").cast("bigint").alias("df")
     )
-    scored = tf.join(df_tbl, "term").select(
+    scored = tf.join(df_tbl, "term").crossJoin(
+        F.broadcast(n_tbl)
+    ).select(
         "doc_id",
         "term",
         "tf",
         "df",
         F.expr(
-            f"round(tf * ln(({n_docs} + 1.0) / (df + 1.0)), 6)"
+            "round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6)"
         ).alias("score"),
     )
     w = Window.partitionBy("doc_id").orderBy(

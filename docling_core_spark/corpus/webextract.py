@@ -169,9 +169,14 @@ def sql_html_strip() -> str:
 
 def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerpipe/jusText-style main-content extraction. Blocks are the
-    p/h1/nav/aside/footer regions; a block is content iff its visible
-    text has >= LENGTH_LOW chars and link density <= 0.2. ``recovered``
-    asserts the concatenated content blocks equal the original text."""
+    p/h1/nav/aside/footer regions; a block is content iff it is a
+    PARAGRAPH block (the DOM heuristic — jusText classifies paragraph
+    units; headings/nav/aside/footer are structural boilerplate by tag)
+    whose visible text has >= LENGTH_LOW chars and link density <= 0.2.
+    The tag guard matters at scale: a purely length-based rule lets an
+    11+-digit doc_id push the h1 over the floor and leak 'doc N' into
+    the extracted text. ``recovered`` asserts the concatenated content
+    blocks equal the original text."""
     docs = read_spread(spark, sf_dir, "documents")
     inner = (
         "trim(regexp_replace(regexp_replace(b,"
@@ -181,6 +186,7 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate(regexp_extract_all(b, '{_spark_re(_ANCHOR_RE)}', 1),"
         " 0, (acc, x) -> acc + length(x))"
     )
+    tag = "lower(regexp_extract(b, '^<([a-zA-Z0-9]+)', 1))"
     # two-level transform so the tag-strip regex runs ONCE per block
     # (txt), with n_chars derived from it — not re-stripped
     stats = (
@@ -188,14 +194,17 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" '{_spark_re(_BLOCK_RE)}', 0),"
         f" b -> named_struct("
         f"'txt', {inner},"
+        f" 'tag', {tag},"
         f" 'link_chars', {link_chars})),"
         f" t -> named_struct("
         f"'txt', t.txt,"
+        f" 'tag', t.tag,"
         f" 'n_chars', length(t.txt),"
         f" 'link_chars', t.link_chars))"
     )
     is_content = (
-        f"s -> s.n_chars >= {LENGTH_LOW}"
+        f"s -> s.tag = 'p'"
+        f" AND s.n_chars >= {LENGTH_LOW}"
         f" AND {LINK_DENSITY_NUM} * s.link_chars <= s.n_chars"
     )
     norm_text = _NORM_SPARK.format("text")
@@ -237,13 +246,16 @@ def sql_main_content() -> str:
         f"list_transform(list_transform("
         f"regexp_extract_all(page, '{_BLOCK_RE}', 0),"
         f" b -> struct_pack(txt := {inner},"
+        " tag := lower(regexp_extract(b, '^<([a-zA-Z0-9]+)', 1)),"
         f" link_chars := {link_chars})),"
         " t -> struct_pack(txt := struct_extract(t, 'txt'),"
+        " tag := struct_extract(t, 'tag'),"
         " n_chars := length(struct_extract(t, 'txt')),"
         " link_chars := struct_extract(t, 'link_chars')))"
     )
     is_content = (
-        f"s -> struct_extract(s, 'n_chars') >= {LENGTH_LOW}"
+        "s -> struct_extract(s, 'tag') = 'p'"
+        f" AND struct_extract(s, 'n_chars') >= {LENGTH_LOW}"
         f" AND {LINK_DENSITY_NUM} * struct_extract(s, 'link_chars')"
         " <= struct_extract(s, 'n_chars')"
     )

@@ -121,18 +121,32 @@ def load_docs(spark: SparkSession, ref: str) -> DataFrame:
 
 def resolved_ref(spark: SparkSession, ref: str) -> str:
     """The ref a RESUME must use: for an unpinned Iceberg ref, discover
-    the current snapshot and embed it, freezing the row set for the
+    the CURRENT snapshot and embed it, freezing the row set for the
     whole (possibly multi-attempt) job. Identity for every other
     format — parquet inputs are immutable by convention and Delta
-    pinning would use `versionAsOf` the same way."""
+    pinning would use `versionAsOf` the same way.
+
+    Snapshot ids are random longs (NOT monotonic), and `.snapshots`
+    also lists rolled-back/branch ancestors — so the current snapshot
+    is the newest `.history` row (the table's made-current log), never
+    max(snapshot_id)."""
     t = parse_ref(ref)
     if t.format == "iceberg" and t.snapshot_id is None:
         _require_catalog(spark, t)
-        snap = (
+        row = (
             spark.read.format("iceberg")
-            .load(f"{t.location}.snapshots")
-            .selectExpr("max(snapshot_id) as s")
-            .collect()[0]["s"]
+            .load(f"{t.location}.history")
+            .orderBy("made_current_at", ascending=False)
+            .select("snapshot_id")
+            .limit(1)
+            .collect()
         )
-        return TableRef("iceberg", t.location, int(snap)).render()
+        if not row:
+            raise RuntimeError(
+                f"iceberg table {t.location!r} has no snapshots yet —"
+                " nothing to pin (write data before launching the job)"
+            )
+        return TableRef(
+            "iceberg", t.location, int(row[0]["snapshot_id"])
+        ).render()
     return ref

@@ -60,12 +60,16 @@ def test_plan_has_no_global_corpus_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    import re
-
-    # unpartitioned windows sort with a single global ordering and no
-    # partition spec: 'Window [...], [g ASC ...]' carries the partition
-    # list as its 2nd bracket group; count windows missing 'g#' there
-    windows = re.findall(r"Window \[[^\]]*\](?:, \[([^\]]*)\])?", plan)
-    unpartitioned = [w for w in windows if "g#" not in (w or "")]
-    # exactly the group-prefix window (over 64 rows) may be global
-    assert len(unpartitioned) <= 1, plan
+    # a PARTITIONED Window prints THREE bracket groups
+    # 'Window [exprs], [partSpec], [orderSpec]' (2x '], ['); a global
+    # one prints two ('Window [exprs], [orderSpec]', 1x '], [') — the
+    # windowspecdefinition inside the first group uses parens, never
+    # '], [', so the separator count is unambiguous (probed on 4.1.2)
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert len(win_lines) == 2, plan  # within-group cumsum + group prefix
+    unpartitioned = [ln for ln in win_lines if ln.count("], [") == 1]
+    partitioned = [ln for ln in win_lines if ln.count("], [") == 2]
+    # exactly ONE global window (the PACK_GROUPS-row prefix table); the
+    # corpus-wide cumsum must be partitioned on g
+    assert len(unpartitioned) == 1, plan
+    assert len(partitioned) == 1 and "g#" in partitioned[0], plan

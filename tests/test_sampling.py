@@ -59,5 +59,16 @@ def test_plan_broadcasts_stratum_sizes(spark):
             .executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # the prefilter is a Filter on h below the Window operator
-    assert plan.index("Window") < plan.index("BroadcastHashJoin")
+    # the hash prefilter (h compared against the least(H30_MOD,
+    # ceil(K*SAFETY*...)) bound) must apply BELOW the top-K Window —
+    # Catalyst folds it into the BroadcastHashJoin condition
+    # ('h#.. < least(..' on the join line) or leaves it as a Filter;
+    # delete the prefilter in q_stratified_sample and this fails
+    lines = plan.splitlines()
+    win_idx = min(i for i, ln in enumerate(lines) if "Window [" in ln)
+    prefilter_idx = [
+        i for i, ln in enumerate(lines)
+        if ("Filter" in ln or "Join" in ln)
+        and "least(" in ln and "h#" in ln
+    ]
+    assert prefilter_idx and min(prefilter_idx) > win_idx, plan

@@ -111,3 +111,21 @@ def test_plan_is_scan_shaped(spark, qf):
     assert plan.count("Exchange") <= 1
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_boilerplate_rejected_even_when_long(spark, tmp_path):
+    """Scale regression: an 11+-digit doc_id pushes the h1 over the
+    length floor and a long source name pushes the footer over it —
+    the tag guard must still classify both as boilerplate."""
+    text = ("alpha bravo charlie delta echo foxtrot golf hotel india"
+            " juliett kilo lima mike november")
+    _write_docs(
+        spark, tmp_path,
+        [(123456789012, text, "en",
+          "a-very-long-source-name-over-36-chars-x", len(text))],
+    )
+    rows = W.q_main_content(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_content_blocks"] == 2  # the two <p> halves, nothing else
+    assert r["recovered"] is True      # no 'doc N'/footer leak into main
