@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus keywords
         "top_ngrams": CK.q_top_ngrams,
         "tfidf_topk": CK.q_tfidf_topk,
+        "cms_heavy_hitters": CK.q_cms_heavy_hitters,
         "stratified_sample": CSA.q_stratified_sample,
         "pack_sequences": CP.q_pack_sequences,
         "curation_funnel": CC.q_curation_funnel,
@@ -578,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": CW.sql_main_content(),
         "top_ngrams": CK.sql_top_ngrams(),
         "tfidf_topk": CK.sql_tfidf_topk(),
+        "cms_heavy_hitters": CK.sql_cms_heavy_hitters(),
         "stratified_sample": CSA.sql_stratified_sample(),
         "pack_sequences": CP.sql_pack_sequences(),
         "curation_funnel": CC.sql_curation_funnel(),

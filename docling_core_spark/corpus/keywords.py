@@ -21,30 +21,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import read_spread
-from .textstats import TOKENS_DUCK, TOKENS_SPARK
+from . import constants as C, read_spread
+from .textstats import TOKENS_DUCK, TOKENS_SPARK, _h30_duck, _h30_spark
 
 TOP_NGRAMS_N = 2       # bigrams
 TOP_NGRAMS_K = 100     # corpus-wide top-k
 TFIDF_TOPK = 5         # keywords per document
 
 
-def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide top-100 bigrams by occurrence count (doc frequency
-    carried along), deterministic (count desc, gram asc) order.
-
-    100 TB story: one map-side-combined groupBy on the uniform gram key
-    (the only wide exchange — distinct-bigram cardinality, not corpus
-    size), then a TakeOrdered top-k; the 100-row rank window runs on the
-    already-cut result, never on the full aggregate."""
+def _bigram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, gram) bigram rows. toks is projected ONCE —
+    a tokenizer referenced inside the transform lambda would re-split
+    the whole document per gram position."""
     n = TOP_NGRAMS_N
     docs = read_spread(spark, sf_dir, "documents")
-    # project toks ONCE: a tokenizer referenced inside the transform
-    # lambda would re-split the whole document per gram position
     toks = docs.select(
         "doc_id", F.expr(TOKENS_SPARK).alias("toks")
     )
-    grams = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -55,6 +49,17 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 bigrams by occurrence count (doc frequency
+    carried along), deterministic (count desc, gram asc) order.
+
+    100 TB story: one map-side-combined groupBy on the uniform gram key
+    (the only wide exchange — distinct-bigram cardinality, not corpus
+    size), then a TakeOrdered top-k; the 100-row rank window runs on the
+    already-cut result, never on the full aggregate."""
+    grams = _bigram_rows(spark, sf_dir)
     agg = grams.groupBy("gram").agg(
         F.count("*").cast("bigint").alias("n_occurrences"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
@@ -175,4 +180,137 @@ def sql_tfidf_topk() -> str:
         )
         SELECT doc_id, rank, term, tf, df, score
         FROM ranked WHERE rank <= {TFIDF_TOPK}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+# CMS geometry: D independent universal-hash rows x W counters. At 100 TB
+# the sketch is the point — the FULL gram-frequency table may not fit
+# anywhere, but D*W counters always do (here 4 KiB of longs), and the
+# estimate error is bounded by eps = e/W of the total stream mass with
+# probability 1 - e^-D (Cormode & Muthukrishnan 2005). Hash params come
+# from the engine's deterministic LCG so Spark and DuckDB build the
+# IDENTICAL sketch and the gate verifies it bit-for-bit.
+CMS_ROWS = 4
+CMS_WIDTH = 1024
+
+
+def _cms_params() -> list[tuple[int, int]]:
+    g = C._lcg(20250817)
+    out = []
+    for _ in range(CMS_ROWS):
+        a = (next(g) % (C.H30_MOD - 1)) | 1  # odd, < 2^30
+        b = next(g) % C.H30_MOD
+        out.append((a, b))
+    return out
+
+
+def _cms_cell_spark(row: int, h: str) -> str:
+    a, b = _cms_params()[row]
+    return f"pmod(({a} * {h} + {b}) % {C.H30_MOD}, {CMS_WIDTH})"
+
+
+def _cms_cell_duck(row: int, h: str) -> str:
+    a, b = _cms_params()[row]
+    return f"((({a} * {h} + {b}) % {C.H30_MOD}) % {CMS_WIDTH})"
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimates for the exact top-100
+    bigrams, alongside their true counts — the overestimate column
+    (always >= 0, the CMS one-sided error) demonstrates the sketch's
+    bound on real data.
+
+    100 TB story: the sketch build is ONE map-side-combined groupBy
+    whose key space is fixed at D*W cells regardless of corpus size —
+    this is the pass that still works when the exact gram table
+    doesn't. The probe side (top-100 grams x D cells) is broadcast
+    against the <= D*W-row sketch."""
+    grams = _bigram_rows(spark, sf_dir)
+    hashed = grams.select(F.expr(_h30_spark("gram")).alias("h"))
+    cells = hashed.select(
+        F.explode(
+            F.expr(
+                "array(" + ", ".join(
+                    f"named_struct('row', {r}, 'cell',"
+                    f" {_cms_cell_spark(r, 'h')})"
+                    for r in range(CMS_ROWS)
+                ) + ")"
+            )
+        ).alias("rc")
+    ).select("rc.row", "rc.cell")
+    sketch = cells.groupBy("row", "cell").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+    probes = q_top_ngrams(spark, sf_dir).select(
+        "rank", "gram", "n_occurrences",
+        F.expr(_h30_spark("gram")).alias("h"),
+    )
+    probe_cells = probes.select(
+        "rank", "gram", "n_occurrences",
+        F.explode(
+            F.expr(
+                "array(" + ", ".join(
+                    f"named_struct('row', {r}, 'cell',"
+                    f" {_cms_cell_spark(r, 'h')})"
+                    for r in range(CMS_ROWS)
+                ) + ")"
+            )
+        ).alias("rc"),
+    ).select("rank", "gram", "n_occurrences", "rc.row", "rc.cell")
+    est = (
+        F.broadcast(probe_cells)
+        .join(sketch, ["row", "cell"])
+        .groupBy("rank", "gram", "n_occurrences")
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+    )
+    return est.select(
+        "rank", "gram",
+        F.col("n_occurrences").alias("true_count"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_occurrences"))
+        .cast("bigint").alias("overestimate"),
+    )
+
+
+def sql_cms_heavy_hitters() -> str:
+    h = _h30_duck("gram")
+    cell_structs = ", ".join(
+        f"{{'row': {r}, 'cell': {_cms_cell_duck(r, h)}}}"
+        for r in range(CMS_ROWS)
+    )
+    return f"""
+        WITH grams AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(toks) >= {TOP_NGRAMS_N} THEN
+                    list_transform(range(1, len(toks) - {TOP_NGRAMS_N - 2}),
+                        i -> array_to_string(
+                            toks[i:i + {TOP_NGRAMS_N - 1}], ' '))
+                ELSE [] END) AS gram
+            FROM (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents)
+        ),
+        cells AS (
+            SELECT unnest([{cell_structs}], recursive := true)
+            FROM grams
+        ),
+        sketch AS (
+            SELECT "row", cell, COUNT(*)::BIGINT AS cnt
+            FROM cells GROUP BY "row", cell
+        ),
+        top AS ({sql_top_ngrams()}),
+        probe_cells AS (
+            SELECT rank, gram, n_occurrences,
+                   unnest([{cell_structs}], recursive := true)
+            FROM top
+        )
+        SELECT p.rank, p.gram,
+               p.n_occurrences AS true_count,
+               min(s.cnt)::BIGINT AS cms_estimate,
+               (min(s.cnt) - p.n_occurrences)::BIGINT AS overestimate
+        FROM probe_cells p JOIN sketch s USING ("row", cell)
+        GROUP BY p.rank, p.gram, p.n_occurrences
     """

@@ -82,3 +82,33 @@ def test_tfidf_plan_shape(spark):
             .executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_one_sided_error_and_parity(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    )
+    got = (K.q_cms_heavy_hitters(spark, SF).toPandas()
+           .sort_values("rank").reset_index(drop=True))
+    assert len(got) == K.TOP_NGRAMS_K
+    # CMS never underestimates (one-sided error, C&M 2005)
+    assert (got["overestimate"] >= 0).all()
+    assert (got["cms_estimate"]
+            == got["true_count"] + got["overestimate"]).all()
+    # with W=1024 >> 100 probes, a decent share must be collision-free
+    assert (got["overestimate"] == 0).sum() > 10
+    want = (con.execute(K.sql_cms_heavy_hitters()).df()
+            .sort_values("rank").reset_index(drop=True))
+    for c in sorted(got.columns):
+        assert [str(x) for x in got[c]] == [str(x) for x in want[c]], c
+
+
+def test_cms_sketch_build_is_bounded_agg(spark):
+    """The sketch groupBy key space is CMS_ROWS*CMS_WIDTH cells — the
+    probe join must broadcast, and nothing may cartesian."""
+    plan = (K.q_cms_heavy_hitters(spark, SF)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
