@@ -76,19 +76,23 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_top_ngrams() -> str:
+def _grams_select_duck() -> str:
+    """The exploded (doc_id, gram) bigram SELECT — the DuckDB twin of
+    _bigram_rows, shared by every oracle that consumes the gram stream
+    so they cannot tokenize differently."""
     n = TOP_NGRAMS_N
     return f"""
-        WITH toks AS (
-            SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
-        ),
-        grams AS (
             SELECT doc_id, unnest(
                 CASE WHEN len(toks) >= {n} THEN
                     list_transform(range(1, len(toks) - {n - 2}),
                         i -> array_to_string(toks[i:i + {n - 1}], ' '))
                 ELSE [] END) AS gram
-            FROM toks
+            FROM (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents)"""
+
+
+def sql_top_ngrams() -> str:
+    return f"""
+        WITH grams AS ({_grams_select_duck()}
         ),
         agg AS (
             SELECT gram,
@@ -198,7 +202,7 @@ CMS_ROWS = 4
 CMS_WIDTH = 1024
 
 
-def _cms_params() -> list[tuple[int, int]]:
+def _gen_cms_params() -> list[tuple[int, int]]:
     g = C._lcg(20250817)
     out = []
     for _ in range(CMS_ROWS):
@@ -208,14 +212,34 @@ def _cms_params() -> list[tuple[int, int]]:
     return out
 
 
-def _cms_cell_spark(row: int, h: str) -> str:
-    a, b = _cms_params()[row]
-    return f"pmod(({a} * {h} + {b}) % {C.H30_MOD}, {CMS_WIDTH})"
+CMS_PARAMS = _gen_cms_params()
 
 
-def _cms_cell_duck(row: int, h: str) -> str:
-    a, b = _cms_params()[row]
-    return f"((({a} * {h} + {b}) % {C.H30_MOD}) % {CMS_WIDTH})"
+def _cms_cell(row: int, h: str) -> str:
+    """One row's cell index, same text in both dialects. The inner
+    modulus MUST be the prime MINHASH_P: reducing mod 2^30 first and
+    then mod 1024 (which divides 2^30) would make every row a function
+    of h mod 1024 — all D rows perfectly correlated, min() over rows
+    never reducing error. a*h + b < 2^60 stays inside BIGINT for both
+    engines, and h >= 0 keeps both %'s nonnegative."""
+    a, b = CMS_PARAMS[row]
+    return f"((({a} * {h} + {b}) % {C.MINHASH_P}) % {CMS_WIDTH})"
+
+
+def _cms_cells_array(h: str, duck: bool) -> str:
+    """The D-struct (row, cell) array — ONE source for the sketch and
+    probe sides so their cell math cannot drift."""
+    if duck:
+        inner = ", ".join(
+            f"{{'row': {r}, 'cell': {_cms_cell(r, h)}}}"
+            for r in range(CMS_ROWS)
+        )
+        return f"[{inner}]"
+    inner = ", ".join(
+        f"named_struct('row', {r}, 'cell', {_cms_cell(r, h)})"
+        for r in range(CMS_ROWS)
+    )
+    return f"array({inner})"
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,15 +256,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = _bigram_rows(spark, sf_dir)
     hashed = grams.select(F.expr(_h30_spark("gram")).alias("h"))
     cells = hashed.select(
-        F.explode(
-            F.expr(
-                "array(" + ", ".join(
-                    f"named_struct('row', {r}, 'cell',"
-                    f" {_cms_cell_spark(r, 'h')})"
-                    for r in range(CMS_ROWS)
-                ) + ")"
-            )
-        ).alias("rc")
+        F.explode(F.expr(_cms_cells_array("h", duck=False))).alias("rc")
     ).select("rc.row", "rc.cell")
     sketch = cells.groupBy("row", "cell").agg(
         F.count("*").cast("bigint").alias("cnt")
@@ -252,15 +268,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe_cells = probes.select(
         "rank", "gram", "n_occurrences",
-        F.explode(
-            F.expr(
-                "array(" + ", ".join(
-                    f"named_struct('row', {r}, 'cell',"
-                    f" {_cms_cell_spark(r, 'h')})"
-                    for r in range(CMS_ROWS)
-                ) + ")"
-            )
-        ).alias("rc"),
+        F.explode(F.expr(_cms_cells_array("h", duck=False))).alias("rc"),
     ).select("rank", "gram", "n_occurrences", "rc.row", "rc.cell")
     est = (
         F.broadcast(probe_cells)
@@ -279,22 +287,12 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_cms_heavy_hitters() -> str:
     h = _h30_duck("gram")
-    cell_structs = ", ".join(
-        f"{{'row': {r}, 'cell': {_cms_cell_duck(r, h)}}}"
-        for r in range(CMS_ROWS)
-    )
+    cells = _cms_cells_array(h, duck=True)
     return f"""
-        WITH grams AS (
-            SELECT doc_id, unnest(
-                CASE WHEN len(toks) >= {TOP_NGRAMS_N} THEN
-                    list_transform(range(1, len(toks) - {TOP_NGRAMS_N - 2}),
-                        i -> array_to_string(
-                            toks[i:i + {TOP_NGRAMS_N - 1}], ' '))
-                ELSE [] END) AS gram
-            FROM (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents)
+        WITH grams AS ({_grams_select_duck()}
         ),
         cells AS (
-            SELECT unnest([{cell_structs}], recursive := true)
+            SELECT unnest({cells}, recursive := true)
             FROM grams
         ),
         sketch AS (
@@ -304,7 +302,7 @@ def sql_cms_heavy_hitters() -> str:
         top AS ({sql_top_ngrams()}),
         probe_cells AS (
             SELECT rank, gram, n_occurrences,
-                   unnest([{cell_structs}], recursive := true)
+                   unnest({cells}, recursive := true)
             FROM top
         )
         SELECT p.rank, p.gram,

@@ -126,25 +126,26 @@ def resolved_ref(spark: SparkSession, ref: str) -> str:
     format — parquet inputs are immutable by convention and Delta
     pinning would use `versionAsOf` the same way.
 
-    Snapshot ids are random longs (NOT monotonic), and `.snapshots`
-    also lists rolled-back/branch ancestors — so the current snapshot
-    is the newest `.history` row (the table's made-current log), never
-    max(snapshot_id)."""
+    Snapshot ids are random longs (NOT monotonic) and `.snapshots`
+    also lists rolled-back/branch ancestors, while `.history`
+    timestamps can tie at millisecond resolution — so the current
+    snapshot comes from the `.refs` metadata table's main branch,
+    which names it exactly."""
     t = parse_ref(ref)
     if t.format == "iceberg" and t.snapshot_id is None:
         _require_catalog(spark, t)
         row = (
             spark.read.format("iceberg")
-            .load(f"{t.location}.history")
-            .orderBy("made_current_at", ascending=False)
+            .load(f"{t.location}.refs")
+            .where("name = 'main' AND type = 'BRANCH'")
             .select("snapshot_id")
-            .limit(1)
             .collect()
         )
         if not row:
             raise RuntimeError(
-                f"iceberg table {t.location!r} has no snapshots yet —"
-                " nothing to pin (write data before launching the job)"
+                f"iceberg table {t.location!r} has no main-branch"
+                " snapshot yet — nothing to pin (write data before"
+                " launching the job)"
             )
         return TableRef(
             "iceberg", t.location, int(row[0]["snapshot_id"])
