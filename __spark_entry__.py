@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": CK.q_top_ngrams,
         "tfidf_topk": CK.q_tfidf_topk,
         "cms_heavy_hitters": CK.q_cms_heavy_hitters,
+        "kmv_distinct": CK.q_kmv_distinct,
         "stratified_sample": CSA.q_stratified_sample,
         "pack_sequences": CP.q_pack_sequences,
         "curation_funnel": CC.q_curation_funnel,
@@ -580,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": CK.sql_top_ngrams(),
         "tfidf_topk": CK.sql_tfidf_topk(),
         "cms_heavy_hitters": CK.sql_cms_heavy_hitters(),
+        "kmv_distinct": CK.sql_kmv_distinct(),
         "stratified_sample": CSA.sql_stratified_sample(),
         "pack_sequences": CP.sql_pack_sequences(),
         "curation_funnel": CC.sql_curation_funnel(),

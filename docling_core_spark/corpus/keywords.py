@@ -312,3 +312,82 @@ def sql_cms_heavy_hitters() -> str:
         FROM probe_cells p JOIN sketch s USING ("row", cell)
         GROUP BY p.rank, p.gram, p.n_occurrences
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+# k minimum values: keep the K smallest distinct 30-bit gram hashes;
+# estimate |distinct| as (K-1) * H30_MOD / h_K (Bar-Yossef et al. 2002).
+# Like the CMS, the sketch is the 100 TB point: K longs of state
+# estimate a distinct count no matter how large the stream, where the
+# exact COUNT(DISTINCT) needs a vocabulary-sized shuffle.
+KMV_K = 256
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row report: exact distinct-bigram count next to the KMV
+    estimate from the K smallest hashes, with the signed relative
+    error. When the stream has fewer than K distinct values the sketch
+    holds them all and the estimate is exact by construction.
+
+    100 TB story: the estimate path is distinct-on-hash (uniform key,
+    map-side combined) followed by a TakeOrdered bottom-K — K longs of
+    driver state. The exact count (one more wide agg) rides along only
+    as the report's ground truth."""
+    grams = _bigram_rows(spark, sf_dir)
+    hashes = grams.select(
+        F.expr(_h30_spark("gram")).alias("h")
+    ).distinct()
+    bottom = hashes.orderBy(F.asc("h")).limit(KMV_K)
+    sketch = bottom.agg(
+        F.count("*").cast("bigint").alias("k_held"),
+        F.max("h").cast("bigint").alias("h_k"),
+    )
+    exact = hashes.agg(
+        F.count("*").cast("bigint").alias("exact_distinct")
+    )
+    est = (
+        f"case when k_held < {KMV_K} then cast(k_held as double)"
+        f" else ({KMV_K} - 1) * cast({C.H30_MOD} as double) / h_k end"
+    )
+    return sketch.crossJoin(F.broadcast(exact)).select(
+        "exact_distinct",
+        "k_held",
+        F.expr(f"round({est}, 6)").alias("kmv_estimate"),
+        F.expr(
+            f"round(({est} - exact_distinct)"
+            " / cast(exact_distinct as double), 6)"
+        ).alias("rel_error"),
+    )
+
+
+def sql_kmv_distinct() -> str:
+    h = _h30_duck("gram")
+    est = (
+        f"CASE WHEN k_held < {KMV_K} THEN k_held::DOUBLE"
+        f" ELSE ({KMV_K} - 1) * {C.H30_MOD}::DOUBLE / h_k END"
+    )
+    return f"""
+        WITH grams AS ({_grams_select_duck()}
+        ),
+        hashes AS (
+            SELECT DISTINCT {h} AS h FROM grams
+        ),
+        bottom AS (
+            SELECT h FROM hashes ORDER BY h ASC LIMIT {KMV_K}
+        ),
+        sketch AS (
+            SELECT COUNT(*)::BIGINT AS k_held, max(h)::BIGINT AS h_k
+            FROM bottom
+        ),
+        exact AS (
+            SELECT COUNT(*)::BIGINT AS exact_distinct FROM hashes
+        )
+        SELECT exact_distinct, k_held,
+               round({est}, 6) AS kmv_estimate,
+               round(({est} - exact_distinct)
+                     / exact_distinct::DOUBLE, 6) AS rel_error
+        FROM sketch CROSS JOIN exact
+    """

@@ -112,3 +112,32 @@ def test_cms_sketch_build_is_bounded_agg(spark):
             .executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_distinct_estimate_and_parity(spark, tmp_path):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    )
+    got = K.q_kmv_distinct(spark, SF).toPandas()
+    want = con.execute(K.sql_kmv_distinct()).df()
+    assert len(got) == 1
+    for c in sorted(got.columns):
+        assert str(got[c][0]) == str(want[c][0]), c
+    r = got.iloc[0]
+    # KMV with K=256 on ~900 distinct grams: within a few percent
+    assert abs(r["rel_error"]) < 0.15
+    assert r["k_held"] == K.KMV_K <= r["exact_distinct"]
+
+    # under K distinct values the sketch is exact by construction
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "s", 22)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    small = K.q_kmv_distinct(spark, str(tmp_path)).collect()[0]
+    assert small["k_held"] == small["exact_distinct"] == 3
+    assert small["kmv_estimate"] == 3.0 and small["rel_error"] == 0.0
