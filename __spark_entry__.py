@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal as CM,
         similarity as CS,
         keywords as CK,
+        lm as CL,
         packing as CP,
         sampling as CSA,
         textstats as CT,
@@ -451,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": CK.q_tfidf_topk,
         "cms_heavy_hitters": CK.q_cms_heavy_hitters,
         "kmv_distinct": CK.q_kmv_distinct,
+        "lm_score": CL.q_lm_score,
         "stratified_sample": CSA.q_stratified_sample,
         "pack_sequences": CP.q_pack_sequences,
         "curation_funnel": CC.q_curation_funnel,
@@ -514,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         multimodal as CM,
         similarity as CS,
         keywords as CK,
+        lm as CL,
         packing as CP,
         sampling as CSA,
         textstats as CT,
@@ -582,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": CK.sql_tfidf_topk(),
         "cms_heavy_hitters": CK.sql_cms_heavy_hitters(),
         "kmv_distinct": CK.sql_kmv_distinct(),
+        "lm_score": CL.sql_lm_score(),
         "stratified_sample": CSA.sql_stratified_sample(),
         "pack_sequences": CP.sql_pack_sequences(),
         "curation_funnel": CC.sql_curation_funnel(),

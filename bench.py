@@ -47,7 +47,7 @@ GROUPS: dict[str, list[str]] = {
         "pii_scrub", "corpus_stats", "decontaminate",
         "html_strip", "main_content", "top_ngrams", "tfidf_topk",
         "stratified_sample", "pack_sequences", "cms_heavy_hitters",
-        "kmv_distinct",
+        "kmv_distinct", "lm_score",
     ],
     "dedup": [
         # pure-scan queries first; the LSH family fills the persisted
