@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # main-content extraction (HTML boilerplate strip, DOM heuristics)
         "html_strip": CW.q_html_strip,
         "main_content": CW.q_main_content,
+        "extract_links": CW.q_extract_links,
         # corpus keywords
         "top_ngrams": CK.q_top_ngrams,
         "tfidf_topk": CK.q_tfidf_topk,
@@ -454,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": CK.q_kmv_distinct,
         "lm_score": CL.q_lm_score,
         "stratified_sample": CSA.q_stratified_sample,
+        "weighted_sample": CSA.q_weighted_sample,
         "pack_sequences": CP.q_pack_sequences,
         "curation_funnel": CC.q_curation_funnel,
         # deduplication
@@ -581,12 +583,14 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": CF.sql_decontaminate(),
         "html_strip": CW.sql_html_strip(),
         "main_content": CW.sql_main_content(),
+        "extract_links": CW.sql_extract_links(),
         "top_ngrams": CK.sql_top_ngrams(),
         "tfidf_topk": CK.sql_tfidf_topk(),
         "cms_heavy_hitters": CK.sql_cms_heavy_hitters(),
         "kmv_distinct": CK.sql_kmv_distinct(),
         "lm_score": CL.sql_lm_score(),
         "stratified_sample": CSA.sql_stratified_sample(),
+        "weighted_sample": CSA.sql_weighted_sample(),
         "pack_sequences": CP.sql_pack_sequences(),
         "curation_funnel": CC.sql_curation_funnel(),
         "bbox_ops": _bbox_oracle(),

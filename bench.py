@@ -46,8 +46,9 @@ GROUPS: dict[str, list[str]] = {
         "lang_stats", "corpus_curation", "gopher_quality", "dup_ngrams",
         "pii_scrub", "corpus_stats", "decontaminate",
         "html_strip", "main_content", "top_ngrams", "tfidf_topk",
-        "stratified_sample", "pack_sequences", "cms_heavy_hitters",
-        "kmv_distinct", "lm_score",
+        "stratified_sample", "weighted_sample", "pack_sequences",
+        "cms_heavy_hitters", "kmv_distinct", "lm_score",
+        "extract_links",
     ],
     "dedup": [
         # pure-scan queries first; the LSH family fills the persisted

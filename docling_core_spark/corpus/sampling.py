@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import constants as C, read_spread
-from .textstats import _h30_duck, _h30_spark
+from .textstats import TOKENS_DUCK, _h30_duck, _h30_spark
 
 # K is a job parameter; 3 keeps the gate corpus' ~5-doc strata actually
 # selecting (a production carve would use thousands per stratum).
@@ -91,4 +91,77 @@ def sql_stratified_sample() -> str:
         )
         SELECT source, lang, rk, doc_id, n_stratum
         FROM ranked WHERE rk <= {SAMPLE_K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# weighted (priority) sampling
+# ---------------------------------------------------------------------------
+
+# Priority sampling (Duffield/Lund/Thorup 2007): priority = u / w with
+# u uniform; the K smallest priorities form a weight-proportional
+# sample without replacement. u is the deterministic 30-bit doc hash,
+# w the token count — heavier documents get proportionally more chance,
+# and the sample is reproducible across runs, engines, cluster sizes.
+WEIGHTED_K = 100
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted deterministic sample of WEIGHTED_K documents.
+
+    100 TB story: priority is a narrow per-row expression; the global
+    bottom-K is a TakeOrderedAndProject (distributed top-k, never a
+    single-partition sort); the rank window runs on the K-row cut
+    only. The priority double is a SINGLE division of two exact
+    integers — identical bit pattern in both engines, no accumulation."""
+    from pyspark.sql import Window
+
+    from .textstats import TOKENS_SPARK
+
+    docs = read_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"cast(size({TOKENS_SPARK}) as bigint)").alias("n_tokens"),
+        F.expr(_h30_spark("cast(doc_id as string)")).alias("h"),
+    ).where("n_tokens > 0")
+    pri = "h / cast(n_tokens as double)"
+    top = (
+        docs.select(
+            "doc_id", "n_tokens", F.expr(pri).alias("priority")
+        )
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(WEIGHTED_K)
+    )
+    w = Window.orderBy(F.asc("priority"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        "doc_id",
+        "n_tokens",
+        F.expr("round(priority, 6)").alias("priority"),
+    )
+
+
+def sql_weighted_sample() -> str:
+    h = _h30_duck("doc_id::VARCHAR")
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({TOKENS_DUCK})::BIGINT AS n_tokens,
+                   {h} AS h
+            FROM documents
+        ),
+        pri AS (
+            SELECT doc_id, n_tokens,
+                   h / n_tokens::DOUBLE AS priority
+            FROM base WHERE n_tokens > 0
+        ),
+        top AS (
+            SELECT * FROM pri
+            ORDER BY priority ASC, doc_id ASC LIMIT {WEIGHTED_K}
+        )
+        SELECT row_number() OVER (
+                   ORDER BY priority ASC, doc_id ASC
+               )::BIGINT AS rk,
+               doc_id, n_tokens, round(priority, 6) AS priority
+        FROM top
+        ORDER BY rk
     """

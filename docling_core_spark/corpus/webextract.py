@@ -296,3 +296,57 @@ def sql_main_content() -> str:
                {main} = norm_text AS recovered
         FROM cls
     """
+
+
+# ---------------------------------------------------------------------------
+# extract_links: the outlink table (the extraction stage's 2nd output)
+# ---------------------------------------------------------------------------
+
+_LINK_RE = r'<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document outlink rows (ord, href, anchor) from the
+    synthesized page — the link-graph half of a crawler's extraction
+    stage (content + links). Narrow per-row regex work plus one
+    posexplode; no shuffle."""
+    docs = read_spread(spark, sf_dir, "documents")
+    matches = (
+        f"regexp_extract_all({_page_spark()}, '{_spark_re(_LINK_RE)}', 0)"
+    )
+    pairs = (
+        f"transform({matches}, m -> named_struct("
+        f"'href', regexp_extract(m, '{_spark_re(_LINK_RE)}', 1),"
+        f" 'anchor', regexp_extract(m, '{_spark_re(_LINK_RE)}', 2)))"
+    )
+    return docs.select(
+        "doc_id", F.posexplode(F.expr(pairs)).alias("ord", "lk")
+    ).select(
+        "doc_id",
+        F.col("ord").cast("bigint").alias("ord"),
+        F.col("lk.href").alias("href"),
+        F.col("lk.anchor").alias("anchor"),
+    )
+
+
+def sql_extract_links() -> str:
+    matches = f"regexp_extract_all(page, '{_LINK_RE}', 0)"
+    return f"""
+        WITH pages AS (
+            SELECT doc_id, {_page_duck()} AS page FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id,
+                   unnest(list_transform({matches},
+                       m -> struct_pack(
+                           href := regexp_extract(m, '{_LINK_RE}', 1),
+                           anchor := regexp_extract(m, '{_LINK_RE}', 2)))
+                   ) AS lk,
+                   unnest(range(len({matches}))) AS ord
+            FROM pages
+        )
+        SELECT doc_id, ord::BIGINT AS ord,
+               struct_extract(lk, 'href') AS href,
+               struct_extract(lk, 'anchor') AS anchor
+        FROM pairs
+    """

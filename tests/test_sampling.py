@@ -72,3 +72,37 @@ def test_plan_broadcasts_stratum_sizes(spark):
         and "least(" in ln and "h#" in ln
     ]
     assert prefilter_idx and min(prefilter_idx) > win_idx, plan
+
+
+def test_weighted_sample_biased_and_parity(spark):
+    got = (S.q_weighted_sample(spark, SF).toPandas()
+           .sort_values("rk").reset_index(drop=True))
+    assert len(got) == S.WEIGHTED_K
+    assert list(got["rk"]) == list(range(1, S.WEIGHTED_K + 1))
+    # priority sampling must over-represent heavy (long) documents
+    all_docs = S.q_stratified_sample.__globals__["read_spread"](
+        spark, SF, "documents"
+    )
+    from pyspark.sql import functions as F
+
+    corpus_mean = all_docs.agg(
+        F.avg(F.expr("size(split(lower(trim(text)), '\\\\s+'))"))
+    ).collect()[0][0]
+    assert got["n_tokens"].mean() > corpus_mean
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    )
+    want = (con.execute(S.sql_weighted_sample()).df()
+            .sort_values("rk").reset_index(drop=True))
+    fmt = lambda x: f"{x:.6g}" if isinstance(x, float) else str(x)
+    for c in sorted(got.columns):
+        assert [fmt(x) for x in got[c]] == [fmt(x) for x in want[c]], c
+
+
+def test_weighted_sample_plan_is_takeordered(spark):
+    plan = (S.q_weighted_sample(spark, SF)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

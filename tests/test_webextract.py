@@ -129,3 +129,22 @@ def test_boilerplate_rejected_even_when_long(spark, tmp_path):
     r = rows[0]
     assert r["n_content_blocks"] == 2  # the two <p> halves, nothing else
     assert r["recovered"] is True      # no 'doc N'/footer leak into main
+
+
+def test_extract_links_inventory_and_parity(spark):
+    out = W.q_extract_links(spark, SF)
+    per = out.groupBy("doc_id").count().collect()
+    assert len(per) == 500 and all(r["count"] == 6 for r in per)
+    anchors = {r["anchor"] for r in out.where("doc_id = 0").collect()}
+    assert {"home", "sponsored", "terms", "privacy"} <= anchors
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    )
+    got = (out.toPandas().sort_values(["doc_id", "ord"])
+           .reset_index(drop=True))
+    want = (con.execute(W.sql_extract_links()).df()
+            .sort_values(["doc_id", "ord"]).reset_index(drop=True))
+    for c in sorted(got.columns):
+        assert [str(x) for x in got[c]] == [str(x) for x in want[c]], c
