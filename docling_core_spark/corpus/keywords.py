@@ -1,8 +1,10 @@
-"""Corpus keyword operators: corpus-wide top n-grams and per-document
-TF-IDF keyword extraction.
+"""Corpus keyword/frequency operators: corpus-wide top n-grams,
+per-document TF-IDF keyword extraction, and two bounded-state sketches
+(Count-Min heavy hitters, KMV distinct counting).
 
-Both are classic training-data diagnostics (what boilerplate phrases
-dominate the corpus? what is each document about?) expressed as pure
+All are classic training-data diagnostics (what boilerplate phrases
+dominate the corpus? what is each document about? how many distinct
+phrases are there when the exact table doesn't fit?) expressed as pure
 DataFrame aggregations with DuckDB oracles built from the same
 constants.
 

@@ -1,6 +1,7 @@
-"""Deterministic stratified sampling: a balanced per-(source, lang)
-sample of K documents per stratum, selected by hash order so the sample
-is reproducible across runs, engines, and cluster sizes (no RNG state).
+"""Deterministic sampling operators: a balanced per-(source, lang)
+stratified sample and a token-weighted priority sample — both selected
+by hash order so the samples are reproducible across runs, engines,
+and cluster sizes (no RNG state).
 
 Scale design (the part that matters at 100 TB): a naive "row_number
 per stratum, keep <= K" window ranks EVERY row of every stratum — a

@@ -12,11 +12,14 @@ paragraphs, a sponsored aside, and a footer — entirely inside the query
   normalisation; the classic "visible text" pass.
 * ``main_content`` — block segmentation (p/h1/nav/aside/footer) and a
   context-free Boilerpipe/jusText-style classifier: a block is content
-  iff it is long enough AND its link density is <= 0.2 (Kohlschuetter
-  et al., WSDM 2010 "Boilerplate Detection using Shallow Text Features";
-  Pomikalek 2011 jusText). The link-density threshold is applied as an
-  exact integer comparison (5*link_chars <= n_chars) so Spark and DuckDB
-  agree bit-for-bit with no float rounding.
+  iff it is a PARAGRAPH block that is long enough AND has link density
+  <= 0.2 (Kohlschuetter et al., WSDM 2010 "Boilerplate Detection using
+  Shallow Text Features"; Pomikalek 2011 jusText). The link-density
+  threshold is applied as an exact integer comparison
+  (5*link_chars <= n_chars) so Spark and DuckDB agree bit-for-bit with
+  no float rounding.
+* ``extract_links`` — the outlink table (ord, href, anchor) per
+  document; the link-graph half of a crawler extraction stage.
 
 Because the page is synthesised around known text, both operators are
 self-validating: ``html_strip`` must *contain* the original text and
