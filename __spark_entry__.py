@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": CF.q_dup_ngrams,
         "pii_scrub": CF.q_pii_scrub,
         "decontaminate": CF.q_decontaminate,
+        "bloom_decontaminate": CF.q_bloom_decontaminate,
         # main-content extraction (HTML boilerplate strip, DOM heuristics)
         "html_strip": CW.q_html_strip,
         "main_content": CW.q_main_content,
@@ -460,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": CC.q_curation_funnel,
         # deduplication
         "dedup_exact": _q_dedup_exact,
+        "seg_dedup": CD.q_seg_dedup,
         "minhash_signatures": CD.q_minhash_signatures,
         "lsh_buckets": CD.q_lsh_buckets,
         "neardup_pairs": CD.q_neardup_pairs,
@@ -581,6 +583,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngrams": CF.sql_dup_ngrams(),
         "pii_scrub": CF.sql_pii_scrub(),
         "decontaminate": CF.sql_decontaminate(),
+        "bloom_decontaminate": CF.sql_bloom_decontaminate(),
+        "seg_dedup": CD.sql_seg_dedup(),
         "html_strip": CW.sql_html_strip(),
         "main_content": CW.sql_main_content(),
         "extract_links": CW.sql_extract_links(),

@@ -48,14 +48,15 @@ GROUPS: dict[str, list[str]] = {
         "html_strip", "main_content", "top_ngrams", "tfidf_topk",
         "stratified_sample", "weighted_sample", "pack_sequences",
         "cms_heavy_hitters", "kmv_distinct", "lm_score",
-        "extract_links",
+        "extract_links", "bloom_decontaminate",
     ],
     "dedup": [
         # pure-scan queries first; the LSH family fills the persisted
         # shingle table and runs after them. curation_funnel composes
         # quality + decontamination + the memoized cluster table, so it
         # runs last where the clusters are already warm.
-        "dedup_exact", "simhash", "minhash_signatures", "lsh_buckets",
+        "dedup_exact", "seg_dedup", "simhash", "minhash_signatures",
+        "lsh_buckets",
         "neardup_pairs", "dedup_clusters", "jaccard_pairs",
         "dedup_savings", "curation_funnel",
     ],

@@ -838,3 +838,120 @@ def sql_dedup_savings() -> str:
                    AS token_drop_frac
         FROM j
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide exact segment dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+# C4 (Raffel et al. 2020, JMLR 21(140) §2.2) removes every later
+# occurrence of any exact three-sentence span across the WHOLE corpus.
+# This corpus is single-line text with no sentence markers, so the
+# deduplication unit is the consecutive SEG_WORDS-word window instead —
+# the same corpus-global first-occurrence-wins semantics on a
+# deterministic segmentation both SQL dialects can compute identically.
+SEG_WORDS = 8
+
+
+def _segments_spark() -> str:
+    """array<struct<ord int, seg string>>: consecutive SEG_WORDS-word
+    windows of the lowercased token list (last window may be short)."""
+    w = SEG_WORDS
+    return (
+        f"case when size({TOKENS_SPARK}) > 0 then"
+        f" transform(sequence(1, (size({TOKENS_SPARK}) + {w - 1}) div {w}),"
+        f"   i -> named_struct('ord', i, 'seg',"
+        f"     concat_ws(' ', slice({TOKENS_SPARK}, (i - 1) * {w} + 1, {w}))))"
+        f" else array() end"
+    )
+
+
+def _segments_duck() -> str:
+    w = SEG_WORDS
+    toks = TOKENS_DUCK
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN"
+        f" list_transform(range(1, (len({toks}) + {w - 1}) // {w} + 1),"
+        f"   i -> {{'ord': i, 'seg':"
+        f"     array_to_string({toks}[(i - 1) * {w} + 1 :"
+        f"       least(i * {w}, len({toks}))], ' ')}})"
+        f" ELSE [] END"
+    )
+
+
+def q_seg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global exact segment dedup: every occurrence of a
+    segment other than its first (by (doc_id, ord)) is dropped; each doc
+    reports how much of it survives and the md5 of its retained text.
+
+    100 TB story: the keeper per segment is a groupBy-min(struct) — NOT
+    a per-segment window — so corpus boilerplate repeated 10^9 times
+    combines map-side instead of serializing one hot window partition.
+    The kept rows ARE the aggregation output (no join back to the
+    exploded segment table), leaving two uniform, combinable shuffles:
+    min per segment text, then the per-doc rebuild on doc_id. Per-doc
+    segment counts ride the un-exploded scan.
+    """
+    docs = read_spread(spark, sf_dir, "documents")
+    segrows = docs.select(
+        "doc_id", F.explode(F.expr(_segments_spark())).alias("s")
+    ).select("doc_id", F.col("s.ord").alias("ord"), F.col("s.seg").alias("seg"))
+    # first occurrence per segment text, corpus-wide; struct min gives
+    # (doc_id, ord) lexicographic order == the oracle's ROW_NUMBER order
+    keep = (
+        segrows.groupBy("seg")
+        .agg(F.min(F.struct("doc_id", "ord")).alias("k"))
+        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.ord").alias("ord"),
+                "seg")
+    )
+    kept = keep.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "named_struct('ord', ord, 'seg', seg))), x -> x.seg), ' ')"
+        ).alias("kept_text"),
+    )
+    sizes = docs.select(
+        "doc_id",
+        F.expr(f"cast(size({_segments_spark()}) as bigint)").alias("n_segs"),
+    )
+    return (
+        sizes.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.expr(
+                "cast(length(coalesce(kept_text, '')) as bigint)"
+            ).alias("n_chars_kept"),
+            F.expr("md5(coalesce(kept_text, ''))").alias("kept_md5"),
+        )
+    )
+
+
+def sql_seg_dedup() -> str:
+    return f"""
+        WITH segrows AS (
+            SELECT doc_id, unnest({_segments_duck()}, recursive := true)
+            FROM documents
+        ),
+        keep AS (
+            SELECT doc_id, ord, seg FROM segrows
+            QUALIFY row_number()
+                OVER (PARTITION BY seg ORDER BY doc_id, ord) = 1
+        ),
+        kept AS (
+            SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+                   string_agg(seg, ' ' ORDER BY ord) AS kept_text
+            FROM keep GROUP BY doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, len({_segments_duck()})::BIGINT AS n_segs
+            FROM documents
+        )
+        SELECT s.doc_id, s.n_segs,
+               COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
+               length(COALESCE(k.kept_text, ''))::BIGINT AS n_chars_kept,
+               md5(COALESCE(k.kept_text, '')) AS kept_md5
+        FROM sizes s LEFT JOIN kept k USING (doc_id)
+    """

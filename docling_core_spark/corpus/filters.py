@@ -413,3 +413,171 @@ def sql_decontaminate() -> str:
         FROM sizes s
         LEFT JOIN hits h USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination probe
+# ---------------------------------------------------------------------------
+
+# The sketch path of `decontaminate`: instead of broadcasting the eval
+# set's distinct 8-grams (which grows with the benchmark suite), build a
+# BLOOM_M-bit Bloom filter over them (BLOOM_D universal hashes) and
+# probe every training gram against it. At 100 TB the filter is a fixed
+# BLOOM_M/8-byte broadcast no matter how many eval grams exist, and a
+# probe is BLOOM_D arithmetic ops — no join against the gram table at
+# all. Bloom guarantees zero false negatives; the report carries the
+# exact join alongside so the gate verifies both the soundness invariant
+# (every exact hit is a bloom hit) and the measured false-positive mass.
+# Geometry: m/n ~ 8192/~2.7k eval grams at this corpus, k=4 -> expected
+# fp rate ~ (1 - e^(-kn/m))^k ~ 0.04.
+BLOOM_M = 8192
+BLOOM_D = 4
+
+
+def _gen_bloom_params():
+    g = C._lcg(20260817)
+    out = []
+    for _ in range(BLOOM_D):
+        a = (next(g) % (C.H30_MOD - 1)) | 1
+        b = next(g) % C.H30_MOD
+        out.append((a, b))
+    return out
+
+
+BLOOM_PARAMS = _gen_bloom_params()
+
+
+def _bloom_pos(d: int, h: str) -> str:
+    """Bit position of hash expr `h` under hash function d — valid in
+    both dialects. Inner modulus MUST be the prime MINHASH_P: BLOOM_M
+    divides H30_MOD, so reducing mod 2^30 then mod BLOOM_M would make
+    all D rows functions of (h % BLOOM_M) and kill the independence."""
+    a, b = BLOOM_PARAMS[d]
+    return f"((({a} * {h} + {b}) % {C.MINHASH_P}) % {BLOOM_M})"
+
+
+def _decon_gram_expr_spark() -> str:
+    n = DECON_NGRAM
+    return (
+        f"case when size(toks) >= {n} then"
+        f" transform(sequence(1, size(toks) - {n - 1}),"
+        f"   i -> concat_ws(' ', slice(toks, i, {n})))"
+        f" else array() end"
+    )
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-doc Bloom probe vs the exact eval-gram join: n_grams,
+    bloom-positive distinct grams, exact distinct hits, the
+    false-positive surplus, and the zero-false-negative soundness bit.
+
+    100 TB story: the filter is built once from the benchmark-sized eval
+    side and crossed in as ONE sorted-positions row (the 1 KiB bitset a
+    production run would broadcast); the training scan stays narrow, the
+    probe is BLOOM_D in-array lookups per gram, and the only wide
+    exchange is the per-doc aggregation. The exact join rides along only
+    as the report's ground truth."""
+    from .textstats import _h30_spark
+
+    n = DECON_NGRAM
+    docs = read_spread(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
+    gram_expr = _decon_gram_expr_spark()
+    eval_grams = (
+        toks.where(_DECON_EVAL_PRED)
+        .select(F.explode(F.expr(gram_expr)).alias("gram"))
+        .distinct()
+    )
+    pos_list = ", ".join(
+        _bloom_pos(d, _h30_spark("gram")) for d in range(BLOOM_D)
+    )
+    bits = eval_grams.select(
+        F.explode(F.expr(f"array({pos_list})")).alias("pos")
+    ).distinct().agg(
+        F.expr("sort_array(collect_list(pos))").alias("bits")
+    )
+    train = (
+        toks.where(f"NOT ({_DECON_EVAL_PRED})")
+        .select("doc_id", F.explode(F.expr(gram_expr)).alias("gram"))
+        .select("doc_id", "gram", F.expr(_h30_spark("gram")).alias("h"))
+    )
+    probes = ", ".join(_bloom_pos(d, "h") for d in range(BLOOM_D))
+    probed = train.crossJoin(F.broadcast(bits)).select(
+        "doc_id", "gram",
+        F.expr(
+            f"forall(array({probes}), p -> array_contains(bits, p))"
+        ).alias("bloom_hit"),
+    )
+    # eval_grams is distinct, so this broadcast join marks rows without
+    # multiplying them — the exact ground truth rides the same scan
+    marker = eval_grams.withColumn("exact_hit", F.lit(True))
+    per_doc = (
+        probed.join(F.broadcast(marker), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").cast("bigint").alias("n_grams"),
+            F.countDistinct(F.when(F.col("bloom_hit"), F.col("gram")))
+            .cast("bigint").alias("n_bloom_hits"),
+            F.countDistinct(F.when(F.col("exact_hit"), F.col("gram")))
+            .cast("bigint").alias("n_exact_hits"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_grams", "n_bloom_hits", "n_exact_hits",
+        (F.col("n_bloom_hits") - F.col("n_exact_hits"))
+        .cast("bigint").alias("n_false_positives"),
+        (F.col("n_bloom_hits") >= F.col("n_exact_hits")).alias("sound"),
+    )
+
+
+def sql_bloom_decontaminate() -> str:
+    from .textstats import _h30_duck
+
+    n = DECON_NGRAM
+    h = _h30_duck("gram")
+    pos_list = ", ".join(_bloom_pos(d, h) for d in range(BLOOM_D))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+        ),
+        gr AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= {n} THEN
+                       list_transform(range(1, len(toks) - {n - 2}),
+                           i -> array_to_string(toks[i:i + {n - 1}], ' '))
+                   ELSE [] END AS grams
+            FROM toks
+        ),
+        eval_grams AS (
+            SELECT DISTINCT unnest(grams) AS gram
+            FROM gr WHERE {_DECON_EVAL_PRED}
+        ),
+        bits AS (
+            SELECT list_sort(list(DISTINCT pos)) AS bits FROM (
+                SELECT unnest([{pos_list}]) AS pos FROM eval_grams
+            )
+        ),
+        train AS (
+            SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, unnest(grams) AS gram
+                FROM gr WHERE NOT ({_DECON_EVAL_PRED})
+            )
+        ),
+        probed AS (
+            SELECT doc_id, gram,
+                   list_has_all(bits, [{pos_list}]) AS bloom_hit,
+                   gram IN (SELECT gram FROM eval_grams) AS exact_hit
+            FROM train, bits
+        )
+        SELECT doc_id,
+               COUNT(*)::BIGINT AS n_grams,
+               COUNT(*) FILTER (bloom_hit)::BIGINT AS n_bloom_hits,
+               COUNT(*) FILTER (exact_hit)::BIGINT AS n_exact_hits,
+               (COUNT(*) FILTER (bloom_hit)
+                - COUNT(*) FILTER (exact_hit))::BIGINT
+                   AS n_false_positives,
+               COUNT(*) FILTER (bloom_hit)
+                   >= COUNT(*) FILTER (exact_hit) AS sound
+        FROM probed
+        GROUP BY doc_id
+    """

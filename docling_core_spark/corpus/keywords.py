@@ -359,8 +359,11 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_held",
         F.expr(f"round({est}, 6)").alias("kmv_estimate"),
         F.expr(
-            f"round(({est} - exact_distinct)"
-            " / cast(exact_distinct as double), 6)"
+            # empty stream (no bigrams at all): estimate is exactly 0
+            # too, so define rel_error := 0 instead of dividing by 0
+            "case when exact_distinct = 0 then 0.0 else"
+            f" round(({est} - exact_distinct)"
+            " / cast(exact_distinct as double), 6) end"
         ).alias("rel_error"),
     )
 
@@ -389,7 +392,8 @@ def sql_kmv_distinct() -> str:
         )
         SELECT exact_distinct, k_held,
                round({est}, 6) AS kmv_estimate,
-               round(({est} - exact_distinct)
-                     / exact_distinct::DOUBLE, 6) AS rel_error
+               CASE WHEN exact_distinct = 0 THEN 0.0 ELSE
+                    round(({est} - exact_distinct)
+                          / exact_distinct::DOUBLE, 6) END AS rel_error
         FROM sketch CROSS JOIN exact
     """

@@ -95,8 +95,10 @@ def _page_duck() -> str:
     """DuckDB SQL expr producing byte-identical pages."""
     toks = r"regexp_split_to_array(trim(text), '\s+')"
     k = f"((len({toks}) + 1) // 2)"
-    p1 = f"array_to_string({toks}[1:{k}], ' ')"
-    p2 = f"array_to_string({toks}[{k} + 1:len({toks})], ' ')"
+    # coalesce: DuckDB array_to_string([]) is NULL (single-token docs
+    # make the second slice empty); Spark concat_ws gives '' there.
+    p1 = f"coalesce(array_to_string({toks}[1:{k}], ' '), '')"
+    p2 = f"coalesce(array_to_string({toks}[{k} + 1:len({toks})], ' '), '')"
     did = "doc_id::VARCHAR"
     return f"""'<html><head><title>doc ' || {did} || '</title>' ||
         '<style>body{{margin:0}}</style>' ||
