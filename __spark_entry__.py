@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": CL.q_lm_score,
         "stratified_sample": CSA.q_stratified_sample,
         "weighted_sample": CSA.q_weighted_sample,
+        "mixture_weights": CSA.q_mixture_weights,
         "pack_sequences": CP.q_pack_sequences,
         "curation_funnel": CC.q_curation_funnel,
         # deduplication
@@ -465,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": CD.q_minhash_signatures,
         "lsh_buckets": CD.q_lsh_buckets,
         "neardup_pairs": CD.q_neardup_pairs,
+        "minhash_est_error": CD.q_minhash_est_error,
         "dedup_clusters": CD.q_dedup_clusters,
         "jaccard_pairs": CD.q_jaccard_pairs,
         "dedup_savings": CD.q_dedup_savings,
@@ -585,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": CF.sql_decontaminate(),
         "bloom_decontaminate": CF.sql_bloom_decontaminate(),
         "seg_dedup": CD.sql_seg_dedup(),
+        "minhash_est_error": CD.sql_minhash_est_error(),
         "html_strip": CW.sql_html_strip(),
         "main_content": CW.sql_main_content(),
         "extract_links": CW.sql_extract_links(),
@@ -595,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": CL.sql_lm_score(),
         "stratified_sample": CSA.sql_stratified_sample(),
         "weighted_sample": CSA.sql_weighted_sample(),
+        "mixture_weights": CSA.sql_mixture_weights(),
         "pack_sequences": CP.sql_pack_sequences(),
         "curation_funnel": CC.sql_curation_funnel(),
         "bbox_ops": _bbox_oracle(),

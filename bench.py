@@ -48,7 +48,7 @@ GROUPS: dict[str, list[str]] = {
         "html_strip", "main_content", "top_ngrams", "tfidf_topk",
         "stratified_sample", "weighted_sample", "pack_sequences",
         "cms_heavy_hitters", "kmv_distinct", "lm_score",
-        "extract_links", "bloom_decontaminate",
+        "extract_links", "bloom_decontaminate", "mixture_weights",
     ],
     "dedup": [
         # pure-scan queries first; the LSH family fills the persisted
@@ -57,8 +57,8 @@ GROUPS: dict[str, list[str]] = {
         # runs last where the clusters are already warm.
         "dedup_exact", "seg_dedup", "simhash", "minhash_signatures",
         "lsh_buckets",
-        "neardup_pairs", "dedup_clusters", "jaccard_pairs",
-        "dedup_savings", "curation_funnel",
+        "neardup_pairs", "minhash_est_error", "dedup_clusters",
+        "jaccard_pairs", "dedup_savings", "curation_funnel",
     ],
     "sim": [
         # multimodal first: they are cheap Arrow-stage queries and must

@@ -955,3 +955,74 @@ def sql_seg_dedup() -> str:
                md5(COALESCE(k.kept_text, '')) AS kept_md5
         FROM sizes s LEFT JOIN kept k USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard-estimate calibration report
+# ---------------------------------------------------------------------------
+
+# 1e6 / NUM_PERMS is integral (62,500 for 16 perms), so the MinHash
+# estimate in micro-Jaccard units is an exact BIGINT in both engines.
+_MICRO_PER_PERM = 1_000_000 // C.NUM_PERMS
+
+
+def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration report for the dedup family: for every
+    verified near-dup pair, the MinHash-estimated Jaccard (matching
+    signature components / NUM_PERMS — the estimator of Broder 1997)
+    next to the exact shingle Jaccard, both in exact micro-Jaccard
+    BIGINTs. The sample is conditioned on LSH collision + verification
+    (est is biased high vs random pairs — that is the population a
+    production dedup run actually consults the sketch for).
+
+    100 TB story: rides entirely on the two tables a production run has
+    already materialized (verified pairs + signature table); one
+    candidate-scale join per side on uniform doc ids, no new corpus-wide
+    work."""
+    pairs = q_neardup_pairs(spark, sf_dir)
+    sig = _with_signatures(spark, sf_dir)
+    matching = " + ".join(
+        f"case when a.mh_{i} = b.mh_{i} then 1 else 0 end"
+        for i in range(C.NUM_PERMS)
+    )
+    return (
+        pairs.alias("p")
+        .join(sig.alias("a"), F.col("p.doc_a") == F.col("a.doc_id"))
+        .join(sig.alias("b"), F.col("p.doc_b") == F.col("b.doc_id"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.expr(
+                f"cast(({matching}) * {_MICRO_PER_PERM} as bigint)"
+            ).alias("est_micro"),
+            F.expr(
+                "cast(floor(p.jaccard * 1000000 + 0.5) as bigint)"
+            ).alias("exact_micro"),
+        )
+        .select(
+            "doc_a", "doc_b", "est_micro", "exact_micro",
+            F.expr(
+                "cast(abs(est_micro - exact_micro) as bigint)"
+            ).alias("abs_err_micro"),
+        )
+    )
+
+
+def sql_minhash_est_error() -> str:
+    matching = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(C.NUM_PERMS)
+    )
+    return f"""
+        WITH pairs AS ({sql_neardup_pairs()}),
+        {_sig_cte_duck()}
+        SELECT p.doc_a, p.doc_b,
+               (({matching}) * {_MICRO_PER_PERM})::BIGINT AS est_micro,
+               floor(p.jaccard * 1000000 + 0.5)::BIGINT AS exact_micro,
+               abs((({matching}) * {_MICRO_PER_PERM})
+                   - floor(p.jaccard * 1000000 + 0.5))::BIGINT
+                   AS abs_err_micro
+        FROM pairs p
+        JOIN sig a ON p.doc_a = a.doc_id
+        JOIN sig b ON p.doc_b = b.doc_id
+    """

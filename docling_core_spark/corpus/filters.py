@@ -424,13 +424,21 @@ def sql_decontaminate() -> str:
 # BLOOM_M-bit Bloom filter over them (BLOOM_D universal hashes) and
 # probe every training gram against it. At 100 TB the filter is a fixed
 # BLOOM_M/8-byte broadcast no matter how many eval grams exist, and a
-# probe is BLOOM_D arithmetic ops — no join against the gram table at
-# all. Bloom guarantees zero false negatives; the report carries the
-# exact join alongside so the gate verifies both the soundness invariant
-# (every exact hit is a bloom hit) and the measured false-positive mass.
-# Geometry: m/n ~ 8192/~2.7k eval grams at this corpus, k=4 -> expected
-# fp rate ~ (1 - e^(-kn/m))^k ~ 0.04.
-BLOOM_M = 8192
+# probe is BLOOM_D arithmetic ops + O(1) lookups — no join against the
+# gram table at all. Bloom guarantees zero false negatives; the report
+# carries the exact join alongside so the gate verifies both the
+# soundness invariant (every exact hit is a bloom hit) and the measured
+# false-positive mass. Geometry: m/n ~ 16384/~3.5k eval grams at the
+# bench sf, k=4 -> expected fp rate ~ (1 - e^(-kn/m))^4 ~ 0.1 (visible
+# FP mass by design; production would size m/n ~ 10-15 per key).
+#
+# The filter is represented as a BLOOM_M-char '0'/'1' string and probed
+# with substring() — plain codegen'd string indexing. The first cut
+# carried a sorted positions ARRAY probed via forall(array_contains):
+# higher-order-function lambdas are interpreted, not codegen'd, and at
+# ~7k set bits that probe measured ~140x slower than this bitmap
+# (4 minutes vs seconds over ~340k grams at sf0.1).
+BLOOM_M = 16384
 BLOOM_D = 4
 
 
@@ -472,9 +480,10 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     false-positive surplus, and the zero-false-negative soundness bit.
 
     100 TB story: the filter is built once from the benchmark-sized eval
-    side and crossed in as ONE sorted-positions row (the 1 KiB bitset a
-    production run would broadcast); the training scan stays narrow, the
-    probe is BLOOM_D in-array lookups per gram, and the only wide
+    side and crossed in as ONE bitmap-string row (the BLOOM_M-bit bitset
+    a production run would broadcast); the training scan stays narrow,
+    the probe is BLOOM_D multiply-adds + O(1) substring lookups per gram
+    (whole-stage codegen — no lambda, no array scan), and the only wide
     exchange is the per-doc aggregation. The exact join rides along only
     as the report's ground truth."""
     from .textstats import _h30_spark
@@ -491,22 +500,43 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos_list = ", ".join(
         _bloom_pos(d, _h30_spark("gram")) for d in range(BLOOM_D)
     )
+    # '0'/'1' bitmap built from the sorted set-bit positions by emitting
+    # the zero-gap before each set bit, then the tail zeros
+    gap = (
+        "transform(sequence(1, size(ps)), i -> concat(repeat('0',"
+        " cast(element_at(ps, i) - (case when i = 1 then -1L"
+        " else element_at(ps, i - 1) end) - 1 as int)), '1'))"
+    )
+    bitmap = (
+        f"case when size(ps) = 0 then repeat('0', {BLOOM_M})"
+        f" else concat(concat_ws('', {gap}), repeat('0',"
+        f" cast({BLOOM_M} - 1 - element_at(ps, -1) as int))) end"
+    )
     bits = eval_grams.select(
         F.explode(F.expr(f"array({pos_list})")).alias("pos")
     ).distinct().agg(
-        F.expr("sort_array(collect_list(pos))").alias("bits")
-    )
+        F.expr("sort_array(collect_list(pos))").alias("ps")
+    ).select(F.expr(bitmap).alias("bitmap"))
+    # h materialized INSIDE the generator row (named_struct in the
+    # exploded transform): projections after a generate are collapsed
+    # and would otherwise inline the md5 chain once per probe
     train = (
         toks.where(f"NOT ({_DECON_EVAL_PRED})")
-        .select("doc_id", F.explode(F.expr(gram_expr)).alias("gram"))
-        .select("doc_id", "gram", F.expr(_h30_spark("gram")).alias("h"))
+        .select("doc_id", F.explode(F.expr(
+            f"transform({gram_expr}, g -> named_struct("
+            f"'gram', g, 'h', {_h30_spark('g')}))"
+        )).alias("gh"))
+        .select("doc_id", F.col("gh.gram").alias("gram"),
+                F.col("gh.h").alias("h"))
     )
-    probes = ", ".join(_bloom_pos(d, "h") for d in range(BLOOM_D))
+    probe_pred = " AND ".join(
+        f"substring(bitmap, cast({_bloom_pos(d, 'h')} as int) + 1, 1)"
+        " = '1'"
+        for d in range(BLOOM_D)
+    )
     probed = train.crossJoin(F.broadcast(bits)).select(
         "doc_id", "gram",
-        F.expr(
-            f"forall(array({probes}), p -> array_contains(bits, p))"
-        ).alias("bloom_hit"),
+        F.expr(probe_pred).alias("bloom_hit"),
     )
     # eval_grams is distinct, so this broadcast join marks rows without
     # multiplying them — the exact ground truth rides the same scan
@@ -552,10 +582,24 @@ def sql_bloom_decontaminate() -> str:
             SELECT DISTINCT unnest(grams) AS gram
             FROM gr WHERE {_DECON_EVAL_PRED}
         ),
-        bits AS (
-            SELECT list_sort(list(DISTINCT pos)) AS bits FROM (
+        posarr AS (
+            SELECT list_sort(list(DISTINCT pos)) AS ps FROM (
                 SELECT unnest([{pos_list}]) AS pos FROM eval_grams
             )
+        ),
+        bits AS (
+            SELECT CASE WHEN len(ps) = 0 THEN repeat('0', {BLOOM_M})
+                   ELSE array_to_string(
+                            list_transform(range(1, len(ps) + 1),
+                                i -> repeat('0', (ps[i] -
+                                    (CASE WHEN i = 1 THEN -1
+                                     ELSE ps[i - 1] END) - 1)::INT)
+                                    || '1'),
+                            '')
+                        || repeat('0',
+                                  ({BLOOM_M} - 1 - ps[len(ps)])::INT)
+                   END AS bitmap
+            FROM posarr
         ),
         train AS (
             SELECT DISTINCT doc_id, gram FROM (
@@ -565,7 +609,11 @@ def sql_bloom_decontaminate() -> str:
         ),
         probed AS (
             SELECT doc_id, gram,
-                   list_has_all(bits, [{pos_list}]) AS bloom_hit,
+                   {" AND ".join(
+                       f"substring(bitmap, ({_bloom_pos(d, h)})::INT + 1,"
+                       " 1) = '1'"
+                       for d in range(BLOOM_D)
+                   )} AS bloom_hit,
                    gram IN (SELECT gram FROM eval_grams) AS exact_hit
             FROM train, bits
         )

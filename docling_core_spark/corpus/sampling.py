@@ -166,3 +166,82 @@ def sql_weighted_sample() -> str:
         FROM top
         ORDER BY rk
     """
+
+
+# ---------------------------------------------------------------------------
+# mixture rebalancing weights (uniform-target importance weights)
+# ---------------------------------------------------------------------------
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) stratum: token mass, observed corpus share,
+    the uniform target share, and the importance weight
+    target/observed a mixture-rebalanced sampler would apply (the
+    static-weights step of data-mixing recipes — The Pile's per-set
+    epochs, DoReMi's reweighted sampling; here the target is uniform
+    over the observed strata). All shares/weights are exact
+    micro-unit BIGINTs (integer floor division), so both engines agree
+    bit-for-bit with no float summation anywhere.
+
+    100 TB story: one map-side-combinable agg whose key space is the
+    stratum count (dozens), then arithmetic on that tiny table against
+    a broadcast one-row total — the corpus is scanned exactly once,
+    pruned to (source, lang, text). BIGINT headroom: tokens*10^6 must
+    stay < 2^63, i.e. total corpus tokens < ~9.2*10^12; past that a
+    production run right-shifts both numerator and denominator by a
+    common factor (tokens div 2^10) before the share division — same
+    micro precision, the fixture-scale gate keeps the unshifted form
+    because the shift floors tiny strata to 0."""
+    from .textstats import TOKENS_SPARK
+
+    docs = read_spread(spark, sf_dir, "documents")
+    strata = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr(f"cast(sum(size({TOKENS_SPARK})) as bigint)").alias(
+            "tokens"
+        ),
+    )
+    totals = strata.agg(
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("n_strata"),
+    )
+    return (
+        strata.crossJoin(F.broadcast(totals))
+        .select(
+            "source", "lang", "n_docs", "tokens",
+            F.expr(
+                "cast(tokens * 1000000 div total_tokens as bigint)"
+            ).alias("observed_micro"),
+            F.expr(
+                "cast(1000000 div n_strata as bigint)"
+            ).alias("target_micro"),
+            F.expr(
+                "cast((1000000 div n_strata) * 1000000"
+                " div (tokens * 1000000 div total_tokens) as bigint)"
+            ).alias("weight_micro"),
+        )
+    )
+
+
+def sql_mixture_weights() -> str:
+    return f"""
+        WITH strata AS (
+            SELECT source, lang,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(len({TOKENS_DUCK}))::BIGINT AS tokens
+            FROM documents
+            GROUP BY source, lang
+        ),
+        totals AS (
+            SELECT SUM(tokens)::BIGINT AS total_tokens,
+                   COUNT(*)::BIGINT AS n_strata
+            FROM strata
+        )
+        SELECT source, lang, n_docs, tokens,
+               (tokens * 1000000 // total_tokens)::BIGINT
+                   AS observed_micro,
+               (1000000 // n_strata)::BIGINT AS target_micro,
+               ((1000000 // n_strata) * 1000000
+                // (tokens * 1000000 // total_tokens))::BIGINT
+                   AS weight_micro
+        FROM strata CROSS JOIN totals
+    """

@@ -79,6 +79,8 @@ _OPS = [
      ["doc_id"]),
     ("stratified_sample", CSA.q_stratified_sample,
      CSA.sql_stratified_sample, ["source", "lang", "rk"]),
+    ("mixture_weights", CSA.q_mixture_weights, CSA.sql_mixture_weights,
+     ["source", "lang"]),
     ("weighted_sample", CSA.q_weighted_sample, CSA.sql_weighted_sample,
      ["rk"]),
 ]

@@ -106,3 +106,40 @@ def test_weighted_sample_plan_is_takeordered(spark):
             .executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mixture_weights_math_and_parity(spark, tmp_path):
+    """Two strata with a 3:1 token imbalance: the heavy stratum gets
+    weight < 1 (downweighted), the light one > 1, and every micro
+    integer matches the hand computation and the DuckDB oracle."""
+    import glob
+
+    rows = [
+        # (s0, en): 6 tokens; (s1, de): 2 tokens -> shares 750000/250000
+        (1, "a b c", "en", "s0"),
+        (2, "d e f", "en", "s0"),
+        (3, "g h", "de", "s1"),
+    ]
+    pq = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source"]
+    ).coalesce(1).write.mode("overwrite").parquet(pq)
+    got = (S.q_mixture_weights(spark, str(tmp_path)).toPandas()
+           .sort_values(["source", "lang"]).reset_index(drop=True))
+    by = {(r.source, r.lang): r for r in got.itertuples()}
+    heavy, light = by[("s0", "en")], by[("s1", "de")]
+    assert heavy.tokens == 6 and light.tokens == 2
+    assert heavy.observed_micro == 750_000
+    assert light.observed_micro == 250_000
+    assert heavy.target_micro == 500_000 == light.target_micro
+    assert heavy.weight_micro == 500_000 * 1_000_000 // 750_000
+    assert light.weight_micro == 2_000_000  # 0.5 / 0.25
+    part = glob.glob(pq + "/*.parquet")[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{part}')"
+    )
+    want = (con.execute(S.sql_mixture_weights()).df()
+            .sort_values(["source", "lang"]).reset_index(drop=True))
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c

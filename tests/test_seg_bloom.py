@@ -145,3 +145,36 @@ def test_bloom_plan_broadcasts_filter(spark):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_est_error_calibration(spark, tmp_path):
+    """Identical docs estimate 1.0 exactly; a near-dup pair's estimate
+    lands within the sketch's resolution of the exact Jaccard; both
+    engines agree on every micro-Jaccard integer."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa")
+    near = base + " extra"
+    sf, part = _write(spark, tmp_path, [
+        (1, base), (2, base), (3, near),
+        (4, "entirely different words that share nothing at all with "
+            "the others in this corpus fixture"),
+    ])
+    got = (CD.q_minhash_est_error(spark, sf).toPandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert len(got) >= 1
+    by_pair = {(r.doc_a, r.doc_b): r for r in got.itertuples()}
+    exact_dup = by_pair[(1, 2)]
+    assert exact_dup.est_micro == 1_000_000
+    assert exact_dup.exact_micro == 1_000_000
+    assert exact_dup.abs_err_micro == 0
+    # every estimate is a multiple of 1e6/NUM_PERMS
+    assert all(r.est_micro % (1_000_000 // 16) == 0 for r in got.itertuples())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{part}')"
+    )
+    want = (con.execute(CD.sql_minhash_est_error()).df()
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    for c in ("doc_a", "doc_b", "est_micro", "exact_micro",
+              "abs_err_micro"):
+        assert list(got[c]) == list(want[c]), c
