@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_stats": CS.q_lsh_bucket_stats,
         "ann_lsh_topk": CS.q_ann_lsh_topk,
         "ann_ivf_topk": CS.q_ann_ivf_topk,
+        "ann_recall": CS.q_ann_recall,
         "neardup_cosine": CS.q_neardup_cosine,
         "semdedup_clusters": CS.q_semdedup_clusters,
         # multimodal plumbing
@@ -574,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),
         "ann_lsh_topk": CS.sql_ann_lsh_topk(),
         "ann_ivf_topk": CS.sql_ann_ivf_topk(f"/root/testdata/sf{gate_sf}"),
+        "ann_recall": CS.sql_ann_recall(f"/root/testdata/sf{gate_sf}"),
         "neardup_cosine": CS.sql_neardup_cosine(),
         "semdedup_clusters": CS.sql_semdedup_clusters(),
         "decode_features": CM.sql_decode_features(),

@@ -65,7 +65,8 @@ GROUPS: dict[str, list[str]] = {
         # not pay for the similarity family's persisted tables
         "decode_features", "media_resize", "frame_sample",
         "knn_bruteforce", "lsh_bucket_stats", "ann_lsh_topk",
-        "ann_ivf_topk", "neardup_cosine", "semdedup_clusters",
+        "ann_ivf_topk", "ann_recall", "neardup_cosine",
+        "semdedup_clusters",
     ],
     "rel": [
         "bbox_ops", "page_cells_in_bbox", "page_crop_text",

@@ -768,3 +768,80 @@ def sql_semdedup_clusters() -> str:
                comp.vec_id = comp.cluster_id AS is_canonical
         FROM comp JOIN sized USING (cluster_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# ANN recall@k evaluation report
+# ---------------------------------------------------------------------------
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per ANN method (banded LSH, IVF-flat): hits against the
+    exact brute-force top-ANN_K truth over the same query set, with
+    recall@k as an exact micro-unit BIGINT. The quality metric every
+    production ANN deployment tracks, expressed as a gate-verifiable
+    query (the per-sf numeric recall also lives in SCALE.md via
+    tools/recall_report.py — this makes it a first-class, oracle-checked
+    result instead of a doc figure).
+
+    100 TB story: consumes three already-memoized result tables (exact
+    top-k over the broadcast query set, the two ANN rankings); the
+    joins are query-set-sized (K rows per query), nothing corpus-wide
+    runs here."""
+    truth = (
+        q_knn_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") <= C.ANN_K)
+        .select("q_id", "neighbor_id")
+    )
+    t_cnt = truth.agg(
+        F.count("*").cast("bigint").alias("n_truth")
+    )
+    reports = []
+    for method, qf in (("ivf", q_ann_ivf_topk), ("lsh", q_ann_lsh_topk)):
+        hits = (
+            qf(spark, sf_dir)
+            .select("q_id", "neighbor_id")
+            .join(truth, ["q_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+        )
+        reports.append(
+            hits.crossJoin(t_cnt).select(
+                F.lit(method).alias("method"),
+                F.lit(C.ANN_K).cast("bigint").alias("k"),
+                "n_truth",
+                "n_hits",
+                F.expr(
+                    "cast(n_hits * 1000000 div n_truth as bigint)"
+                ).alias("recall_micro"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def sql_ann_recall(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return f"""
+        WITH knn AS ({sql_knn_bruteforce()}),
+        truth AS (
+            SELECT q_id, neighbor_id FROM knn WHERE "rank" <= {C.ANN_K}
+        ),
+        t AS (SELECT COUNT(*)::BIGINT AS n_truth FROM truth),
+        lsh AS ({sql_ann_lsh_topk()}),
+        ivf AS ({sql_ann_ivf_topk(sf_dir)}),
+        h_lsh AS (
+            SELECT COUNT(*)::BIGINT AS n_hits
+            FROM lsh JOIN truth USING (q_id, neighbor_id)
+        ),
+        h_ivf AS (
+            SELECT COUNT(*)::BIGINT AS n_hits
+            FROM ivf JOIN truth USING (q_id, neighbor_id)
+        )
+        SELECT 'ivf' AS method, {C.ANN_K}::BIGINT AS k, n_truth, n_hits,
+               (n_hits * 1000000 // n_truth)::BIGINT AS recall_micro
+        FROM h_ivf, t
+        UNION ALL
+        SELECT 'lsh' AS method, {C.ANN_K}::BIGINT AS k, n_truth, n_hits,
+               (n_hits * 1000000 // n_truth)::BIGINT AS recall_micro
+        FROM h_lsh, t
+    """

@@ -78,6 +78,9 @@ def _pairs():
         "ann_ivf_topk": (
             CS.q_ann_ivf_topk, lambda: CS.sql_ann_ivf_topk(SF_DIR),
         ),
+        "ann_recall": (
+            CS.q_ann_recall, lambda: CS.sql_ann_recall(SF_DIR),
+        ),
         "neardup_cosine": (CS.q_neardup_cosine, CS.sql_neardup_cosine),
         "semdedup_clusters": (
             CS.q_semdedup_clusters, CS.sql_semdedup_clusters,
@@ -256,3 +259,21 @@ def test_neardup_cosine_hot_bucket_cap(spark):
     capped = {(r["vec_a"], r["vec_b"])
               for r in q_neardup_cosine(spark, sf, max_bucket=3).collect()}
     assert capped <= full
+
+
+def test_ann_recall_report_consistent(spark):
+    """Both ANN methods report a recall row whose integers are
+    internally consistent (0 <= hits <= truth, recall = hits/truth in
+    micro units, truth = queries x k when every query has k exact
+    neighbors)."""
+    from docling_core_spark.corpus import constants as C
+    from docling_core_spark.corpus import similarity as CS
+
+    rows = {r["method"]: r
+            for r in CS.q_ann_recall(spark, SF_DIR).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for r in rows.values():
+        assert r["k"] == C.ANN_K
+        assert 0 <= r["n_hits"] <= r["n_truth"]
+        assert r["recall_micro"] == r["n_hits"] * 1_000_000 // r["n_truth"]
+    assert rows["lsh"]["n_truth"] == rows["ivf"]["n_truth"]

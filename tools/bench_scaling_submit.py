@@ -52,6 +52,14 @@ def run_submit(workdir: str, zpath: str, cpus: int, n_docs: int) -> dict:
     cmd = [
         _spark_submit(),
         "--master", f"local[{cpus}]",
+        # local mode: the driver JVM hosts every executor thread, so it
+        # must be sized like the in-process sessions (32g) — the 1g
+        # spark-submit default GC-thrashes the HIGH level specifically
+        # (8 concurrent Arrow batches in one heap; measured 1430 vs
+        # 2260 docs/s at local[8] on identical code), which silently
+        # deflates the scaling ratio. On a real cluster this is
+        # --executor-memory sizing, not a driver concern.
+        "--driver-memory", "16g",
         "--py-files", zpath,
         "--conf", "spark.ui.enabled=false",
         "--conf", f"spark.sql.shuffle.partitions={max(cpus * 2, 8)}",
@@ -60,7 +68,12 @@ def run_submit(workdir: str, zpath: str, cpus: int, n_docs: int) -> dict:
         "--synth", str(n_docs),
         "--output", out_dir,
         "--num-shards", "32",
-        "--shards-per-batch", "32",
+        # 4 batches of 8: batch 0 absorbs residual spin-up (python
+        # worker fan-out, codegen, synth materialization) and is
+        # EXCLUDED from the throughput read below; batches 1-3 give the
+        # steady-state per-batch walls a long-running production job
+        # actually sustains
+        "--shards-per-batch", "8",
         "--sink", "noop",
     ]
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
@@ -71,10 +84,12 @@ def run_submit(workdir: str, zpath: str, cpus: int, n_docs: int) -> dict:
     from docling_core_spark.ops.ledger import read_ledger
 
     ledger = read_ledger(out_dir)
-    docs = sum(e.doc_count for e in ledger)
     # entries within a batch share the batch's wall; batches run
-    # sequentially, so processing wall = sum over distinct batches
-    wall = sum(w for _b, w in {(e.batch_id, e.wall_sec) for e in ledger})
+    # sequentially. Throughput reads the WARM batches only (batch 0
+    # absorbs residual spin-up — see the --shards-per-batch comment).
+    warm = [e for e in ledger if e.batch_id > 0]
+    docs = sum(e.doc_count for e in warm)
+    wall = sum(w for _b, w in {(e.batch_id, e.wall_sec) for e in warm})
     return {"cpus": cpus, "docs": docs, "sec": round(wall, 3),
             "docs_per_sec": round(docs / wall, 1)}
 
