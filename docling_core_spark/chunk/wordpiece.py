@@ -8,9 +8,11 @@ The reference defaults to a HuggingFace tokenizer
 `sentence-transformers/all-MiniLM-L6-v2`, a BERT WordPiece vocab).
 `transformers` and any pretrained vocab download are unavailable in
 this sandbox, so the vocab is TRAINED deterministically on the
-engine's own fixture corpus with the public WordPiece training
-algorithm (pair score = freq(ab) / (freq(a) * freq(b)), the scheme
-HuggingFace `tokenizers` documents for its WordPiece trainer) and
+engine's own fixture corpus with FREQUENCY-scored BPE-style merges
+rendered in WordPiece surface form (## continuations). The WordPiece
+likelihood score freq(ab)/(freq(a)*freq(b)) is deliberately NOT used:
+at small vocab sizes it spends the merge budget on rare words and
+leaves common words char-split (see `train_wordpiece`). The vocab is
 checked in as an asset (tools/gen_vocab.py regenerates it). Tokenizer
 behavior — basic tokenization, ## continuation matching, [UNK],
 max_chars_per_word — mirrors the published BERT reference semantics.

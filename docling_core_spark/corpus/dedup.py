@@ -598,6 +598,7 @@ def _min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
     old_sp = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", str(loop_p))
+    edges = None
     try:
         # symmetrized edge list; persist — it is re-joined every round
         edges = (
@@ -614,7 +615,10 @@ def _min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         labels = _propagate_labels(edges)
     finally:
         sess.conf.set("spark.sql.shuffle.partitions", old_sp)
-    edges.unpersist()
+        # inside finally: a _propagate_labels raise (CC_MAX_ROUNDS)
+        # must not leak the persisted edge RDD into executor storage
+        if edges is not None:
+            edges.unpersist()
     # stitch singletons (no edges -> own component) back in
     return docs.join(labels, "doc_id", "left").select(
         "doc_id",

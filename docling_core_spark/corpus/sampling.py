@@ -214,9 +214,17 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "cast(1000000 div n_strata as bigint)"
             ).alias("target_micro"),
+            # Guard: a stratum under 1ppm of corpus token mass floors
+            # observed_micro to 0; ANSI Spark would raise
+            # DIVIDE_BY_ZERO while DuckDB yields NULL — emit NULL in
+            # BOTH dialects so degenerate inputs neither crash nor
+            # diverge.
             F.expr(
-                "cast((1000000 div n_strata) * 1000000"
-                " div (tokens * 1000000 div total_tokens) as bigint)"
+                "cast(case when tokens * 1000000 div total_tokens = 0"
+                " then null"
+                " else (1000000 div n_strata) * 1000000"
+                " div (tokens * 1000000 div total_tokens) end"
+                " as bigint)"
             ).alias("weight_micro"),
         )
     )
@@ -240,8 +248,11 @@ def sql_mixture_weights() -> str:
                (tokens * 1000000 // total_tokens)::BIGINT
                    AS observed_micro,
                (1000000 // n_strata)::BIGINT AS target_micro,
-               ((1000000 // n_strata) * 1000000
-                // (tokens * 1000000 // total_tokens))::BIGINT
+               (CASE WHEN tokens * 1000000 // total_tokens = 0
+                     THEN NULL
+                     ELSE (1000000 // n_strata) * 1000000
+                          // (tokens * 1000000 // total_tokens)
+                END)::BIGINT
                    AS weight_micro
         FROM strata CROSS JOIN totals
     """

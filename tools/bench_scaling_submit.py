@@ -53,12 +53,17 @@ def run_submit(workdir: str, zpath: str, cpus: int, n_docs: int) -> dict:
         _spark_submit(),
         "--master", f"local[{cpus}]",
         # local mode: the driver JVM hosts every executor thread, so it
-        # must be sized like the in-process sessions (32g) — the 1g
-        # spark-submit default GC-thrashes the HIGH level specifically
-        # (8 concurrent Arrow batches in one heap; measured 1430 vs
-        # 2260 docs/s at local[8] on identical code), which silently
-        # deflates the scaling ratio. On a real cluster this is
-        # --executor-memory sizing, not a driver concern.
+        # needs a real heap — the 1g spark-submit default GC-thrashes
+        # the HIGH level specifically (8 concurrent Arrow batches in
+        # one heap; measured 1430 vs 2260 docs/s at local[8] on
+        # identical code), which silently deflates the scaling ratio.
+        # 16g is deliberate (not the 32g in-process sessions use): this
+        # job streams one synthetic shard batch at a time, so its
+        # working set is far smaller than the full bench suite's, and
+        # 16g leaves headroom for the N and 4N JVMs to coexist with the
+        # rest of the host. The published numbers were measured at 16g.
+        # On a real cluster this is --executor-memory sizing, not a
+        # driver concern.
         "--driver-memory", "16g",
         "--py-files", zpath,
         "--conf", "spark.ui.enabled=false",
