@@ -288,6 +288,25 @@ def _q_pipeline_chunks_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_chunks_hybrid_ref(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reference-derived twin of pipeline_chunks_hybrid: restricted to
+    docs that never enter the plain-text splitter — for those, the
+    golden is produced by the REFERENCE's own HybridChunker
+    (hybrid_chunker.py:295-323) running on the engine's vendored
+    WordPiece tokenizer through the reference's public BaseTokenizer
+    protocol (tokenizer/base.py:9-27). Docs needing the split are
+    excluded because that branch's semantics live in the external
+    semchunk library, absent in both engine and sandbox."""
+    from docling_core_spark.pipeline import chunk_docs
+
+    df = chunk_docs(
+        _synth(spark, sf_dir), hybrid=True, max_tokens=64, with_flag=True
+    )
+    return _scalarize_chunks(df.filter(~F.col("needs_text_split")))
+
+
 def _q_pipeline_export_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-mode / split-page / YAML / legacy serializer surfaces
     (one shuffle-free Arrow stage; reference-derived goldens)."""
@@ -429,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_doctags_roundtrip_ref": _q_pipeline_doctags_roundtrip_ref,
         "pipeline_chunks": _q_pipeline_chunks,
         "pipeline_chunks_hybrid": _q_pipeline_chunks_hybrid,
+        "pipeline_chunks_hybrid_ref": _q_pipeline_chunks_hybrid_ref,
         "pipeline_json_roundtrip": _q_pipeline_json_roundtrip,
         "pipeline_export_variants": _q_pipeline_export_variants,
         "media_externalize": _q_media_externalize,
@@ -547,6 +567,7 @@ def oracle_sql() -> dict[str, str]:
             "pipeline_doctags_roundtrip", "pipeline_doctags_roundtrip_ref",
             "pipeline_json_roundtrip",
             "pipeline_chunks", "pipeline_chunks_hybrid",
+            "pipeline_chunks_hybrid_ref",
             "media_externalize", "pipeline_export_variants",
         )
         if os.path.exists(f"{g}/{name}.parquet")

@@ -171,11 +171,17 @@ def _pack_text(
 
 
 def _split_using_plain_text(
-    cfg: HybridChunkerConfig, chunk: Chunk
+    cfg: HybridChunkerConfig, chunk: Chunk,
+    stats: Optional[dict] = None,
 ) -> List[Chunk]:
     total = _count_chunk_tokens(cfg, chunk)
     if total <= cfg.max_tokens:
         return [chunk]
+    # the reference delegates this branch to semchunk
+    # (hybrid_chunker.py:231-233) — flag it so reference-derived
+    # goldens know this doc's chunking depends on the stand-in packer
+    if stats is not None:
+        stats["needs_text_split"] = True
     text_len = cfg.count_tokens(chunk.text)
     other_len = total - text_len
     available = cfg.max_tokens - other_len
@@ -229,14 +235,17 @@ def _merge_peers(
 
 
 def hybrid_chunk_doc(
-    doc: dict, cfg: Optional[HybridChunkerConfig] = None
+    doc: dict, cfg: Optional[HybridChunkerConfig] = None,
+    stats: Optional[dict] = None,
 ) -> List[Chunk]:
-    """Full hybrid pipeline (hybrid_chunker.py:295-323)."""
+    """Full hybrid pipeline (hybrid_chunker.py:295-323). `stats`, when
+    given, receives `needs_text_split=True` if any chunk entered the
+    plain-text splitter — the branch the reference hands to semchunk."""
     cfg = cfg or HybridChunkerConfig()
     state = DocSerializerState(doc, chunking_params(), CHUNKING_VTABLE)
     res = chunk_doc(doc, delim=cfg.delim)
     res = [x for c in res for x in _split_by_doc_items(cfg, state, c)]
-    res = [x for c in res for x in _split_using_plain_text(cfg, c)]
+    res = [x for c in res for x in _split_using_plain_text(cfg, c, stats)]
     if cfg.merge_peers:
         res = _merge_peers(cfg, res)
     return res

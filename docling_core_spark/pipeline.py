@@ -276,9 +276,16 @@ CHUNKS_SCHEMA = (
 )
 
 
-def chunk_rows_doc(doc_id: str, spans, hybrid: bool, max_tokens: int) -> list:
+def chunk_rows_doc(
+    doc_id: str, spans, hybrid: bool, max_tokens: int,
+    with_flag: bool = False,
+) -> list:
     """Chunk one doc into gate rows (pure; shared by the distributed
-    stage and tools/gen_goldens.py)."""
+    stage and tools/gen_goldens.py). `with_flag` adds a per-doc
+    `needs_text_split` column — True when any chunk took the plain-text
+    splitter, i.e. the branch whose reference semantics live in the
+    external semchunk library (hybrid_chunker.py:231-233); the
+    reference-derived gate row filters those docs out."""
     from .chunk import chunk_doc, hybrid_chunk_doc
     from .chunk.hybrid import HybridChunkerConfig
     from .chunk.hierarchical import contextualize
@@ -286,7 +293,12 @@ def chunk_rows_doc(doc_id: str, spans, hybrid: bool, max_tokens: int) -> list:
 
     cfg = HybridChunkerConfig(max_tokens=max_tokens)
     doc, _ = parse_span_doc(doc_id, list(spans) if spans is not None else [])
-    chunks = hybrid_chunk_doc(doc, cfg) if hybrid else chunk_doc(doc)
+    stats: dict = {}
+    chunks = hybrid_chunk_doc(doc, cfg, stats) if hybrid else chunk_doc(doc)
+    flag = (
+        {"needs_text_split": bool(stats.get("needs_text_split"))}
+        if with_flag else {}
+    )
     return [
         {
             "doc_id": doc_id,
@@ -296,35 +308,43 @@ def chunk_rows_doc(doc_id: str, spans, hybrid: bool, max_tokens: int) -> list:
             "item_refs": c.doc_item_refs,
             "n_tokens": wordpiece_count_tokens(c.text),
             "context_tokens": wordpiece_count_tokens(contextualize(c)),
+            **flag,
         }
         for i, c in enumerate(chunks)
     ]
 
 
-def _chunk_batches(hybrid: bool, max_tokens: int):
+def _chunk_batches(hybrid: bool, max_tokens: int, with_flag: bool = False):
+    cols = [
+        "doc_id", "chunk_idx", "text", "headings", "item_refs",
+        "n_tokens", "context_tokens",
+    ] + (["needs_text_split"] if with_flag else [])
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                out.extend(chunk_rows_doc(doc_id, spans, hybrid, max_tokens))
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id", "chunk_idx", "text", "headings", "item_refs",
-                    "n_tokens", "context_tokens",
-                ],
-            )
+                out.extend(chunk_rows_doc(
+                    doc_id, spans, hybrid, max_tokens, with_flag
+                ))
+            yield pd.DataFrame(out, columns=cols)
 
     return gen
 
 
 def chunk_docs(
-    docs: DataFrame, hybrid: bool = False, max_tokens: int = 64
+    docs: DataFrame, hybrid: bool = False, max_tokens: int = 64,
+    with_flag: bool = False,
 ) -> DataFrame:
     """Chunking as one shuffle-free Arrow stage: docs(doc_id, spans) ->
-    exploded chunk rows. Hybrid adds the token-budget refinement."""
+    exploded chunk rows. Hybrid adds the token-budget refinement;
+    `with_flag` appends the per-doc needs_text_split column used by the
+    reference-derived hybrid gate row."""
+    schema = CHUNKS_SCHEMA + (
+        ", needs_text_split boolean" if with_flag else ""
+    )
     return docs.mapInPandas(
-        _chunk_batches(hybrid, max_tokens), schema=CHUNKS_SCHEMA
+        _chunk_batches(hybrid, max_tokens, with_flag), schema=schema
     )
 
 

@@ -25,6 +25,14 @@ REFERENCE_PATH = "/root/reference"
 _installed = False
 
 
+class SemchunkNeeded(RuntimeError):
+    """Raised by the semchunk stub when the reference HybridChunker
+    reaches its oversized-plain-text branch (hybrid_chunker.py:220-244)
+    — the one code path whose semantics live in the external semchunk
+    library rather than in docling-core. Callers catch this to exclude
+    such docs from reference-derived hybrid goldens."""
+
+
 def install_reference():
     global _installed
     if _installed:
@@ -113,8 +121,74 @@ def install_reference():
 
         _stub("tabulate", tabulate=_tabulate)
 
+    if "transformers" not in sys.modules:
+        # hybrid_chunker.py imports PreTrainedTokenizerBase at module
+        # level (hybrid_chunker.py:12) but only uses it for an
+        # isinstance() check in its legacy-param validator
+        # (hybrid_chunker.py:99-100); a dummy type keeps that check
+        # vacuously false when a real BaseTokenizer is supplied.
+        class _FakePreTrainedTokenizerBase:
+            pass
+
+        _stub(
+            "transformers",
+            PreTrainedTokenizerBase=_FakePreTrainedTokenizerBase,
+        )
+
+    if "semchunk" not in sys.modules:
+        # hybrid_chunker.py hard-fails at import without semchunk
+        # (hybrid_chunker.py:19-27) yet only calls
+        # semchunk.chunkerify() inside the oversized-plain-text branch
+        # of _split_using_plain_text (hybrid_chunker.py:231-233). The
+        # stub imports fine and raises SemchunkNeeded the moment that
+        # branch is taken, so reference-derived goldens can run the
+        # split/merge machinery and cleanly skip the docs whose
+        # chunking would depend on semchunk's (external) split rule.
+        def _chunkerify(*a, **k):
+            raise SemchunkNeeded(
+                "reference HybridChunker entered the semchunk branch"
+            )
+
+        _stub("semchunk", chunkerify=_chunkerify)
+
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
+
+
+def make_ref_hybrid_chunker(max_tokens: int = 64):
+    """The reference's OWN HybridChunker
+    (transforms/chunker/hybrid_chunker.py:133-323) driven through its
+    public BaseTokenizer protocol (tokenizer/base.py:9-27) by the
+    engine's vendored WordPiece tokenizer — so the reference itself
+    produces hybrid-chunk goldens for every doc that never enters the
+    semchunk plain-text branch (SemchunkNeeded marks the rest)."""
+    install_reference()
+    from docling_core.transforms.chunker.hybrid_chunker import (
+        HybridChunker,
+    )
+    from docling_core.transforms.chunker.tokenizer.base import (
+        BaseTokenizer,
+    )
+
+    from docling_core_spark.chunk.wordpiece import wordpiece_count_tokens
+
+    class _WordPieceRefTokenizer(BaseTokenizer):
+        max_tokens: int = 64
+
+        def count_tokens(self, text: str) -> int:
+            return wordpiece_count_tokens(text)
+
+        def get_max_tokens(self) -> int:
+            return self.max_tokens
+
+        def get_tokenizer(self):
+            # consulted only by the semchunk branch, which raises
+            # SemchunkNeeded before this value is ever used
+            return None
+
+    return HybridChunker(
+        tokenizer=_WordPieceRefTokenizer(max_tokens=max_tokens)
+    )
 
 
 def ref_modules():

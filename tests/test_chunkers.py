@@ -1,6 +1,8 @@
 """Chunker tests: hierarchical parity vs the reference chunker, hybrid
-semantic invariants (the reference HybridChunker needs transformers +
-semchunk, unavailable here — its contract is tested directly), and the
+parity vs the reference HybridChunker (run on the engine's vendored
+WordPiece tokenizer through the reference's BaseTokenizer protocol —
+docs entering the semchunk plain-text branch are excluded, its split
+rule lives outside docling-core), hybrid semantic invariants, and the
 distributed chunking stage.
 """
 
@@ -51,6 +53,42 @@ def test_hierarchical_matches_reference(doc_id):
 def _doc(doc_id="doc-00000003"):
     doc, _ = parse_span_doc(doc_id, gen_spans(doc_id))
     return doc
+
+
+@pytest.mark.parametrize("doc_id", DOC_IDS)
+def test_hybrid_matches_reference_outside_semchunk_branch(doc_id):
+    """The reference's OWN HybridChunker (hybrid_chunker.py:295-323),
+    fed the engine's vendored WordPiece tokenizer via the reference's
+    BaseTokenizer protocol, must yield the same (text, headings, refs)
+    chunks as the engine — for every doc that never enters the semchunk
+    plain-text branch; for docs that do, engine and reference must
+    AGREE it was entered (flag vs SemchunkNeeded)."""
+    from ref_oracle import SemchunkNeeded, make_ref_hybrid_chunker
+
+    from docling_core_spark.pipeline import chunk_rows_doc
+
+    spans = gen_spans(doc_id)
+    rows = chunk_rows_doc(
+        doc_id, spans, hybrid=True, max_tokens=64, with_flag=True
+    )
+    needs_split = any(r["needs_text_split"] for r in rows)
+    ck = make_ref_hybrid_chunker(max_tokens=64)
+    refdoc = build_ref_doc(spans, name=doc_id)
+    try:
+        ref = [
+            (c.text, tuple(c.meta.headings or []),
+             tuple(it.self_ref for it in c.meta.doc_items))
+            for c in ck.chunk(refdoc)
+        ]
+    except SemchunkNeeded:
+        assert needs_split
+        return
+    assert not needs_split
+    mine = [
+        (r["text"], tuple(r["headings"]), tuple(r["item_refs"]))
+        for r in rows
+    ]
+    assert mine == ref
 
 
 def test_hybrid_respects_budget():

@@ -29,10 +29,16 @@ reference defines the semantics:
       single-threaded pure-Python result, so the gate proves the
       distributed run (partitioning, Arrow batching, ordering)
       reproduces it exactly.
-    - pipeline_chunks_hybrid : reference HybridChunker needs
-      transformers+semchunk (absent in sandbox; reference untestable) —
-      contract tests in tests/test_chunkers.py, golden pins the
-      deterministic stand-in.
+    - pipeline_chunks_hybrid : the ALL-docs golden pins the
+      deterministic stand-in for the semchunk plain-text split rule
+      (semchunk absent in sandbox); contract tests in
+      tests/test_chunkers.py. Since round 4 the docs that never enter
+      that branch (~80% of the corpus) have their own
+      reference-derived golden (pipeline_chunks_hybrid_ref): the
+      reference's HybridChunker itself runs on the engine's vendored
+      WordPiece tokenizer through the public BaseTokenizer protocol
+      (tokenizer/base.py:9-27), and its chunks are asserted equal to
+      the engine's at generation time.
     - pipeline_json_roundtrip : md5 of our canonical JSON dump (the
       generator additionally reports whether the dump byte-matches the
       reference's model_dump).
@@ -79,6 +85,20 @@ def corpus_ids(sf_dir: str) -> list:
 
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     return list(SHAPE_IDS) + [f"doc-{i:08d}" for i in range(n)]
+
+
+_REF_HYBRID_CK = None
+
+
+def _ref_hybrid_ck():
+    """Per-process cached reference HybridChunker wired to the engine's
+    vendored WordPiece tokenizer (fork-pool safe: built lazily)."""
+    global _REF_HYBRID_CK
+    if _REF_HYBRID_CK is None:
+        from ref_oracle import make_ref_hybrid_chunker
+
+        _REF_HYBRID_CK = make_ref_hybrid_chunker(max_tokens=64)
+    return _REF_HYBRID_CK
 
 
 def gold_for_doc(did: str) -> dict:
@@ -171,7 +191,51 @@ def gold_for_doc(did: str) -> dict:
     if mine_ch != ref_ch:
         errs.append("chunks")
     chunk_rows = chunk_rows_doc(did, spans, hybrid=False, max_tokens=64)
-    hybrid_rows = chunk_rows_doc(did, spans, hybrid=True, max_tokens=64)
+    hybrid_flagged = chunk_rows_doc(
+        did, spans, hybrid=True, max_tokens=64, with_flag=True
+    )
+    needs_split = any(r["needs_text_split"] for r in hybrid_flagged)
+    hybrid_rows = [
+        {k: v for k, v in r.items() if k != "needs_text_split"}
+        for r in hybrid_flagged
+    ]
+
+    # --- hybrid chunks, reference-derived twin: run the REFERENCE's
+    # own HybridChunker on the engine's vendored WordPiece tokenizer
+    # (BaseTokenizer adapter). Docs whose chunking enters the semchunk
+    # plain-text branch are excluded (SemchunkNeeded) — the subset flag
+    # must agree between engine and reference, and for included docs
+    # the reference rows must equal the engine rows exactly. ---
+    from ref_oracle import SemchunkNeeded
+
+    from docling_core_spark.chunk.wordpiece import wordpiece_count_tokens
+
+    ref_hybrid_rows = None
+    try:
+        ref_hy_chunks = list(_ref_hybrid_ck().chunk(rdoc))
+    except SemchunkNeeded:
+        ref_hy_chunks = None
+        if not needs_split:
+            errs.append("hybrid_ref(ref_skipped_engine_did_not)")
+    if ref_hy_chunks is not None:
+        if needs_split:
+            errs.append("hybrid_ref(engine_flagged_ref_ran)")
+        ref_hybrid_rows = [
+            {
+                "doc_id": did,
+                "chunk_idx": i,
+                "text": c.text,
+                "headings": list(c.meta.headings or []),
+                "item_refs": [it.self_ref for it in c.meta.doc_items],
+                "n_tokens": wordpiece_count_tokens(c.text),
+                "context_tokens": wordpiece_count_tokens(
+                    _ref_hybrid_ck().contextualize(chunk=c)
+                ),
+            }
+            for i, c in enumerate(ref_hy_chunks)
+        ]
+        if ref_hybrid_rows != hybrid_rows:
+            errs.append("hybrid_ref(rows)")
 
     # --- variant exports (reference-derived: image modes, split-page
     # HTML, YAML, legacy writer) ---
@@ -289,6 +353,7 @@ def gold_for_doc(did: str) -> dict:
         "export_row": export_row,
         "chunk_rows": chunk_rows,
         "hybrid_rows": hybrid_rows,
+        "ref_hybrid_rows": ref_hybrid_rows,
         "variant_row": variant_row,
         "media_rows": media_rows,
         "rt_row": {k: rt[k] for k in ("doc_id", "reload_md5", "stable")},
@@ -355,6 +420,8 @@ def generate(sf: str, pool=None) -> dict:
     media_rows = []
     variant_rows = []
     ref_rt_rows = []
+    ref_hybrid_rows = []
+    ref_hybrid_docs = 0
     m = {
         "n_docs": 0, "total_items": 0, "total_spans": 0,
         "total_anomalies": 0, "invalid_trees": 0,
@@ -366,6 +433,9 @@ def generate(sf: str, pool=None) -> dict:
         export_rows.append(r["export_row"])
         chunk_rows.extend(_scalarize(r["chunk_rows"]))
         hybrid_rows.extend(_scalarize(r["hybrid_rows"]))
+        if r["ref_hybrid_rows"] is not None:
+            ref_hybrid_docs += 1
+            ref_hybrid_rows.extend(_scalarize(r["ref_hybrid_rows"]))
         media_rows.extend(r["media_rows"])
         variant_rows.append(r["variant_row"])
         rt_rows.append(r["rt_row"])
@@ -397,6 +467,8 @@ def generate(sf: str, pool=None) -> dict:
            int_cols=("chunk_idx", "n_tokens", "context_tokens"))
     _write(outdir, "pipeline_chunks_hybrid", hybrid_rows,
            int_cols=("chunk_idx", "n_tokens", "context_tokens"))
+    _write(outdir, "pipeline_chunks_hybrid_ref", ref_hybrid_rows,
+           int_cols=("chunk_idx", "n_tokens", "context_tokens"))
     _write(outdir, "media_externalize", media_rows, int_cols=("pic_idx",))
     _write(outdir, "pipeline_export_variants", variant_rows)
     _write(outdir, "pipeline_doctags_roundtrip", rt_rows)
@@ -411,6 +483,8 @@ def generate(sf: str, pool=None) -> dict:
         "hybrid_rows": len(hybrid_rows),
         "media_rows": len(media_rows),
         "doctags_rt_ref_derived": f"{len(ref_rt_rows)}/{len(ids)}",
+        "hybrid_ref_derived": f"{ref_hybrid_docs}/{len(ids)}",
+        "hybrid_ref_rows": len(ref_hybrid_rows),
         "json_dump_matches_reference": f"{json_ref_matches}/{len(ids)}",
         "gen_sec": round(time.time() - t0, 1),
     }
