@@ -891,44 +891,65 @@ def q_seg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB story: the keeper per segment is a groupBy-min(struct) — NOT
     a per-segment window — so corpus boilerplate repeated 10^9 times
     combines map-side instead of serializing one hot window partition.
-    The kept rows ARE the aggregation output (no join back to the
-    exploded segment table), leaving two uniform, combinable shuffles:
-    min per segment text, then the per-doc rebuild on doc_id. Per-doc
-    segment counts ride the un-exploded scan.
+    No segment TEXT ever crosses an exchange: segments are hashed to
+    md5 map-side so the keeper shuffle carries (32B digest, doc_id,
+    ord), the per-doc rebuild shuffle carries only kept ords (ints),
+    and kept text is reconstructed from the UN-exploded documents scan
+    by filtering each doc's segment array to its kept ords — cutting
+    shuffle bytes severalfold vs exchanging the exploded segment
+    strings twice (measured at sf0.1 in SCALE.md).
     """
     docs = read_spread(spark, sf_dir, "documents")
+    # hash BEFORE the exchange: the exploded rows that shuffle are
+    # (16-byte binary digest, doc_id, ord), never the segment string
     segrows = docs.select(
         "doc_id", F.explode(F.expr(_segments_spark())).alias("s")
-    ).select("doc_id", F.col("s.ord").alias("ord"), F.col("s.seg").alias("seg"))
-    # first occurrence per segment text, corpus-wide; struct min gives
+    ).select(
+        "doc_id",
+        F.col("s.ord").alias("ord"),
+        F.unhex(F.md5(F.col("s.seg"))).alias("h"),
+    )
+    # first occurrence per segment digest, corpus-wide; struct min gives
     # (doc_id, ord) lexicographic order == the oracle's ROW_NUMBER order
     keep = (
-        segrows.groupBy("seg")
+        segrows.groupBy("h")
         .agg(F.min(F.struct("doc_id", "ord")).alias("k"))
-        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.ord").alias("ord"),
-                "seg")
+        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.ord").alias("ord"))
     )
+    # per-doc kept ordinals: an integer-only, combinable shuffle
     kept = keep.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_kept"),
-        F.expr(
-            "array_join(transform(array_sort(collect_list("
-            "named_struct('ord', ord, 'seg', seg))), x -> x.seg), ' ')"
-        ).alias("kept_text"),
+        F.sort_array(F.collect_list("ord")).alias("kept_ords"),
     )
-    sizes = docs.select(
-        "doc_id",
-        F.expr(f"cast(size({_segments_spark()}) as bigint)").alias("n_segs"),
-    )
+    # rebuild kept text doc-locally from the un-exploded scan: one
+    # corpus-sized doc_id join (RAW text crosses the wire once — the
+    # segment array is recomputed post-join so the exchange carries the
+    # most compact representation; on a doc_id-bucketed production
+    # table even this exchange vanishes) + an in-row ord filter
     return (
-        sizes.join(kept, "doc_id", "left")
+        docs.select("doc_id", "text")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id", "n_kept",
+            "kept_ords",
+            F.expr(_segments_spark()).alias("segs"),
+        )
+        .select(
+            "doc_id",
+            F.expr("cast(size(segs) as bigint)").alias("n_segs"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.expr(
+                "array_join(transform(filter(segs,"
+                " s -> array_contains(coalesce(kept_ords, array()),"
+                " s.ord)), x -> x.seg), ' ')"
+            ).alias("kept_text"),
+        )
         .select(
             "doc_id",
             "n_segs",
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.expr(
-                "cast(length(coalesce(kept_text, '')) as bigint)"
-            ).alias("n_chars_kept"),
-            F.expr("md5(coalesce(kept_text, ''))").alias("kept_md5"),
+            "n_kept",
+            F.expr("cast(length(kept_text) as bigint)").alias("n_chars_kept"),
+            F.expr("md5(kept_text)").alias("kept_md5"),
         )
     )
 
