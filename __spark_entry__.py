@@ -424,6 +424,22 @@ def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_EVENTS_BY_TYPE.format(events="events_bt_src"))
 
 
+def _q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.streaming.replay import q_stream_dedup_replay
+
+    return q_stream_dedup_replay(spark, sf_dir)
+
+
+def _q_stream_windowed_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from docling_core_spark.streaming.replay import (
+        q_stream_windowed_replay,
+    )
+
+    return q_stream_windowed_replay(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_core_spark.corpus import (
         curation as CC,
@@ -503,6 +519,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_features": CM.q_decode_features,
         "media_resize": CM.q_media_resize,
         "frame_sample": CM.q_frame_sample,
+        # streaming surface, gate-verified via deterministic
+        # micro-batch replays (SURVEY.md §2.6)
+        "stream_dedup_replay": _q_stream_dedup_replay,
+        "stream_windowed_replay": _q_stream_windowed_replay,
         # layout geometry (bbox interval algebra, SURVEY.md §1.3)
         "bbox_ops": _q_bbox_ops,
         # page-parse layer (SURVEY.md §1.6): cells-table ops
@@ -533,6 +553,15 @@ def _bbox_oracle() -> str:
     from docling_core_spark.functions.bbox import sql_bbox_ops
 
     return sql_bbox_ops()
+
+
+def _stream_oracle(which: str) -> str:
+    from docling_core_spark.streaming import replay as R
+
+    return {
+        "dedup": R.sql_stream_dedup_replay,
+        "windowed": R.sql_stream_windowed_replay,
+    }[which]()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -624,6 +653,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": CSA.sql_mixture_weights(),
         "pack_sequences": CP.sql_pack_sequences(),
         "curation_funnel": CC.sql_curation_funnel(),
+        "stream_dedup_replay": _stream_oracle("dedup"),
+        "stream_windowed_replay": _stream_oracle("windowed"),
         "bbox_ops": _bbox_oracle(),
         "page_cells_in_bbox": _pages_oracle("cells_in_bbox"),
         "page_crop_text": _pages_oracle("crop_text"),

@@ -73,6 +73,13 @@ GROUPS: dict[str, list[str]] = {
         "page_textlines", "tpch_q1", "top_customers", "events_by_type",
         "events_sessionize", "orders_running_total", "supplier_rank",
     ],
+    "stream": [
+        # deterministic micro-batch replays of the streaming surface:
+        # each runs N_BATCHES sequential AvailableNow drains against a
+        # shared checkpoint, so wall time is dominated by per-drain
+        # stream startup, not data volume
+        "stream_dedup_replay", "stream_windowed_replay",
+    ],
 }
 # Runs inside the pipeline subprocess (it is the only suite query that
 # executes the `_synth` mapInPandas stage; isolating it keeps its Arrow

@@ -1,0 +1,213 @@
+"""Deterministic micro-batch replays that put the streaming surface
+under the cross-engine correctness gate.
+
+The stateful dedup (stateful.py) and the watermarked window aggregation
+(windowed.py) are real Structured Streaming operators — checkpointed
+state, watermark-driven eviction, append-mode emission. Those semantics
+are not directly SQL-expressible, but a DETERMINISTIC replay of them
+is: split the input table into K batch files by a pure function of the
+row key, drain one AvailableNow run per file against a shared
+checkpoint (exactly the cadence of successive cron-triggered
+incremental runs, and the shape tests/test_windowed_stream.py pins),
+and the final sink table becomes a pure function of the input — which a
+DuckDB oracle can reproduce with window functions:
+
+  - stream_dedup_replay: first-seen-wins across micro-batches ==
+    row_number() OVER (PARTITION BY content ORDER BY batch, doc_id);
+  - stream_windowed_replay: the watermark before batch k is
+    max(event-time over batches < k) - delay (Spark tracks the max in
+    MILLISECONDS — EventTimeStatsAccum — so the oracle floors to ms
+    before subtracting); a row is accepted iff its window end exceeds
+    that watermark, and a window is emitted iff its end is <= the
+    final watermark. Both predicates are reproduced literally.
+
+Each replay stages its batch files and checkpoint under a fresh
+tempdir; the returned DataFrame reads the replay's parquet sink.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus import read_spread
+from ..corpus.textstats import _h30_duck, _h30_spark
+
+N_BATCHES = 4
+WINDOW_S = 1800
+DELAY_S = 3600
+
+
+class _stream_width:
+    """Temporarily narrow spark.sql.shuffle.partitions for the replay
+    drains: the state store creates one store (and checkpoint delta)
+    per shuffle partition per micro-batch, so at replay scale the
+    per-drain fixed cost is ~partitions x drains, unrelated to data
+    volume. The width is pinned at first checkpoint creation; every
+    replay uses a fresh checkpoint so the narrow width is consistent.
+    On a production cluster the width is sized to state volume instead
+    (state is partitioned by key hash, uniform by construction)."""
+
+    WIDTH = "8"
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.WIDTH)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
+def _stage_batch(df, input_dir: str, idx: int) -> None:
+    """One flat parquet FILE per batch (the file-stream source lists
+    files, not nested dirs): write to staging, move the part file in."""
+    staging = os.path.join(input_dir, f"_staging-{idx}")
+    df.coalesce(1).write.parquet(staging, mode="overwrite")
+    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(input_dir, f"batch-{idx}.parquet"))
+    shutil.rmtree(staging)
+
+
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents table through the stateful cross-batch
+    dedup stream (stateful.py) in N_BATCHES deterministic micro-batches
+    (batch = h30(doc_id) % N_BATCHES) and return the final sink: one
+    row per distinct text, owned by the doc that reached the stream
+    first (min (batch, doc_id)). State survives across the per-batch
+    drains via the shared checkpoint — each drain is a restart."""
+    from .stateful import dedup_text_stream
+
+    base = tempfile.mkdtemp(prefix="dedup-replay-")
+    input_dir, output_dir, ckpt = (
+        f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    )
+    os.makedirs(input_dir)
+    docs = read_spread(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.expr(
+            f"{_h30_spark('cast(doc_id as string)')} % {N_BATCHES}"
+        ).alias("b"),
+    )
+    batch_schema = docs.drop("b").schema
+    with _stream_width(spark):
+        for k in range(N_BATCHES):
+            _stage_batch(
+                docs.filter(F.col("b") == k).select("doc_id", "text"),
+                input_dir, k,
+            )
+            q = dedup_text_stream(
+                spark, input_dir, output_dir, ckpt, schema=batch_schema
+            )
+            q.awaitTermination(300)
+    return spark.read.parquet(output_dir).select(
+        "content_hash", "doc_id",
+        F.col("n_spans").cast("bigint").alias("n_chars"),
+    )
+
+
+def sql_stream_dedup_replay() -> str:
+    return f"""
+        WITH b AS (
+            SELECT doc_id, md5(text) AS content_hash,
+                   length(text)::BIGINT AS n_chars,
+                   {_h30_duck('doc_id::VARCHAR')} % {N_BATCHES} AS bi
+            FROM documents
+        )
+        SELECT content_hash, doc_id::VARCHAR AS doc_id, n_chars FROM b
+        QUALIFY row_number()
+            OVER (PARTITION BY content_hash ORDER BY bi, doc_id) = 1
+    """
+
+
+def q_stream_windowed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table through the watermarked tumbling-window
+    aggregation (windowed.py) in N_BATCHES deterministic micro-batches
+    (batch = event_id % N_BATCHES) and return the final append-mode
+    sink: exactly the windows the advancing watermark finalized, with
+    late-but-within-watermark events merged and too-late events
+    dropped. Window bounds are returned as epoch seconds (BIGINT)."""
+    from .windowed import run_windowed_stream
+
+    base = tempfile.mkdtemp(prefix="windowed-replay-")
+    input_dir, output_dir, ckpt = (
+        f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    )
+    os.makedirs(input_dir)
+    events = read_spread(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value",
+        (F.col("event_id") % N_BATCHES).alias("b"),
+    )
+    with _stream_width(spark):
+        for k in range(N_BATCHES):
+            _stage_batch(
+                events.filter(F.col("b") == k).drop("b"), input_dir, k,
+            )
+            q = run_windowed_stream(
+                spark, input_dir, output_dir, ckpt,
+                window_size=f"{WINDOW_S} seconds",
+                watermark_delay=f"{DELAY_S} seconds",
+            )
+            q.awaitTermination(300)
+    return spark.read.parquet(output_dir).select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_start_s"),
+        F.unix_timestamp("window_end").cast("bigint").alias("window_end_s"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value_cents").cast("bigint").alias("total_value_cents"),
+    )
+
+
+def sql_stream_windowed_replay() -> str:
+    w_us = WINDOW_S * 1_000_000
+    delay_ms = DELAY_S * 1_000
+    return f"""
+        WITH e AS (
+            SELECT event_type, value,
+                   epoch_us(ts) AS ts_us,
+                   event_id % {N_BATCHES} AS b,
+                   (epoch_us(ts) // {w_us}) * {w_us} AS ws_us
+            FROM events
+        ),
+        batch_max AS (
+            SELECT b, max(ts_us) AS mx FROM e GROUP BY b
+        ),
+        wm AS (
+            -- watermark in effect while batch b is processed: max
+            -- event time over EARLIER batches, floored to ms (Spark's
+            -- EventTimeStatsAccum tracks ms), minus the delay; the
+            -- final watermark includes every batch
+            SELECT b,
+                   (max(mx) OVER (ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) // 1000 - {delay_ms})
+                       * 1000 AS wm_us,
+                   (max(mx) OVER () // 1000 - {delay_ms})
+                       * 1000 AS final_wm_us
+            FROM batch_max
+        ),
+        accepted AS (
+            -- Spark drops a row iff its window END <= the current
+            -- watermark; a window is emitted (append mode) iff its
+            -- end <= the final watermark
+            SELECT e.*, wm.final_wm_us
+            FROM e JOIN wm USING (b)
+            WHERE wm.wm_us IS NULL OR e.ws_us + {w_us} > wm.wm_us
+        )
+        SELECT (ws_us // 1000000)::BIGINT AS window_start_s,
+               ((ws_us + {w_us}) // 1000000)::BIGINT AS window_end_s,
+               event_type,
+               COUNT(*)::BIGINT AS n_events,
+               SUM(floor(value * 100 + 0.5)::BIGINT)::BIGINT
+                   AS total_value_cents
+        FROM accepted
+        WHERE ws_us + {w_us} <= final_wm_us
+        GROUP BY 1, 2, 3
+    """

@@ -64,10 +64,21 @@ def _dedup_fn_with_ttl(ttl_ms: int):
             if ttl_ms > 0:
                 state.setTimeoutDuration(ttl_ms)  # slide the window
             return  # key already emitted in an earlier micro-batch
+        # deterministic winner inside a micro-batch: the MIN doc_id of
+        # the key's rows in this batch, compared in the column's NATIVE
+        # type (row order across files/partitions is not deterministic;
+        # min makes replay == oracle). Rendered to string only at the
+        # output boundary (DEDUP_OUT_SCHEMA).
         first = None
         for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = pdf.iloc[[0]]
+            if not len(pdf):
+                continue
+            cand = pdf.loc[[pdf["doc_id"].idxmin()]]
+            if (
+                first is None
+                or cand["doc_id"].iloc[0] < first["doc_id"].iloc[0]
+            ):
+                first = cand
         if first is None:
             return
         state.update((True,))
@@ -76,12 +87,53 @@ def _dedup_fn_with_ttl(ttl_ms: int):
         yield pd.DataFrame(
             {
                 "content_hash": [key[0]],
-                "doc_id": [first["doc_id"].iloc[0]],
+                "doc_id": [str(first["doc_id"].iloc[0])],
                 "n_spans": [int(first["n_spans"].iloc[0])],
             }
         )
 
     return fn
+
+
+def dedup_text_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+):
+    """Text-keyed twin of `dedup_stream` for plain (doc_id, text)
+    tables: key = md5(text) (the batch dedup_exact key), payload =
+    char length. Exact forever-dedup (NoTimeout) with AvailableNow —
+    the configuration the gate's deterministic replay
+    (replay.q_stream_dedup_replay) drains batch by batch. `schema` is
+    the (doc_id, text) StructType of the staged batch files; doc_id
+    keeps its native type through the min-winner comparison and is
+    rendered to string only at the output boundary."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    keyed = src.select(
+        "doc_id",
+        F.md5(F.encode("text", "utf-8")).alias("content_hash"),
+        F.length("text").cast("long").alias("n_spans"),
+    )
+    deduped = keyed.groupBy("content_hash").applyInPandasWithState(
+        _dedup_fn_with_ttl(0),
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def dedup_stream(
