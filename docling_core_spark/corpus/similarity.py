@@ -339,7 +339,17 @@ def sql_ann_lsh_topk() -> str:
 # ---------------------------------------------------------------------------
 
 IVF_NUM_CENTROIDS = 32
-IVF_NPROBE = 2
+# nprobe default sits at the recall>=0.5 operating point of the sweep
+# in SCALE.md (sf0.1: 1 -> 0.167, 2 -> 0.333, 4 -> 0.458, 8 -> 0.625);
+# ann_recall gates the floor (ANN_RECALL_FLOOR_MICRO), not just reports
+IVF_NPROBE = 8
+
+# per-method recall@k floors in micro units, ASSERTED by ann_recall's
+# meets_floor column (gate-hashed) and tests/test_ann_floor.py: the ivf
+# operating point must stay >= 0.5; banded LSH (16x256, no multi-probe)
+# is the cheap coarse path, floored at its documented ~0.25 level on
+# the near-uniform synthetic embeddings (worst case for blocking)
+ANN_RECALL_FLOOR_MICRO = {"ivf": 500_000, "lsh": 200_000}
 IVF_KMEANS_ITERS = 3
 # k-means init: fixed corpus rows seed the Lloyd iterations (fixed
 # seed => reproducible artifact). At production scale the centroid
@@ -803,6 +813,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(truth, ["q_id", "neighbor_id"], "left_semi")
             .agg(F.count("*").cast("bigint").alias("n_hits"))
         )
+        floor = ANN_RECALL_FLOOR_MICRO[method]
         reports.append(
             hits.crossJoin(t_cnt).select(
                 F.lit(method).alias("method"),
@@ -812,6 +823,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     "cast(n_hits * 1000000 div n_truth as bigint)"
                 ).alias("recall_micro"),
+                F.lit(floor).cast("bigint").alias("floor_micro"),
+                F.expr(
+                    f"n_hits * 1000000 div n_truth >= {floor}"
+                ).alias("meets_floor"),
             )
         )
     out = reports[0]
@@ -838,10 +853,16 @@ def sql_ann_recall(sf_dir: str = "/root/testdata/sf0.01") -> str:
             FROM ivf JOIN truth USING (q_id, neighbor_id)
         )
         SELECT 'ivf' AS method, {C.ANN_K}::BIGINT AS k, n_truth, n_hits,
-               (n_hits * 1000000 // n_truth)::BIGINT AS recall_micro
+               (n_hits * 1000000 // n_truth)::BIGINT AS recall_micro,
+               {ANN_RECALL_FLOOR_MICRO['ivf']}::BIGINT AS floor_micro,
+               n_hits * 1000000 // n_truth
+                   >= {ANN_RECALL_FLOOR_MICRO['ivf']} AS meets_floor
         FROM h_ivf, t
         UNION ALL
         SELECT 'lsh' AS method, {C.ANN_K}::BIGINT AS k, n_truth, n_hits,
-               (n_hits * 1000000 // n_truth)::BIGINT AS recall_micro
+               (n_hits * 1000000 // n_truth)::BIGINT AS recall_micro,
+               {ANN_RECALL_FLOOR_MICRO['lsh']}::BIGINT AS floor_micro,
+               n_hits * 1000000 // n_truth
+                   >= {ANN_RECALL_FLOOR_MICRO['lsh']} AS meets_floor
         FROM h_lsh, t
     """
