@@ -535,6 +535,274 @@ def generate_docling_schema() -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Database-track schema types: Record / Generic / QAPair
+#
+# Parity targets: types/rec/record.py:57-95 (Record + RecordDescription
+# over the rec submodels attribute.py/predicate.py/subject.py/base.py),
+# types/gen/generic.py:17-33 (Generic), types/nlp/qa.py:16-74 (QAPair +
+# qa_labels.py QALabelling) — the reference's Elasticsearch-track
+# document schemas. Declared here in the same declarative-table style
+# and structurally parity-checked against the reference's own
+# model_json_schema() output in tests/test_db_schemas.py; the engine's
+# search-index mapper consumes these natively.
+# ---------------------------------------------------------------------------
+
+_CONF = _num(minimum=0.0, maximum=1.0)
+
+
+def _identifier_props() -> dict:
+    return {
+        "type": _str(),
+        "value": _str(),
+        "_name": _str(pattern=r"^.+#.+$"),
+    }
+
+
+def _rec_defs() -> dict:
+    """$defs for the Record schema (rec/{base,attribute,predicate,
+    subject}.py + the shared types/base.py objects)."""
+    return {
+        "Identifier": _strict(
+            ["type", "value", "_name"], _identifier_props()
+        ),
+        # SubjectNameIdentifier is Identifier re-instantiated with the
+        # subject-name type var (subject.py) — same structure
+        "SubjectNameIdentifier": _strict(
+            ["type", "value", "_name"], _identifier_props()
+        ),
+        "Log": _strict(
+            ["agent", "type", "date"],
+            {
+                "task": _opt(_str()),
+                "agent": _str(),
+                "type": _str(),
+                "comment": _opt(_str()),
+                "date": _str(format="date-time"),
+            },
+        ),
+        "FileInfoObject": _open(
+            ["filename", "document-hash"],
+            {
+                "filename": _str(),
+                "filename-prov": _opt(_str()),
+                "document-hash": _str(),
+            },
+        ),
+        "Acquisition": _strict(
+            ["type"],
+            {
+                "type": _enum([
+                    "API", "FTP", "Download", "Link",
+                    "Web scraping/Crawling", "Other",
+                ]),
+                "date": _opt(_str(format="date-time")),
+                "link": _opt(_str(format="uri", minLength=1)),
+                "size": _opt(_int(minimum=0)),
+            },
+        ),
+        "CollectionRecordInfo": _strict(
+            ["type"],
+            {
+                "name": _opt(_str()),
+                "type": _const("Record"),
+                "version": _opt(_str(pattern=_SEMVER_PATTERN)),
+                "alias": _opt(_arr(_str())),
+            },
+        ),
+        "RecordDescription": _open(
+            ["logs"],
+            {
+                "logs": _arr(_ref("Log")),
+                "publication_date": _opt(_str(format="date-time")),
+                "collection": _opt(_ref("CollectionRecordInfo")),
+                "acquisition": _opt(_ref("Acquisition")),
+            },
+        ),
+        "ProvenanceItem": _strict(
+            [],
+            {
+                "type": _opt(_str()),
+                "text": _opt(_str()),
+                "reference": _opt(_ref("Identifier")),
+                "path": _opt(_str()),
+                "span": _opt(_arr(_int()) | {"minItems": 2,
+                                             "maxItems": 2}),
+            },
+        ),
+        "S3Reference": _open(
+            ["__ref_s3_data"], {"__ref_s3_data": _str()}
+        ),
+        "Subject": _strict(
+            ["display_name", "type", "names"],
+            {
+                "display_name": _str(),
+                "display_image": _opt(_ref("S3Reference")),
+                "type": _str(),
+                "names": _arr(_ref("SubjectNameIdentifier")),
+                "identifiers": _opt(_arr(_ref("Identifier"))),
+                "labels": _opt(_arr(_str())),
+            },
+        ),
+        # Predicate value spaces (rec/predicate.py)
+        "NumericalValue": _strict(
+            ["min", "max", "val", "err", "unit"],
+            {
+                "min": _num(), "max": _num(), "val": _num(),
+                "err": _num(), "unit": _str(),
+            },
+        ),
+        "NominalValue": _strict(["value"], {"value": _str()}),
+        "TextValue": _strict(["value"], {"value": _str()}),
+        "BooleanValue": _strict(
+            ["value"], {"value": {"type": "boolean"}}
+        ),
+        "DatetimeValue": _strict(
+            ["value"], {"value": _str(format="date-time")}
+        ),
+        "GeopointValue": _strict(
+            ["value"],
+            {
+                "value": _arr(_num()) | {"minItems": 2, "maxItems": 2},
+                "conf": _opt(_CONF),
+            },
+        ),
+        "PredicateKey": _strict(
+            ["name", "type"], {"name": _str(), "type": _str()}
+        ),
+        "PredicateValue": _strict(
+            ["name", "type"], {"name": _str(), "type": _str()}
+        ),
+        "Predicate": _strict(
+            ["key", "value"],
+            {
+                "key": _ref("PredicateKey"),
+                "value": _ref("PredicateValue"),
+                "numerical_value": _opt(_ref("NumericalValue")),
+                "numerical_value_si": _opt(_ref("NumericalValue")),
+                "nominal_value": _opt(_ref("NominalValue")),
+                "text_value": _opt(_ref("TextValue")),
+                "boolean_value": _opt(_ref("BooleanValue")),
+                "datetime_value": _opt(_ref("DatetimeValue")),
+                "geopoint_value": _opt(_ref("GeopointValue")),
+            },
+        ),
+        "Attribute": _strict(
+            ["conf", "predicates"],
+            {
+                "conf": _CONF,
+                "prov": _opt(_arr(_ref("ProvenanceItem"))),
+                "predicates": _arr(_ref("Predicate")),
+            },
+        ),
+    }
+
+
+def generate_record_schema() -> dict:
+    """Record: a structured database record with provenance, subject,
+    and typed attribute predicates (rec/record.py:57-95)."""
+    return {
+        "title": "Record",
+        "description": (
+            "A representation of a structured record in an database."
+        ),
+        "type": "object",
+        "required": ["conf", "prov", "file-info", "description",
+                     "subject"],
+        "$defs": _rec_defs(),
+        "properties": {
+            "conf": _CONF,
+            "prov": _arr(_ref("ProvenanceItem")),
+            "file-info": _ref("FileInfoObject"),
+            "description": _ref("RecordDescription"),
+            "subject": _ref("Subject"),
+            "attributes": _opt(_arr(_ref("Attribute"))),
+            "_name": _opt(_str()),
+            "identifiers": _opt(_arr(_ref("Identifier"))),
+        },
+    }
+
+
+def generate_generic_schema() -> dict:
+    """Generic: minimal document identification (gen/generic.py)."""
+    return {
+        "title": "Generic",
+        "description": "A representation of a generic document.",
+        "type": "object",
+        "required": ["file-info"],
+        "$defs": {
+            "FileInfoObject": _rec_defs()["FileInfoObject"],
+        },
+        "properties": {
+            "_name": _opt(_str()),
+            "file-info": _ref("FileInfoObject"),
+        },
+    }
+
+
+_QA_LABEL_AXES = {
+    "scope": ["corpus", "document", "out_of_scope"],
+    "alignment": ["aligned", "tangential", "misaligned"],
+    "correctness": ["entailed", "not_entailed"],
+    "completeness": ["complete", "incomplete"],
+    "information": [
+        "fact_single", "fact_multi", "summary", "reasoning", "choice",
+        "procedure", "opinion", "feedback",
+    ],
+}
+
+
+def generate_qa_schema() -> dict:
+    """QAPair: a question-answering pair with provenance paths and
+    labelling axes (nlp/qa.py:16-74, nlp/qa_labels.py)."""
+    return {
+        "title": "QAPair",
+        "description": (
+            "A representation of a question-answering (QA) pair."
+        ),
+        "type": "object",
+        "required": ["context", "question", "answer", "created",
+                     "paths"],
+        "$defs": {
+            # the `advanced` slot is an unparameterized metadata model
+            "BaseModel": {
+                "title": "BaseModel", "type": "object", "properties": {},
+            },
+            "QALabelling": _strict(
+                [],
+                {
+                    axis: _opt(_enum(values))
+                    for axis, values in _QA_LABEL_AXES.items()
+                },
+            ),
+        },
+        "properties": {
+            "context": _str(),
+            "question": _str(),
+            "answer": _str(),
+            "short_answer": _opt(_str()),
+            "retrieved_context": {
+                "anyOf": [{"type": "boolean"}, {"type": "null"}],
+                "default": False,
+            },
+            "generated_question": {
+                "anyOf": [{"type": "boolean"}, {"type": "null"}],
+                "default": False,
+            },
+            "generated_answer": {
+                "anyOf": [{"type": "boolean"}, {"type": "null"}],
+                "default": False,
+            },
+            "created": _str(format="date-time"),
+            "user": _opt(_str()),
+            "model": _opt(_str()),
+            "paths": _arr(_str()) | {"uniqueItems": True},
+            "advanced": _opt(_ref("BaseModel")),
+            "labels": _opt(_ref("QALabelling")),
+        },
+    }
+
+
 if __name__ == "__main__":  # the reference ships this as a CLI utility
     import json as _json
     import sys as _sys
