@@ -19,6 +19,8 @@ Every op has a DuckDB oracle generated from the same constants
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -556,10 +558,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def _min_label_components(
+    docs: DataFrame, pairs: DataFrame,
+    stats: Optional[dict] = None,
+    local_edge_limit: Optional[int] = None,
+) -> DataFrame:
     """Fixpoint min-label propagation: (doc_id) nodes + (doc_a, doc_b)
     undirected edges -> (doc_id, cluster_id) where cluster_id is the
     minimum doc_id in the node's connected component.
+
+    `stats`, when given, receives n_pairs / path / loop_partitions /
+    rounds (tools/skew_dedup_demo.py uses it to evidence convergence on
+    adversarial chain graphs); `local_edge_limit` overrides
+    CC_LOCAL_EDGE_LIMIT (0 forces the iterative pointer-jumping path).
 
     Only nodes that appear in an edge enter the loop: a node with no
     near-duplicate is trivially its own component (label(v) = v), so
@@ -578,12 +589,20 @@ def _min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     # corpus-sized and must use the normal width.
     sess = docs.sparkSession
     n_pairs = pairs.count()
-    if n_pairs <= C.CC_LOCAL_EDGE_LIMIT:
+    limit = (
+        C.CC_LOCAL_EDGE_LIMIT if local_edge_limit is None
+        else local_edge_limit
+    )
+    if stats is not None:
+        stats["n_pairs"] = n_pairs
+    if n_pairs <= limit:
         # the contracted graph fits in one task: finish locally — the
         # standard last step of the MapReduce CC algorithms (Kiveris et
         # al., SoCC'14). One shuffle of the EDGE LIST (not the corpus)
         # to a single task, union-find there, stitch singletons back
         # with the same corpus-width left join as the iterative path.
+        if stats is not None:
+            stats["path"] = "local_union_find"
         labels = _local_components(pairs)
         return docs.join(labels, "doc_id", "left").select(
             "doc_id",
@@ -596,6 +615,9 @@ def _min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             (2 * n_pairs) // 100_000 + 1,
         ),
     )
+    if stats is not None:
+        stats["path"] = "pointer_jumping"
+        stats["loop_partitions"] = loop_p
     old_sp = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", str(loop_p))
     edges = None
@@ -612,7 +634,7 @@ def _min_label_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             .persist()
         )
         edges.count()
-        labels = _propagate_labels(edges)
+        labels = _propagate_labels(edges, stats)
     finally:
         sess.conf.set("spark.sql.shuffle.partitions", old_sp)
         # inside finally: a _propagate_labels raise (CC_MAX_ROUNDS)
@@ -671,7 +693,9 @@ def _local_components(pairs: DataFrame) -> DataFrame:
     return pairs.repartition(1).mapInPandas(uf, schema)
 
 
-def _propagate_labels(edges: DataFrame) -> DataFrame:
+def _propagate_labels(
+    edges: DataFrame, stats: Optional[dict] = None
+) -> DataFrame:
     labels = (
         edges.select("doc_a")
         .distinct()
@@ -733,6 +757,8 @@ def _propagate_labels(edges: DataFrame) -> DataFrame:
         labels = nxt.select(
             "doc_id", F.col("new_cid").alias("cluster_id")
         )
+        if stats is not None:
+            stats["rounds"] = stats.get("rounds", 0) + 1
         if changed == 0:
             break
     else:
