@@ -116,15 +116,39 @@ def _warmup(spark):
     ).collect()
 
 
-def _time_query(spark, fn, sf_dir: str) -> float:
+# Host-control probe (round-3 VERDICT ask #8): a fixed pure-Python
+# workload (~10 ms on a quiet core) timed adjacent to every query
+# attempt. On a quiet host it is flat across the suite; when the VM's
+# documented co-tenant stall window hits, the control spikes together
+# with the query, so a spiked query carries its own exoneration in the
+# BENCH json instead of requiring an after-the-fact re-measure.
+_HOST_CTL_ITERS = 250_000
+
+
+def _host_control() -> float:
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(_HOST_CTL_ITERS):
+        acc += i * i
+    dt = time.perf_counter() - t0
+    assert acc >= 0
+    return dt
+
+
+def _time_query(spark, fn, sf_dir: str) -> tuple[float, float]:
+    """Best-of-2 query wall time plus the host-control sample paired
+    with the chosen (best) attempt."""
     best = None
+    best_ctl = None
     for _ in range(2):  # best-of-2: shields against host-side stalls
+        ctl = _host_control()
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 3)
+        if best is None or dt < best:
+            best, best_ctl = dt, ctl
+    return round(best, 3), round(best_ctl, 4)
 
 
 def bench_pipeline(spark, n_docs: int, cpus: int) -> dict:
@@ -142,7 +166,9 @@ def bench_pipeline(spark, n_docs: int, cpus: int) -> dict:
     docs = synth_docs(spark, n_docs, partitions=parts).cache()
     total_docs = docs.count()  # materialize input outside the timed section
     best = None
+    best_ctl = None
     for _ in range(2):
+        ctl = _host_control()
         t0 = time.time()
         out = run_pipeline(docs)
         agg = out.agg(
@@ -153,7 +179,7 @@ def bench_pipeline(spark, n_docs: int, cpus: int) -> dict:
         ).collect()[0]
         dt = time.time() - t0
         if best is None or dt < best:
-            best = dt
+            best, best_ctl = dt, ctl
     docs.unpersist()
     assert agg["n"] == total_docs
     return {
@@ -162,6 +188,7 @@ def bench_pipeline(spark, n_docs: int, cpus: int) -> dict:
         "docs_per_sec": agg["n"] / best,
         "items": int(agg["items"]),
         "md_chars": int(agg["md_chars"]),
+        "host_ctl": round(best_ctl, 4),
     }
 
 
@@ -177,9 +204,13 @@ def _pipeline_main():
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     pipe = bench_pipeline(spark, n_docs * 10, cpus)
     q = E.queries()
-    times = {name: _time_query(spark, q[name], sf_dir)
+    timed = {name: _time_query(spark, q[name], sf_dir)
              for name in PIPELINE_SUITE}
-    print("PIPEJSON:" + json.dumps({"pipeline": pipe, "queries": times}))
+    print("PIPEJSON:" + json.dumps({
+        "pipeline": pipe,
+        "queries": {n: t[0] for n, t in timed.items()},
+        "host_ctl": {n: t[1] for n, t in timed.items()},
+    }))
     spark.stop()
 
 
@@ -192,9 +223,12 @@ def _group_main(group: str):
     import __spark_entry__ as E
 
     q = E.queries()
-    times = {name: _time_query(spark, q[name], sf_dir)
+    timed = {name: _time_query(spark, q[name], sf_dir)
              for name in GROUPS[group]}
-    print("GROUPJSON:" + json.dumps(times))
+    print("GROUPJSON:" + json.dumps({
+        "queries": {n: t[0] for n, t in timed.items()},
+        "host_ctl": {n: t[1] for n, t in timed.items()},
+    }))
     spark.stop()
 
 
@@ -235,14 +269,21 @@ def main():
                            f"missing={missing} extra={extra}")
 
     q_times: dict[str, float] = {}
+    host_ctl: dict[str, float] = {}
     pipe_res = _run_subprocess(["--pipeline-only"], "PIPEJSON:")
     pipe = pipe_res["pipeline"]
     q_times.update(pipe_res["queries"])
+    host_ctl.update(pipe_res["host_ctl"])
     for group in GROUPS:
-        q_times.update(_run_subprocess(["--group", group], "GROUPJSON:"))
+        res = _run_subprocess(["--group", group], "GROUPJSON:")
+        q_times.update(res["queries"])
+        host_ctl.update(res["host_ctl"])
 
     q_times = {n: q_times[n] for n in grouped}  # stable display order
     q_times["pipeline_extract"] = round(pipe["sec"], 3)
+    host_ctl = {n: host_ctl[n] for n in grouped}
+    host_ctl["pipeline_extract"] = pipe["host_ctl"]
+    ctl_quiet = min(host_ctl.values())
 
     total = sum(q_times.values())
     print(
@@ -256,6 +297,12 @@ def main():
                 "docs_per_sec_extract": round(pipe["docs_per_sec"], 1),
                 "pipeline": pipe,
                 "cpus": cpus,
+                # Per-query host-control samples (fixed ~10 ms pure-Python
+                # probe timed adjacent to the reported attempt). A query
+                # whose host_ctl is >> host_ctl_quiet was measured inside
+                # a host stall window; compare before flagging regressions.
+                "host_ctl": host_ctl,
+                "host_ctl_quiet": ctl_quiet,
             }
         )
     )
