@@ -135,20 +135,45 @@ def _host_control() -> float:
     return dt
 
 
-def _time_query(spark, fn, sf_dir: str) -> tuple[float, float]:
-    """Best-of-2 query wall time plus the host-control sample paired
-    with the chosen (best) attempt."""
+# Parallel-capacity probe: the single-thread loop above catches
+# scheduler stalls but NOT multi-core capacity loss — measured on this
+# VM: 32-worker parallel efficiency dropped to 0.50 of nominal while
+# the single-thread probe rose only 28%. A threaded OpenBLAS matmul
+# (~1024^2 f64, ~15 ms quiet) exercises all cores, so a query that ran
+# 2-4x slow with a flat host_ctl but a spiked host_ctl_par was starved
+# of parallel capacity, not regressed.
+_PAR_PROBE = {"mat": None}
+
+
+def _host_control_par() -> float:
+    import numpy as np
+
+    if _PAR_PROBE["mat"] is None:
+        _PAR_PROBE["mat"] = np.random.default_rng(7).random((1024, 1024))
+        _ = _PAR_PROBE["mat"] @ _PAR_PROBE["mat"]  # BLAS thread warmup
+    a = _PAR_PROBE["mat"]
+    t0 = time.perf_counter()
+    b = a @ a
+    dt = time.perf_counter() - t0
+    assert b.shape == (1024, 1024)
+    return dt
+
+
+def _time_query(spark, fn, sf_dir: str) -> tuple[float, float, float]:
+    """Best-of-2 query wall time plus the host-control samples
+    (single-thread + parallel) paired with the chosen (best) attempt."""
     best = None
-    best_ctl = None
+    best_ctl = best_par = None
     for _ in range(2):  # best-of-2: shields against host-side stalls
         ctl = _host_control()
+        par = _host_control_par()
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         if best is None or dt < best:
-            best, best_ctl = dt, ctl
-    return round(best, 3), round(best_ctl, 4)
+            best, best_ctl, best_par = dt, ctl, par
+    return round(best, 3), round(best_ctl, 4), round(best_par, 4)
 
 
 def bench_pipeline(spark, n_docs: int, cpus: int) -> dict:
@@ -166,9 +191,10 @@ def bench_pipeline(spark, n_docs: int, cpus: int) -> dict:
     docs = synth_docs(spark, n_docs, partitions=parts).cache()
     total_docs = docs.count()  # materialize input outside the timed section
     best = None
-    best_ctl = None
+    best_ctl = best_par = None
     for _ in range(2):
         ctl = _host_control()
+        par = _host_control_par()
         t0 = time.time()
         out = run_pipeline(docs)
         agg = out.agg(
@@ -179,7 +205,7 @@ def bench_pipeline(spark, n_docs: int, cpus: int) -> dict:
         ).collect()[0]
         dt = time.time() - t0
         if best is None or dt < best:
-            best, best_ctl = dt, ctl
+            best, best_ctl, best_par = dt, ctl, par
     docs.unpersist()
     assert agg["n"] == total_docs
     return {
@@ -189,6 +215,7 @@ def bench_pipeline(spark, n_docs: int, cpus: int) -> dict:
         "items": int(agg["items"]),
         "md_chars": int(agg["md_chars"]),
         "host_ctl": round(best_ctl, 4),
+        "host_ctl_par": round(best_par, 4),
     }
 
 
@@ -210,6 +237,7 @@ def _pipeline_main():
         "pipeline": pipe,
         "queries": {n: t[0] for n, t in timed.items()},
         "host_ctl": {n: t[1] for n, t in timed.items()},
+        "host_ctl_par": {n: t[2] for n, t in timed.items()},
     }))
     spark.stop()
 
@@ -228,6 +256,7 @@ def _group_main(group: str):
     print("GROUPJSON:" + json.dumps({
         "queries": {n: t[0] for n, t in timed.items()},
         "host_ctl": {n: t[1] for n, t in timed.items()},
+        "host_ctl_par": {n: t[2] for n, t in timed.items()},
     }))
     spark.stop()
 
@@ -270,20 +299,26 @@ def main():
 
     q_times: dict[str, float] = {}
     host_ctl: dict[str, float] = {}
+    host_par: dict[str, float] = {}
     pipe_res = _run_subprocess(["--pipeline-only"], "PIPEJSON:")
     pipe = pipe_res["pipeline"]
     q_times.update(pipe_res["queries"])
     host_ctl.update(pipe_res["host_ctl"])
+    host_par.update(pipe_res["host_ctl_par"])
     for group in GROUPS:
         res = _run_subprocess(["--group", group], "GROUPJSON:")
         q_times.update(res["queries"])
         host_ctl.update(res["host_ctl"])
+        host_par.update(res["host_ctl_par"])
 
     q_times = {n: q_times[n] for n in grouped}  # stable display order
     q_times["pipeline_extract"] = round(pipe["sec"], 3)
     host_ctl = {n: host_ctl[n] for n in grouped}
     host_ctl["pipeline_extract"] = pipe["host_ctl"]
     ctl_quiet = min(host_ctl.values())
+    host_par = {n: host_par[n] for n in grouped}
+    host_par["pipeline_extract"] = pipe["host_ctl_par"]
+    par_quiet = min(host_par.values())
 
     total = sum(q_times.values())
     print(
@@ -303,6 +338,11 @@ def main():
                 # a host stall window; compare before flagging regressions.
                 "host_ctl": host_ctl,
                 "host_ctl_quiet": ctl_quiet,
+                # Parallel-capacity samples (threaded BLAS matmul): a
+                # query slow with flat host_ctl but spiked host_ctl_par
+                # was starved of multi-core capacity by the host.
+                "host_ctl_par": host_par,
+                "host_ctl_par_quiet": par_quiet,
             }
         )
     )
