@@ -372,6 +372,12 @@ def _q_page_textlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_page_textlines(spark, sf_dir)
 
 
+def _q_page_render_svg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pages import q_page_render_svg
+
+    return q_page_render_svg(spark, sf_dir)
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     _spread_view(spark, sf_dir, "lineitem", "li_q1_src")
     return spark.sql(_SQL_TPCH_Q1.format(lineitem="li_q1_src"))
@@ -529,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_cells_in_bbox": _q_page_cells_in_bbox,
         "page_crop_text": _q_page_crop_text,
         "page_textlines": _q_page_textlines,
+        "page_render_svg": _q_page_render_svg,
         # relational sanity (scan/filter/agg/join/window/sessionize)
         "tpch_q1": _q_tpch_q1,
         "top_customers": _q_top_customers,
@@ -546,6 +553,7 @@ def _pages_oracle(which: str) -> str:
         "cells_in_bbox": P.sql_page_cells_in_bbox,
         "crop_text": P.sql_page_crop_text,
         "textlines": P.sql_page_textlines,
+        "render_svg": P.sql_page_render_svg,
     }[which]()
 
 
@@ -659,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "page_cells_in_bbox": _pages_oracle("cells_in_bbox"),
         "page_crop_text": _pages_oracle("crop_text"),
         "page_textlines": _pages_oracle("textlines"),
+        "page_render_svg": _pages_oracle("render_svg"),
         "lang_stats": _SQL_LANG_STATS.format(documents="documents"),
         "tpch_q1": _SQL_TPCH_Q1.format(lineitem="lineitem"),
         "top_customers": _SQL_TOP_CUSTOMERS.format(

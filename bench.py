@@ -70,7 +70,8 @@ GROUPS: dict[str, list[str]] = {
     ],
     "rel": [
         "bbox_ops", "page_cells_in_bbox", "page_crop_text",
-        "page_textlines", "tpch_q1", "top_customers", "events_by_type",
+        "page_textlines", "page_render_svg",
+        "tpch_q1", "top_customers", "events_by_type",
         "events_sessionize", "orders_running_total", "supplier_rank",
     ],
     "stream": [

@@ -236,3 +236,147 @@ def sql_page_textlines() -> str:
         f"WITH pages_cells AS ({cells_synth_sql('duck')}) "
         + textlines_sql("pages_cells", UNIT_LINE)
     )
+
+
+# ---------------------------------------------------------------------------
+# page visualization: render_as_image re-expressed as deterministic SVG
+# ---------------------------------------------------------------------------
+# The reference's rendering helpers (page.py:684-1139) rasterize a page
+# with PIL: white RGBA canvas sized (round(page_w), round(page_h)), then
+# per layer — bitmap resources, cell rectangles (`_render_cells_bbox`,
+# page.py:895: polygon of the rect's 4 points in TOP-LEFT origin, fill
+# cyan, outline black), bottom-left dots (`_draw_cells_bl`, page.py:1019:
+# radius-3 ellipse at polygon point 0, red), top-right dots
+# (`_draw_cells_tr`, page.py:1062: ALSO anchored at polygon point 0 —
+# the reference reuses poly[0] for the "top-right" marker; mirrored
+# deliberately so a pixel-diff against the reference would agree), then
+# lines. PIL is absent in this environment (for the reference too), so
+# the engine renders the same geometry as SVG text: one <polygon> per
+# cell and one <circle> per marker, in the reference's layer order and
+# within each layer in cell_index order. SVG is deterministic text, so
+# the render is oracle-checkable — both dialects build the identical
+# string and the gate compares md5s per page.
+#
+# 100 TB story: one groupBy(page_id) over the cells scan (uniform key —
+# a page has bounded cells); the per-cell geometry + printf is narrow
+# whole-stage-codegen work, and only (page_id, n_cells, svg_len,
+# svg_md5) leave the aggregation. Rendering 10^12 pages is exactly as
+# parallel as the cells table is partitioned.
+
+_SVG_POLY = (
+    '<polygon points="%.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f"'
+    ' fill="#00FFFF" stroke="#000000"/>'
+)
+_SVG_BL = '<circle cx="%.2f" cy="%.2f" r="3.00" fill="#FF0000" stroke="#FF0000"/>'
+_SVG_TR = '<circle cx="%.2f" cy="%.2f" r="3.00" fill="#008000" stroke="#008000"/>'
+_SVG_HDR = '<svg xmlns="http://www.w3.org/2000/svg" width="%d" height="%d">'
+_SVG_BG = '<rect width="%d" height="%d" fill="#FFFFFF"/>'
+
+
+def _svg_cell_cte(src: str, unit: str) -> str:
+    """Per-cell top-left-origin coords + the three SVG fragments.
+    Identical text in both dialects (printf/CASE exist in both)."""
+    ty = ("CASE WHEN coord_origin = 'BOTTOMLEFT'"
+          " THEN page_h - r_y{i} ELSE r_y{i} END")
+    tys = ", ".join(ty.format(i=i) + f" AS ty{i}" for i in range(4))
+    return (
+        f"SELECT page_id, cell_index, page_w, page_h, {tys},"
+        f" r_x0, r_x1, r_x2, r_x3"
+        f" FROM {src} WHERE unit = '{unit}'"
+    )
+
+
+def _svg_piece_select() -> str:
+    return (
+        "SELECT page_id, cell_index, page_w, page_h,"
+        f" printf('{_SVG_POLY}', r_x0, ty0, r_x1, ty1, r_x2, ty2,"
+        " r_x3, ty3) AS poly,"
+        f" printf('{_SVG_BL}', r_x0, ty0) AS bl,"
+        f" printf('{_SVG_TR}', r_x0, ty0) AS tr"
+        " FROM svg_cells"
+    )
+
+
+def render_svg_sql(src: str, unit: str, dialect: str = "spark",
+                   extra_cte: str = "", keep_svg: bool = False) -> str:
+    """Per-page SVG render (reference render_as_image, page.py:684-842,
+    with draw_cells_bbox + bl/tr markers) -> (page_id, n_cells, svg_len,
+    svg_md5[, svg when keep_svg — test/inspection use only; the gate
+    row ships digests so 10^12 SVG bodies never leave the agg])."""
+    if dialect == "spark":
+        agg = (
+            "array_join(transform(array_sort(collect_list("
+            "struct(cell_index, {col}))), x -> x.{col}), '')"
+        )
+    else:
+        agg = "string_agg({col}, '' ORDER BY cell_index)"
+    polys = agg.format(col="poly")
+    bls = agg.format(col="bl")
+    trs = agg.format(col="tr")
+    cnt = "CAST(count(*) AS BIGINT)" if dialect == "spark" else "COUNT(*)::BIGINT"
+    slen = ("CAST(length(svg) AS BIGINT)" if dialect == "spark"
+            else "length(svg)::BIGINT")
+    w = ("CAST(round(max(page_w)) AS BIGINT)" if dialect == "spark"
+         else "round(max(page_w))::BIGINT")
+    h = ("CAST(round(max(page_h)) AS BIGINT)" if dialect == "spark"
+         else "round(max(page_h))::BIGINT")
+    return f"""
+        WITH {extra_cte}svg_cells AS ({_svg_cell_cte(src, unit)}),
+        svg_pieces AS ({_svg_piece_select()}),
+        svg_pages AS (
+            SELECT page_id,
+                   concat(
+                       printf('{_SVG_HDR}', {w}, {h}),
+                       printf('{_SVG_BG}', {w}, {h}),
+                       {polys}, {bls}, {trs},
+                       '</svg>') AS svg,
+                   {cnt} AS n_cells
+            FROM svg_pieces GROUP BY page_id
+        )
+        SELECT page_id, n_cells, {slen} AS svg_len, md5(svg) AS svg_md5
+               {", svg" if keep_svg else ""}
+        FROM svg_pages
+    """
+
+
+def render_page_svg(cells: list) -> str:
+    """Pure-Python mirror of render_svg_sql for one page: the test
+    oracle that pins the SQL construction to the reference's layer
+    order + geometry (page.py:684-1139). `cells` = dicts with the
+    cells-table fields of ONE page."""
+    cs = sorted(cells, key=lambda c: c["cell_index"])
+
+    def tl(c):
+        flip = c["coord_origin"] == "BOTTOMLEFT"
+        ys = [c["page_h"] - c[f"r_y{i}"] if flip else c[f"r_y{i}"]
+              for i in range(4)]
+        xs = [c[f"r_x{i}"] for i in range(4)]
+        return xs, ys
+
+    w = round(cs[0]["page_w"])
+    h = round(cs[0]["page_h"])
+    parts = [_SVG_HDR % (w, h), _SVG_BG % (w, h)]
+    for c in cs:
+        xs, ys = tl(c)
+        parts.append(_SVG_POLY % (xs[0], ys[0], xs[1], ys[1],
+                                  xs[2], ys[2], xs[3], ys[3]))
+    for c in cs:
+        xs, ys = tl(c)
+        parts.append(_SVG_BL % (xs[0], ys[0]))
+    for c in cs:
+        xs, ys = tl(c)
+        parts.append(_SVG_TR % (xs[0], ys[0]))
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def q_page_render_svg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_cells_view(spark, sf_dir)
+    return spark.sql(render_svg_sql("pages_cells", UNIT_LINE, "spark"))
+
+
+def sql_page_render_svg() -> str:
+    return render_svg_sql(
+        "pages_cells", UNIT_LINE, "duck",
+        extra_cte=f"pages_cells AS ({cells_synth_sql('duck')}), ",
+    )

@@ -155,3 +155,68 @@ def test_spark_matches_duck(spark):
     con = _duck()
     want = dict(con.execute(P.sql_page_crop_text()).fetchall())
     assert got == want
+
+
+def test_render_svg_duck_matches_python_mirror(pages):
+    """The SQL SVG construction == the pure-Python mirror per page."""
+    con = _duck()
+    sql = P.render_svg_sql(
+        "pages_cells", P.UNIT_LINE, "duck", keep_svg=True,
+    )
+    got = {
+        r[0]: r[4]
+        for r in con.execute(sql).fetchall()
+    }
+    for page_id, cells in pages.items():
+        assert got[page_id] == P.render_page_svg(cells), page_id
+
+
+def test_render_svg_geometry_matches_reference(pages):
+    """Every polygon in the SVG carries exactly the coordinates the
+    reference's _render_cells_bbox would draw: rect.to_top_left_origin(
+    page_h).to_polygon() (page.py:895-927), and both dot layers anchor
+    at polygon point 0 — including the reference's top-right marker,
+    which also anchors at poly[0] (page.py:1062-1103)."""
+    install_reference()
+
+    for page_id, cells in pages.items():
+        svg = P.render_page_svg(cells)
+        ref = _ref_page(cells)
+        for cell in sorted(
+            ref.textline_cells, key=lambda c: c.index
+        ):
+            poly = cell.rect.to_top_left_origin(page_height=792).to_polygon()
+            want_poly = P._SVG_POLY % (
+                poly[0][0], poly[0][1], poly[1][0], poly[1][1],
+                poly[2][0], poly[2][1], poly[3][0], poly[3][1],
+            )
+            assert want_poly in svg, (page_id, cell.index)
+            assert P._SVG_BL % (poly[0][0], poly[0][1]) in svg
+            assert P._SVG_TR % (poly[0][0], poly[0][1]) in svg
+        # layer order: all polygons precede all bl dots precede all tr
+        assert svg.rindex("<polygon") < svg.index('fill="#FF0000"')
+        assert svg.rindex('fill="#FF0000"') < svg.index('fill="#008000"')
+
+
+def test_render_svg_spark_matches_duck(spark):
+    """Spark dialect builds byte-identical SVG to the DuckDB dialect
+    (the gate compares md5; this pins the full string at sf0.001)."""
+    P.register_cells_view(spark, SF_DIR)
+    got = {
+        r["page_id"]: r["svg"]
+        for r in spark.sql(
+            P.render_svg_sql("pages_cells", P.UNIT_LINE, "spark",
+                             keep_svg=True)
+        ).collect()
+        if r["page_id"] < 5
+    }
+    con = _duck()
+    want = {
+        r[0]: r[4]
+        for r in con.execute(
+            P.render_svg_sql("pages_cells", P.UNIT_LINE, "duck",
+                             keep_svg=True)
+        ).fetchall()
+        if r[0] < 5
+    }
+    assert got == want and len(got) == 5
