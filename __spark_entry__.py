@@ -505,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "seg_dedup": CD.q_seg_dedup,
+        "dup_passages": CD.q_dup_passages,
         "minhash_signatures": CD.q_minhash_signatures,
         "lsh_buckets": CD.q_lsh_buckets,
         "neardup_pairs": CD.q_neardup_pairs,
@@ -647,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": CF.sql_decontaminate(),
         "bloom_decontaminate": CF.sql_bloom_decontaminate(),
         "seg_dedup": CD.sql_seg_dedup(),
+        "dup_passages": CD.sql_dup_passages(),
         "minhash_est_error": CD.sql_minhash_est_error(),
         "html_strip": CW.sql_html_strip(),
         "main_content": CW.sql_main_content(),

@@ -55,7 +55,8 @@ GROUPS: dict[str, list[str]] = {
         # shingle table and runs after them. curation_funnel composes
         # quality + decontamination + the memoized cluster table, so it
         # runs last where the clusters are already warm.
-        "dedup_exact", "seg_dedup", "simhash", "minhash_signatures",
+        "dedup_exact", "seg_dedup", "dup_passages", "simhash",
+        "minhash_signatures",
         "lsh_buckets",
         "neardup_pairs", "minhash_est_error", "dedup_clusters",
         "jaccard_pairs", "dedup_savings", "curation_funnel",

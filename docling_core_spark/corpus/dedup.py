@@ -1077,3 +1077,136 @@ def sql_minhash_est_error() -> str:
         JOIN sig a ON p.doc_a = a.doc_id
         JOIN sig b ON p.doc_b = b.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# duplicated-passage detection (exact-substring dedup at k-gram resolution)
+# ---------------------------------------------------------------------------
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better") removes every >=50-token substring that appears twice in the
+# corpus, using a corpus-wide suffix array — a structure with no
+# shuffle-friendly equivalent. The standard distributed approximation
+# (used by several open reproductions) detects duplicated MAXIMAL
+# PASSAGES at k-token-gram resolution: a passage is duplicated iff all
+# its k-grams are, so merging overlapping duplicated k-grams
+# reconstructs every duplicated passage with (k-1)-token edge slack.
+
+PASSAGE_WORDS = 8
+
+
+def _grams_spark(k: int) -> str:
+    """array<struct<pos int, gram string>>: all k-token windows (1-based
+    start position) of the lowercased token list."""
+    return (
+        f"case when size({TOKENS_SPARK}) >= {k} then"
+        f" transform(sequence(1, size({TOKENS_SPARK}) - {k} + 1),"
+        f"   i -> named_struct('pos', i, 'gram',"
+        f"     concat_ws(' ', slice({TOKENS_SPARK}, i, {k}))))"
+        f" else array() end"
+    )
+
+
+def _grams_duck(k: int) -> str:
+    toks = TOKENS_DUCK
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN"
+        f" list_transform(range(1, len({toks}) - {k} + 2),"
+        f"   i -> {{'pos': i, 'gram':"
+        f"     array_to_string({toks}[i : i + {k} - 1], ' ')}})"
+        f" ELSE [] END"
+    )
+
+
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated passages per doc: every corpus-wide repeated
+    {PASSAGE_WORDS}-token gram (count >= 2, within-doc repeats included),
+    merged into maximal token spans by the gaps-and-islands rule.
+
+    100 TB story: gram texts never cross an exchange — grams hash to a
+    16-byte digest map-side; the duplicated-gram table is a
+    groupBy(digest)-count HAVING >= 2 (map-side combinable, uniform
+    key), the hit join is digest-keyed (uniform), and the island merge
+    windows partition by doc_id, so no stage sees more than one doc's
+    positions. A 10^9x-repeated boilerplate gram collapses per map
+    task in the count and fans back out only to the docs that carry it.
+    """
+    k = PASSAGE_WORDS
+    from pyspark.sql import Window
+
+    docs = read_spread(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(_grams_spark(k))).alias("g")
+    ).select(
+        "doc_id",
+        F.col("g.pos").alias("pos"),
+        F.unhex(F.md5(F.col("g.gram"))).alias("h"),
+    )
+    dup = (
+        grams.groupBy("h").agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2).select("h")
+    )
+    hits = grams.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "brk",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + k),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w))
+    pas = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + k - 1).alias("end_tok"),
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("start_tok")
+    return pas.select(
+        "doc_id",
+        F.row_number().over(w2).cast("bigint").alias("passage_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.col("end_tok").cast("bigint").alias("end_tok"),
+        (F.col("end_tok") - F.col("start_tok") + 1)
+        .cast("bigint").alias("n_tokens"),
+    )
+
+
+def sql_dup_passages() -> str:
+    k = PASSAGE_WORDS
+    return f"""
+        WITH gramrows AS (
+            SELECT doc_id, unnest({_grams_duck(k)}, recursive := true)
+            FROM documents
+        ),
+        hashed AS (SELECT doc_id, pos, md5(gram) AS h FROM gramrows),
+        dup AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(*) >= 2),
+        hits AS (
+            SELECT doc_id, pos FROM hashed
+            WHERE h IN (SELECT h FROM dup)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos > lag(pos) OVER w + {k}
+                        THEN 1 ELSE 0 END AS brk
+            FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS island
+            FROM isl
+        ),
+        pas AS (
+            SELECT doc_id, island, MIN(pos) AS start_tok,
+                   MAX(pos) + {k} - 1 AS end_tok
+            FROM grp GROUP BY doc_id, island
+        )
+        SELECT doc_id,
+               (row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY start_tok))::BIGINT
+                   AS passage_idx,
+               start_tok::BIGINT AS start_tok,
+               end_tok::BIGINT AS end_tok,
+               (end_tok - start_tok + 1)::BIGINT AS n_tokens
+        FROM pas
+    """

@@ -71,6 +71,7 @@ def _pairs():
         "jaccard_pairs": (CD.q_jaccard_pairs, CD.sql_jaccard_pairs),
         "dedup_savings": (CD.q_dedup_savings, CD.sql_dedup_savings),
         "simhash": (CD.q_simhash, CD.sql_simhash),
+        "dup_passages": (CD.q_dup_passages, CD.sql_dup_passages),
         "knn_bruteforce": (CS.q_knn_bruteforce, CS.sql_knn_bruteforce),
         "lsh_bucket_stats": (CS.q_lsh_bucket_stats, CS.sql_lsh_bucket_stats),
         "ann_lsh_topk": (CS.q_ann_lsh_topk, CS.sql_ann_lsh_topk),
@@ -277,3 +278,42 @@ def test_ann_recall_report_consistent(spark):
         assert 0 <= r["n_hits"] <= r["n_truth"]
         assert r["recall_micro"] == r["n_hits"] * 1_000_000 // r["n_truth"]
     assert rows["lsh"]["n_truth"] == rows["ivf"]["n_truth"]
+
+
+def test_dup_passages_merges_planted_islands(spark, tmp_path):
+    """Two docs sharing a 10-token passage -> one maximal island per
+    doc covering exactly the shared tokens (8-gram resolution); the
+    within-doc repeated passage in doc 3 is detected too; doc 4 (all
+    unique) reports nothing."""
+    import pandas as pd
+    from docling_core_spark.corpus.dedup import q_dup_passages
+
+    shared = " ".join(f"w{i}" for i in range(10))  # 10 shared tokens
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{uniq('a', 5)} {shared} {uniq('b', 5)}",
+                f"{uniq('c', 3)} {shared}",
+                f"{shared} {uniq('d', 4)} {shared}",
+                uniq("e", 30),
+            ],
+        }
+    )
+    docs["lang"] = "en"
+    docs["source"] = "t"
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    rows = {
+        (r["doc_id"], r["passage_idx"]): (r["start_tok"], r["end_tok"])
+        for r in q_dup_passages(spark, str(tmp_path)).collect()
+    }
+    # doc 1: shared passage occupies tokens 6..15 (1-based)
+    assert rows[(1, 1)] == (6, 15)
+    # doc 2: tokens 4..13
+    assert rows[(2, 1)] == (4, 13)
+    # doc 3: both copies of the passage; the second starts at token 15
+    assert rows[(3, 1)] == (1, 10) and rows[(3, 2)] == (15, 24)
+    assert not any(d == 4 for d, _ in rows)
