@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": CW.q_html_strip,
         "main_content": CW.q_main_content,
         "extract_links": CW.q_extract_links,
+        "link_pagerank": CW.q_link_pagerank,
         # corpus keywords
         "top_ngrams": CK.q_top_ngrams,
         "tfidf_topk": CK.q_tfidf_topk,
@@ -653,6 +654,7 @@ def oracle_sql() -> dict[str, str]:
         "html_strip": CW.sql_html_strip(),
         "main_content": CW.sql_main_content(),
         "extract_links": CW.sql_extract_links(),
+        "link_pagerank": CW.sql_link_pagerank(),
         "top_ngrams": CK.sql_top_ngrams(),
         "tfidf_topk": CK.sql_tfidf_topk(),
         "cms_heavy_hitters": CK.sql_cms_heavy_hitters(),

@@ -355,3 +355,120 @@ def sql_extract_links() -> str:
                struct_extract(lk, 'anchor') AS anchor
         FROM pairs
     """
+
+
+# ---------------------------------------------------------------------------
+# link_pagerank: PageRank over the extracted outlink graph
+# ---------------------------------------------------------------------------
+# The canonical consumer of a crawler's link table (CommonCrawl ships
+# exactly this as its host-level ranking; Page et al. 1999). Scores are
+# kept in integer parts-per-1e9 with floor division at every step, so
+# the iteration is bit-exact across engines and across partition
+# orders — no float ever crosses an exchange. Damping 0.85; dangling
+# nodes keep their received mass (no redistribution — the choice is
+# reproduced literally in the oracle). On this fixture the graph is
+# doc->hub bipartite (every page links "/", its source hub, its lang
+# hub, and three static pages), which makes "/" a maximally hot key —
+# the in-edge aggregation is a map-side-combinable integer SUM, so the
+# 10^12-edge hub collapses per map task exactly like exact-dedup's
+# boilerplate key.
+
+PAGERANK_ITERS = 3
+_PR_TOTAL = 1_000_000_000
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (integer p9 units, PAGERANK_ITERS iterations) over the
+    doc->href edge list from q_extract_links.
+
+    100 TB story: edges/nodes/outdeg are groupBy-distinct shuffles on
+    uniform keys; each iteration is (edges JOIN score ON src) — src is
+    the uniform doc side — then a map-side-combined SUM keyed by dst
+    (hot hubs combine before the exchange), then a left join back onto
+    the node table. localCheckpoint truncates the 3-iteration lineage
+    like the CC pointer-jumping loop. No global window, no driver-side
+    data: the only collect is the node-count scalar."""
+    from pyspark.sql import functions as F
+
+    links = q_extract_links(spark, sf_dir)
+    edges = links.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+        .alias("src"),
+        F.col("href").alias("dst"),
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("outdeg")
+    )
+    n = nodes.count()  # scalar metadata aggregate (audited collect site)
+    base = (_PR_TOTAL * 15 // 100) // n
+    score = nodes.select(
+        "node", F.lit(_PR_TOTAL // n).cast("bigint").alias("s")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(score, edges.src == F.col("node"))
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.expr("(s * 85) div (100 * outdeg)").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("c"))
+        score = (
+            nodes.join(sums, nodes.node == sums.dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("c"), F.lit(0)))
+                .cast("bigint")
+                .alias("s"),
+            )
+            .localCheckpoint()
+        )
+    return score.select("node", F.col("s").alias("score_p9"))
+
+
+def sql_link_pagerank() -> str:
+    it = """
+        it{k} AS (
+            SELECT nd.node,
+                   ((({total}::BIGINT * 15) // 100) // (SELECT n FROM nn)
+                    + COALESCE(SUM((p.s * 85) // (100 * d.outdeg)), 0)
+                   )::BIGINT AS s
+            FROM nodes nd
+            LEFT JOIN edges e ON e.dst = nd.node
+            LEFT JOIN it{prev} p ON p.node = e.src
+            LEFT JOIN deg d ON d.src = e.src
+            GROUP BY nd.node
+        )"""
+    iters = ",".join(
+        it.format(k=k, prev=k - 1, total=_PR_TOTAL)
+        for k in range(1, PAGERANK_ITERS + 1)
+    )
+    return f"""
+        WITH links AS ({sql_extract_links()}),
+        edges AS (
+            SELECT DISTINCT 'doc:' || doc_id::VARCHAR AS src, href AS dst
+            FROM links
+        ),
+        nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+            UNION
+            SELECT DISTINCT dst FROM edges
+        ),
+        deg AS (
+            SELECT src, COUNT(*)::BIGINT AS outdeg FROM edges GROUP BY src
+        ),
+        nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+        it0 AS (
+            SELECT node, ({_PR_TOTAL}::BIGINT // (SELECT n FROM nn))::BIGINT AS s
+            FROM nodes
+        ),
+        {iters}
+        SELECT node, s AS score_p9 FROM it{PAGERANK_ITERS}
+    """

@@ -55,6 +55,7 @@ def _pairs():
         multimodal as CM,
         similarity as CS,
         textstats as CT,
+        webextract as CW,
     )
 
     return {
@@ -72,6 +73,7 @@ def _pairs():
         "dedup_savings": (CD.q_dedup_savings, CD.sql_dedup_savings),
         "simhash": (CD.q_simhash, CD.sql_simhash),
         "dup_passages": (CD.q_dup_passages, CD.sql_dup_passages),
+        "link_pagerank": (CW.q_link_pagerank, CW.sql_link_pagerank),
         "knn_bruteforce": (CS.q_knn_bruteforce, CS.sql_knn_bruteforce),
         "lsh_bucket_stats": (CS.q_lsh_bucket_stats, CS.sql_lsh_bucket_stats),
         "ann_lsh_topk": (CS.q_ann_lsh_topk, CS.sql_ann_lsh_topk),
@@ -317,3 +319,30 @@ def test_dup_passages_merges_planted_islands(spark, tmp_path):
     # doc 3: both copies of the passage; the second starts at token 15
     assert rows[(3, 1)] == (1, 10) and rows[(3, 2)] == (15, 24)
     assert not any(d == 4 for d, _ in rows)
+
+
+def test_link_pagerank_properties(spark):
+    """Structural PageRank facts on the doc->hub fixture graph: the
+    static hubs ("/", "/ad", "/t", "/p") each receive an in-edge from
+    every doc so they tie for the top score, while source/lang hubs
+    split the doc population; every doc node is rank-source-only so
+    it sits at exactly base = floor(floor(0.15 * 1e9) / N); scores are
+    non-negative integers summing to <= 1e9 (floor division only ever
+    loses mass)."""
+    from docling_core_spark.corpus.webextract import q_link_pagerank
+
+    rows = {r["node"]: r["score_p9"]
+            for r in q_link_pagerank(spark, "/root/testdata/sf0.001").collect()}
+    n = len(rows)
+    base = (1_000_000_000 * 15 // 100) // n
+    top_score = max(rows.values())
+    top_nodes = {k for k, v in rows.items() if v == top_score}
+    assert top_nodes == {"/", "/ad", "/t", "/p"}
+    assert all(
+        rows[h] < top_score
+        for h in rows if h.startswith(("/s/", "/l/"))
+    )
+    doc_scores = {v for k, v in rows.items() if k.startswith("doc:")}
+    assert doc_scores == {base}
+    assert all(v >= 0 for v in rows.values())
+    assert sum(rows.values()) <= 1_000_000_000
