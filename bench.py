@@ -164,16 +164,21 @@ def _host_control_par() -> float:
 
 def _time_query(spark, fn, sf_dir: str) -> tuple[float, float, float]:
     """Best-of-2 query wall time plus the host-control samples
-    (single-thread + parallel) paired with the chosen (best) attempt."""
+    (single-thread + parallel) paired with the chosen (best) attempt.
+    The probes BRACKET each attempt (sampled before and after, worst
+    kept): a stall that begins during a multi-second query is invisible
+    to a pre-attempt-only probe but shows in the closing sample."""
     best = None
     best_ctl = best_par = None
     for _ in range(2):  # best-of-2: shields against host-side stalls
-        ctl = _host_control()
-        par = _host_control_par()
+        ctl0 = _host_control()
+        par0 = _host_control_par()
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
+        ctl = max(ctl0, _host_control())
+        par = max(par0, _host_control_par())
         if best is None or dt < best:
             best, best_ctl, best_par = dt, ctl, par
     return round(best, 3), round(best_ctl, 4), round(best_par, 4)
@@ -196,8 +201,8 @@ def bench_pipeline(spark, n_docs: int, cpus: int) -> dict:
     best = None
     best_ctl = best_par = None
     for _ in range(2):
-        ctl = _host_control()
-        par = _host_control_par()
+        ctl0 = _host_control()
+        par0 = _host_control_par()
         t0 = time.time()
         out = run_pipeline(docs)
         agg = out.agg(
@@ -207,6 +212,9 @@ def bench_pipeline(spark, n_docs: int, cpus: int) -> dict:
             F.sum("parse_anomalies").alias("anoms"),
         ).collect()[0]
         dt = time.time() - t0
+        # probes bracket the attempt (see _time_query)
+        ctl = max(ctl0, _host_control())
+        par = max(par0, _host_control_par())
         if best is None or dt < best:
             best, best_ctl, best_par = dt, ctl, par
     docs.unpersist()

@@ -24,6 +24,8 @@ reference object methods is tested cell-for-cell in tests/test_pages.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 
 UNIT_CHAR = "char"
@@ -119,14 +121,62 @@ def crop_text_sql(src, unit, l, t, r, b, eps=1.0, dialect="spark",
     """
 
 
-def textlines_sql(src, unit, add_location=True) -> str:
-    """export_to_textlines (page.py:646-683)."""
+# Coordinate formatting discipline: every 2-decimal coordinate string is
+# produced by quantizing the double to centi-units as a BIGINT with an
+# EXPLICIT ties-up rule — floor(x*100 + 0.5) — then rendering the
+# integer.  Decimal printf is NOT cross-engine safe: Spark's printf
+# rounds ties HALF_UP on the double's shortest decimal repr while
+# DuckDB's printf and Python's %.2f round the binary value half-even
+# (printf('%.2f', 0.125) is '0.13' on Spark, '0.12' elsewhere), so a
+# tie coordinate would fail the md5 gate as a false divergence.  The
+# quantization below is pure IEEE double arithmetic — bit-identical in
+# Spark, DuckDB and Python.  Caveat vs the reference's f-strings: on an
+# exact binary tie (x*100 landing on .5 exactly, e.g. 18.125) this rule
+# gives .13 where Python gives .12; absent from real page coordinates
+# and from the fixtures (integer-valued coords).
+
+
+def _q2_sql(expr: str) -> str:
+    """Centi-unit quantization of a double SQL expression (ties up)."""
+    return f"CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)"
+
+
+def _fmt2_sql(expr: str, dialect: str, pad: int = 0) -> str:
+    """SQL text rendering `expr` (double) with exactly 2 decimals, via
+    integer quantization; identical output in both dialects.  `pad`
+    zero-pads to a minimum total width (the reference's %06.2f) without
+    lpad's silent truncation of wider values."""
+    q = _q2_sql(expr)
+    div = "div" if dialect == "spark" else "//"
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    s = (
+        f"concat(CASE WHEN {q} < 0 THEN '-' ELSE '' END,"
+        f" CAST(abs({q}) {div} 100 AS {cast}), '.',"
+        f" lpad(CAST(abs({q}) % 100 AS {cast}), 2, '0'))"
+    )
+    if pad:
+        s = f"concat(repeat('0', greatest(0, {pad} - length({s}))), {s})"
+    return s
+
+
+def fmt2(x: float) -> str:
+    """Python mirror of _fmt2_sql (no pad)."""
+    q = math.floor(x * 100 + 0.5)
+    sign = "-" if q < 0 else ""
+    a = abs(q)
+    return f"{sign}{a // 100}.{a % 100:02d}"
+
+
+def textlines_sql(src, unit, add_location=True, dialect="spark") -> str:
+    """export_to_textlines (page.py:646-683): '(x0, y0) ... (x3, y3)
+    text' with %06.2f-shaped coords (quantized; see note above)."""
     if add_location:
-        fmt = (
-            "printf('(%06.2f, %06.2f) (%06.2f, %06.2f) (%06.2f, %06.2f)"
-            " (%06.2f, %06.2f) %s',"
-            " r_x0, r_y0, r_x1, r_y1, r_x2, r_y2, r_x3, r_y3, text)"
+        groups = ", ".join(
+            "'(', " + _fmt2_sql(f"r_x{i}", dialect, pad=6) + ", ', ', "
+            + _fmt2_sql(f"r_y{i}", dialect, pad=6) + ", ') '"
+            for i in range(4)
         )
+        fmt = f"concat({groups}, text)"
     else:
         fmt = "text"
     return (
@@ -228,13 +278,13 @@ def sql_page_cells_in_bbox() -> str:
 
 def q_page_textlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_cells_view(spark, sf_dir)
-    return spark.sql(textlines_sql("pages_cells", UNIT_LINE))
+    return spark.sql(textlines_sql("pages_cells", UNIT_LINE, dialect="spark"))
 
 
 def sql_page_textlines() -> str:
     return (
         f"WITH pages_cells AS ({cells_synth_sql('duck')}) "
-        + textlines_sql("pages_cells", UNIT_LINE)
+        + textlines_sql("pages_cells", UNIT_LINE, dialect="duck")
     )
 
 
@@ -264,13 +314,29 @@ def sql_page_textlines() -> str:
 # parallel as the cells table is partitioned.
 
 _SVG_POLY = (
-    '<polygon points="%.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f"'
+    '<polygon points="{},{} {},{} {},{} {},{}"'
     ' fill="#00FFFF" stroke="#000000"/>'
 )
-_SVG_BL = '<circle cx="%.2f" cy="%.2f" r="3.00" fill="#FF0000" stroke="#FF0000"/>'
-_SVG_TR = '<circle cx="%.2f" cy="%.2f" r="3.00" fill="#008000" stroke="#008000"/>'
+_SVG_BL = '<circle cx="{}" cy="{}" r="3.00" fill="#FF0000" stroke="#FF0000"/>'
+_SVG_TR = '<circle cx="{}" cy="{}" r="3.00" fill="#008000" stroke="#008000"/>'
 _SVG_HDR = '<svg xmlns="http://www.w3.org/2000/svg" width="%d" height="%d">'
 _SVG_BG = '<rect width="%d" height="%d" fill="#FFFFFF"/>'
+
+
+def _svg_tpl_sql(tpl: str, coords: list, dialect: str) -> str:
+    """Render a {}-placeholder SVG template as a SQL concat() whose
+    coordinate slots go through the quantized 2-decimal formatter
+    (cross-engine byte-identical; see the note above textlines_sql)."""
+    parts = tpl.split("{}")
+    assert len(parts) == len(coords) + 1, tpl
+    pieces = []
+    for lit, c in zip(parts, coords):
+        if lit:
+            pieces.append("'" + lit + "'")
+        pieces.append(_fmt2_sql(c, dialect))
+    if parts[-1]:
+        pieces.append("'" + parts[-1] + "'")
+    return "concat(" + ", ".join(pieces) + ")"
 
 
 def _svg_cell_cte(src: str, unit: str) -> str:
@@ -286,13 +352,17 @@ def _svg_cell_cte(src: str, unit: str) -> str:
     )
 
 
-def _svg_piece_select() -> str:
+def _svg_piece_select(dialect: str) -> str:
+    poly = _svg_tpl_sql(
+        _SVG_POLY,
+        ["r_x0", "ty0", "r_x1", "ty1", "r_x2", "ty2", "r_x3", "ty3"],
+        dialect,
+    )
+    bl = _svg_tpl_sql(_SVG_BL, ["r_x0", "ty0"], dialect)
+    tr = _svg_tpl_sql(_SVG_TR, ["r_x0", "ty0"], dialect)
     return (
         "SELECT page_id, cell_index, page_w, page_h,"
-        f" printf('{_SVG_POLY}', r_x0, ty0, r_x1, ty1, r_x2, ty2,"
-        " r_x3, ty3) AS poly,"
-        f" printf('{_SVG_BL}', r_x0, ty0) AS bl,"
-        f" printf('{_SVG_TR}', r_x0, ty0) AS tr"
+        f" {poly} AS poly, {bl} AS bl, {tr} AS tr"
         " FROM svg_cells"
     )
 
@@ -316,13 +386,13 @@ def render_svg_sql(src: str, unit: str, dialect: str = "spark",
     cnt = "CAST(count(*) AS BIGINT)" if dialect == "spark" else "COUNT(*)::BIGINT"
     slen = ("CAST(length(svg) AS BIGINT)" if dialect == "spark"
             else "length(svg)::BIGINT")
-    w = ("CAST(round(max(page_w)) AS BIGINT)" if dialect == "spark"
-         else "round(max(page_w))::BIGINT")
-    h = ("CAST(round(max(page_h)) AS BIGINT)" if dialect == "spark"
-         else "round(max(page_h))::BIGINT")
+    # floor(+0.5), not round(): SQL round() is HALF_UP on Spark but
+    # Python's round() is half-even — same tie class as the coords.
+    w = "CAST(floor(max(page_w) + 0.5) AS BIGINT)"
+    h = "CAST(floor(max(page_h) + 0.5) AS BIGINT)"
     return f"""
         WITH {extra_cte}svg_cells AS ({_svg_cell_cte(src, unit)}),
-        svg_pieces AS ({_svg_piece_select()}),
+        svg_pieces AS ({_svg_piece_select(dialect)}),
         svg_pages AS (
             SELECT page_id,
                    concat(
@@ -353,19 +423,20 @@ def render_page_svg(cells: list) -> str:
         xs = [c[f"r_x{i}"] for i in range(4)]
         return xs, ys
 
-    w = round(cs[0]["page_w"])
-    h = round(cs[0]["page_h"])
+    w = int(math.floor(cs[0]["page_w"] + 0.5))
+    h = int(math.floor(cs[0]["page_h"] + 0.5))
     parts = [_SVG_HDR % (w, h), _SVG_BG % (w, h)]
     for c in cs:
         xs, ys = tl(c)
-        parts.append(_SVG_POLY % (xs[0], ys[0], xs[1], ys[1],
-                                  xs[2], ys[2], xs[3], ys[3]))
+        parts.append(_SVG_POLY.format(
+            fmt2(xs[0]), fmt2(ys[0]), fmt2(xs[1]), fmt2(ys[1]),
+            fmt2(xs[2]), fmt2(ys[2]), fmt2(xs[3]), fmt2(ys[3])))
     for c in cs:
         xs, ys = tl(c)
-        parts.append(_SVG_BL % (xs[0], ys[0]))
+        parts.append(_SVG_BL.format(fmt2(xs[0]), fmt2(ys[0])))
     for c in cs:
         xs, ys = tl(c)
-        parts.append(_SVG_TR % (xs[0], ys[0]))
+        parts.append(_SVG_TR.format(fmt2(xs[0]), fmt2(ys[0])))
     parts.append("</svg>")
     return "".join(parts)
 

@@ -22,7 +22,10 @@ DuckDB oracle can reproduce with window functions:
     final watermark. Both predicates are reproduced literally.
 
 Each replay stages its batch files and checkpoint under a fresh
-tempdir; the returned DataFrame reads the replay's parquet sink.
+tempdir, which is removed before returning: the sink table (a handful
+of digest/metric rows, never document bodies) is pinned with an eager
+localCheckpoint so the caller's later action does not depend on the
+deleted files.
 """
 
 from __future__ import annotations
@@ -66,6 +69,16 @@ class _stream_width:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
+def _drain(q, what: str) -> None:
+    """Block until the AvailableNow drain finishes; a drain that
+    outlives the timeout must fail loudly — letting the loop continue
+    would start a second query against the same checkpoint (or read a
+    sink missing the final batch)."""
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{what}: AvailableNow drain exceeded 300s")
+
+
 def _stage_batch(df, input_dir: str, idx: int) -> None:
     """One flat parquet FILE per batch (the file-stream source lists
     files, not nested dirs): write to staging, move the part file in."""
@@ -89,28 +102,31 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     input_dir, output_dir, ckpt = (
         f"{base}/in", f"{base}/out", f"{base}/ckpt"
     )
-    os.makedirs(input_dir)
-    docs = read_spread(spark, sf_dir, "documents").select(
-        "doc_id", "text",
-        F.expr(
-            f"{_h30_spark('cast(doc_id as string)')} % {N_BATCHES}"
-        ).alias("b"),
-    )
-    batch_schema = docs.drop("b").schema
-    with _stream_width(spark):
-        for k in range(N_BATCHES):
-            _stage_batch(
-                docs.filter(F.col("b") == k).select("doc_id", "text"),
-                input_dir, k,
-            )
-            q = dedup_text_stream(
-                spark, input_dir, output_dir, ckpt, schema=batch_schema
-            )
-            q.awaitTermination(300)
-    return spark.read.parquet(output_dir).select(
-        "content_hash", "doc_id",
-        F.col("n_spans").cast("bigint").alias("n_chars"),
-    )
+    try:
+        os.makedirs(input_dir)
+        docs = read_spread(spark, sf_dir, "documents").select(
+            "doc_id", "text",
+            F.expr(
+                f"{_h30_spark('cast(doc_id as string)')} % {N_BATCHES}"
+            ).alias("b"),
+        )
+        batch_schema = docs.drop("b").schema
+        with _stream_width(spark):
+            for k in range(N_BATCHES):
+                _stage_batch(
+                    docs.filter(F.col("b") == k).select("doc_id", "text"),
+                    input_dir, k,
+                )
+                q = dedup_text_stream(
+                    spark, input_dir, output_dir, ckpt, schema=batch_schema
+                )
+                _drain(q, "stream_dedup_replay")
+        return spark.read.parquet(output_dir).select(
+            "content_hash", "doc_id",
+            F.col("n_spans").cast("bigint").alias("n_chars"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def sql_stream_dedup_replay() -> str:
@@ -140,29 +156,35 @@ def q_stream_windowed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     input_dir, output_dir, ckpt = (
         f"{base}/in", f"{base}/out", f"{base}/ckpt"
     )
-    os.makedirs(input_dir)
-    events = read_spread(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts", "value",
-        (F.col("event_id") % N_BATCHES).alias("b"),
-    )
-    with _stream_width(spark):
-        for k in range(N_BATCHES):
-            _stage_batch(
-                events.filter(F.col("b") == k).drop("b"), input_dir, k,
-            )
-            q = run_windowed_stream(
-                spark, input_dir, output_dir, ckpt,
-                window_size=f"{WINDOW_S} seconds",
-                watermark_delay=f"{DELAY_S} seconds",
-            )
-            q.awaitTermination(300)
-    return spark.read.parquet(output_dir).select(
-        F.unix_timestamp("window_start").cast("bigint").alias("window_start_s"),
-        F.unix_timestamp("window_end").cast("bigint").alias("window_end_s"),
-        "event_type",
-        F.col("n_events").cast("bigint").alias("n_events"),
-        F.col("total_value_cents").cast("bigint").alias("total_value_cents"),
-    )
+    try:
+        os.makedirs(input_dir)
+        events = read_spread(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value",
+            (F.col("event_id") % N_BATCHES).alias("b"),
+        )
+        with _stream_width(spark):
+            for k in range(N_BATCHES):
+                _stage_batch(
+                    events.filter(F.col("b") == k).drop("b"), input_dir, k,
+                )
+                q = run_windowed_stream(
+                    spark, input_dir, output_dir, ckpt,
+                    window_size=f"{WINDOW_S} seconds",
+                    watermark_delay=f"{DELAY_S} seconds",
+                )
+                _drain(q, "stream_windowed_replay")
+        return spark.read.parquet(output_dir).select(
+            F.unix_timestamp("window_start").cast("bigint")
+            .alias("window_start_s"),
+            F.unix_timestamp("window_end").cast("bigint")
+            .alias("window_end_s"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("total_value_cents").cast("bigint")
+            .alias("total_value_cents"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def sql_stream_windowed_replay() -> str:

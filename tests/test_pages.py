@@ -186,13 +186,17 @@ def test_render_svg_geometry_matches_reference(pages):
             ref.textline_cells, key=lambda c: c.index
         ):
             poly = cell.rect.to_top_left_origin(page_height=792).to_polygon()
-            want_poly = P._SVG_POLY % (
-                poly[0][0], poly[0][1], poly[1][0], poly[1][1],
-                poly[2][0], poly[2][1], poly[3][0], poly[3][1],
+            want_poly = P._SVG_POLY.format(
+                P.fmt2(poly[0][0]), P.fmt2(poly[0][1]),
+                P.fmt2(poly[1][0]), P.fmt2(poly[1][1]),
+                P.fmt2(poly[2][0]), P.fmt2(poly[2][1]),
+                P.fmt2(poly[3][0]), P.fmt2(poly[3][1]),
             )
             assert want_poly in svg, (page_id, cell.index)
-            assert P._SVG_BL % (poly[0][0], poly[0][1]) in svg
-            assert P._SVG_TR % (poly[0][0], poly[0][1]) in svg
+            assert P._SVG_BL.format(
+                P.fmt2(poly[0][0]), P.fmt2(poly[0][1])) in svg
+            assert P._SVG_TR.format(
+                P.fmt2(poly[0][0]), P.fmt2(poly[0][1])) in svg
         # layer order: all polygons precede all bl dots precede all tr
         assert svg.rindex("<polygon") < svg.index('fill="#FF0000"')
         assert svg.rindex('fill="#FF0000"') < svg.index('fill="#008000"')
@@ -220,3 +224,73 @@ def test_render_svg_spark_matches_duck(spark):
         if r[0] < 5
     }
     assert got == want and len(got) == 5
+
+
+# -- tie-coordinate regression -------------------------------------------
+# Spark printf rounds ties HALF_UP on the shortest decimal repr while
+# DuckDB printf / Python %.2f round the binary value half-even
+# (printf('%.2f', 0.125): '0.13' vs '0.12'), so the old printf-built
+# SVG diverged across engines on any tie coordinate.  The quantized
+# formatter (floor(x*100+0.5), pages._fmt2_sql/fmt2) must agree
+# byte-for-byte in all three implementations on exactly those inputs.
+
+_TIE_CELL = dict(
+    page_id=0, unit="line", cell_index=0, text="t", orig="t",
+    from_ocr=False, confidence=1.0, page_w=612.5, page_h=792.5,
+    r_x0=18.125, r_x1=2.675, r_x2=0.125, r_x3=123.455,
+    r_y0=699.995, r_y1=0.625, r_y2=61.875, r_y3=5.375,
+    coord_origin="BOTTOMLEFT",
+)
+
+
+def _tie_cells_sql(dialect):
+    c = _TIE_CELL
+    return (
+        "SELECT 0 AS page_id, 'line' AS unit, 0 AS cell_index,"
+        " 't' AS text, 't' AS orig, false AS from_ocr,"
+        " CAST(1.0 AS DOUBLE) AS confidence,"
+        f" CAST({c['page_w']} AS DOUBLE) AS page_w,"
+        f" CAST({c['page_h']} AS DOUBLE) AS page_h,"
+        + ", ".join(
+            f"CAST({c[f'r_x{i}']!r} AS DOUBLE) AS r_x{i},"
+            f" CAST({c[f'r_y{i}']!r} AS DOUBLE) AS r_y{i}"
+            for i in range(4)
+        )
+        + ", 'BOTTOMLEFT' AS coord_origin"
+    )
+
+
+def test_render_svg_tie_coords_cross_engine(spark):
+    sql_spark = P.render_svg_sql(
+        "tie_cells", P.UNIT_LINE, "spark", keep_svg=True,
+        extra_cte=f"tie_cells AS ({_tie_cells_sql('spark')}), ",
+    )
+    got_spark = spark.sql(sql_spark).collect()[0]["svg"]
+    con = duckdb.connect()
+    sql_duck = P.render_svg_sql(
+        "tie_cells", P.UNIT_LINE, "duck", keep_svg=True,
+        extra_cte=f"tie_cells AS ({_tie_cells_sql('duck')}), ",
+    )
+    got_duck = con.execute(sql_duck).fetchone()[4]
+    want = P.render_page_svg([_TIE_CELL])
+    assert got_spark == want
+    assert got_duck == want
+    # the tie rule itself: ties go UP in every implementation
+    assert P.fmt2(18.125) == "18.13" and '18.13' in want
+
+
+def test_textlines_tie_coords_cross_engine(spark):
+    sql_spark = (
+        f"WITH tie_cells AS ({_tie_cells_sql('spark')}) "
+        + P.textlines_sql("tie_cells", P.UNIT_LINE, dialect="spark")
+    )
+    got_spark = spark.sql(sql_spark).collect()[0]["line"]
+    con = duckdb.connect()
+    sql_duck = (
+        f"WITH tie_cells AS ({_tie_cells_sql('duck')}) "
+        + P.textlines_sql("tie_cells", P.UNIT_LINE, dialect="duck")
+    )
+    got_duck = con.execute(sql_duck).fetchone()[2]
+    assert got_spark == got_duck
+    # %06.2f zero-pad shape is preserved (width-6 minimum, no trunc)
+    assert got_spark.startswith("(018.13, 700.00) (002.68, 000.63)")
