@@ -492,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": CW.q_main_content,
         "extract_links": CW.q_extract_links,
         "link_pagerank": CW.q_link_pagerank,
+        "anchor_text_agg": CW.q_anchor_text_agg,
         # corpus keywords
         "top_ngrams": CK.q_top_ngrams,
         "tfidf_topk": CK.q_tfidf_topk,
@@ -655,6 +656,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": CW.sql_main_content(),
         "extract_links": CW.sql_extract_links(),
         "link_pagerank": CW.sql_link_pagerank(),
+        "anchor_text_agg": CW.sql_anchor_text_agg(),
         "top_ngrams": CK.sql_top_ngrams(),
         "tfidf_topk": CK.sql_tfidf_topk(),
         "cms_heavy_hitters": CK.sql_cms_heavy_hitters(),

@@ -48,8 +48,8 @@ GROUPS: dict[str, list[str]] = {
         "html_strip", "main_content", "top_ngrams", "tfidf_topk",
         "stratified_sample", "weighted_sample", "pack_sequences",
         "cms_heavy_hitters", "kmv_distinct", "lm_score",
-        "extract_links", "link_pagerank", "bloom_decontaminate",
-        "mixture_weights",
+        "extract_links", "link_pagerank", "anchor_text_agg",
+        "bloom_decontaminate", "mixture_weights",
     ],
     "dedup": [
         # pure-scan queries first; the LSH family fills the persisted

@@ -472,3 +472,80 @@ def sql_link_pagerank() -> str:
         {iters}
         SELECT node, s AS score_p9 FROM it{PAGERANK_ITERS}
     """
+
+
+# ---------------------------------------------------------------------------
+# anchor_text_agg: per-target anchor-text profile over the link table
+# ---------------------------------------------------------------------------
+# The other classic consumer of a crawler's link table (besides the
+# graph ranking): aggregate the ANCHOR TEXT pointing at each URL as an
+# off-page description of the target — Brin & Page (1998) §2.2 anchor
+# propagation; web corpora keep the same signal as target-side context.
+# Per target href: in-link count, distinct linking docs, distinct
+# anchor strings, and the dominant anchor with its count (ties broken
+# lexicographically, so the result is deterministic across engines and
+# partition orders).
+
+
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB story: one map-side-combinable groupBy(href, anchor)
+    collapses the 10^12-edge link table to (target x distinct anchor)
+    rows — a hot hub like '/' combines per map task and carries ONE row
+    per distinct anchor into the exchange, not one per edge. The
+    dominant-anchor row_number window then runs over that collapsed
+    table (per-href rows = the target's anchor vocabulary, bounded in
+    practice), and the per-href distinct-doc/anchor counts are Spark's
+    two-phase partial-distinct aggregation on the same uniform key
+    space. No global window, no driver-side data."""
+    from pyspark.sql.window import Window
+
+    links = q_extract_links(spark, sf_dir)
+    pairs = links.groupBy("href", "anchor").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("href").orderBy(
+        F.col("n").desc(), F.col("anchor")
+    )
+    top = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "href",
+            F.col("anchor").alias("top_anchor"),
+            F.col("n").alias("top_anchor_n"),
+        )
+    )
+    stats = links.groupBy("href").agg(
+        F.count("*").cast("bigint").alias("n_inlinks"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.countDistinct("anchor").cast("bigint").alias("n_anchors"),
+    )
+    return stats.join(top, "href").select(
+        "href", "n_inlinks", "n_docs", "n_anchors",
+        "top_anchor", "top_anchor_n",
+    )
+
+
+def sql_anchor_text_agg() -> str:
+    return f"""
+        WITH links AS ({sql_extract_links()}),
+        pairs AS (
+            SELECT href, anchor, COUNT(*)::BIGINT AS n
+            FROM links GROUP BY href, anchor
+        ),
+        top AS (
+            SELECT href, anchor AS top_anchor, n AS top_anchor_n
+            FROM pairs
+            QUALIFY row_number()
+                OVER (PARTITION BY href ORDER BY n DESC, anchor) = 1
+        ),
+        stats AS (
+            SELECT href, COUNT(*)::BIGINT AS n_inlinks,
+                   COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+                   COUNT(DISTINCT anchor)::BIGINT AS n_anchors
+            FROM links GROUP BY href
+        )
+        SELECT s.href, n_inlinks, n_docs, n_anchors,
+               top_anchor, top_anchor_n
+        FROM stats s JOIN top USING (href)
+    """

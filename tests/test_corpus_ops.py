@@ -74,6 +74,7 @@ def _pairs():
         "simhash": (CD.q_simhash, CD.sql_simhash),
         "dup_passages": (CD.q_dup_passages, CD.sql_dup_passages),
         "link_pagerank": (CW.q_link_pagerank, CW.sql_link_pagerank),
+        "anchor_text_agg": (CW.q_anchor_text_agg, CW.sql_anchor_text_agg),
         "knn_bruteforce": (CS.q_knn_bruteforce, CS.sql_knn_bruteforce),
         "lsh_bucket_stats": (CS.q_lsh_bucket_stats, CS.sql_lsh_bucket_stats),
         "ann_lsh_topk": (CS.q_ann_lsh_topk, CS.sql_ann_lsh_topk),
@@ -346,3 +347,28 @@ def test_link_pagerank_properties(spark):
     assert doc_scores == {base}
     assert all(v >= 0 for v in rows.values())
     assert sum(rows.values()) <= 1_000_000_000
+
+
+def test_anchor_text_agg_properties(spark):
+    """Structural anchor facts on the fixture graph: every doc links
+    "/" with anchor "home", so "/" has one distinct anchor and as many
+    in-links as docs; each "/s/{source}" hub's dominant anchor IS the
+    source name; dominant-anchor counts never exceed in-link counts."""
+    from docling_core_spark.corpus.webextract import (
+        q_anchor_text_agg, q_extract_links,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = (
+        q_extract_links(spark, sf).select("doc_id").distinct().count()
+    )
+    rows = {r["href"]: r for r in q_anchor_text_agg(spark, sf).collect()}
+    home = rows["/"]
+    assert home["top_anchor"] == "home"
+    assert home["n_anchors"] == 1
+    assert home["n_inlinks"] == home["n_docs"] == n_docs
+    for href, r in rows.items():
+        assert r["top_anchor_n"] <= r["n_inlinks"]
+        assert 1 <= r["n_docs"] <= n_docs
+        if href.startswith("/s/"):
+            assert r["top_anchor"] == href[len("/s/"):]
