@@ -516,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": CD.q_jaccard_pairs,
         "dedup_savings": CD.q_dedup_savings,
         "simhash": CD.q_simhash,
+        "simhash_neardup": CD.q_simhash_neardup,
         # similarity search
         "knn_bruteforce": CS.q_knn_bruteforce,
         "lsh_bucket_stats": CS.q_lsh_bucket_stats,
@@ -632,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_savings": CD.sql_dedup_savings(),
         "dedup_clusters": CD.sql_dedup_clusters(),
         "simhash": CD.sql_simhash(),
+        "simhash_neardup": CD.sql_simhash_neardup(),
         "knn_bruteforce": CS.sql_knn_bruteforce(),
         "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),
         "ann_lsh_topk": CS.sql_ann_lsh_topk(),

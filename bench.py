@@ -57,6 +57,7 @@ GROUPS: dict[str, list[str]] = {
         # quality + decontamination + the memoized cluster table, so it
         # runs last where the clusters are already warm.
         "dedup_exact", "seg_dedup", "dup_passages", "simhash",
+        "simhash_neardup",
         "minhash_signatures",
         "lsh_buckets",
         "neardup_pairs", "minhash_est_error", "dedup_clusters",

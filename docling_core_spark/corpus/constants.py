@@ -64,6 +64,13 @@ MINHASH_PERMS = _gen_perms(NUM_PERMS)
 
 # --- SimHash --------------------------------------------------------------
 SIMHASH_BITS = 32
+# Manku/Jain/Sarma WWW'07 hamming-ball blocking: split the fingerprint
+# into SIMHASH_BLOCKS blocks; any pair within hamming distance
+# SIMHASH_HAMMING_MAX differs in at most that many blocks, so keying
+# each C(BLOCKS, BLOCKS - HAMMING_MAX) combination of intact blocks
+# guarantees every qualifying pair collides in >= 1 table (pigeonhole).
+SIMHASH_BLOCK_SIZES = (6, 6, 5, 5, 5, 5)  # sums to SIMHASH_BITS
+SIMHASH_HAMMING_MAX = 3
 
 # --- embedding LSH (random-hyperplane, Rademacher ±1) ---------------------
 # Banded multi-probe scheme, OR-amplified exactly like the minhash path:

@@ -1210,3 +1210,137 @@ def sql_dup_passages() -> str:
                (end_tok - start_tok + 1)::BIGINT AS n_tokens
         FROM pas
     """
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-ball near-dup join (Manku, Jain & Das Sarma, WWW'07)
+# ---------------------------------------------------------------------------
+# Blocked all-pairs search for fingerprints within hamming distance
+# SIMHASH_HAMMING_MAX: split the SIMHASH_BITS fingerprint into
+# len(SIMHASH_BLOCK_SIZES) blocks; a pair within distance d differs in
+# at most d blocks, so keying every C(blocks, blocks - d) combination
+# of intact blocks guarantees each qualifying pair collides in at
+# least one table (pigeonhole) — the permuted-table scheme of Manku et
+# al. WWW'07 §3, expressed as one explode + one groupBy instead of
+# sorted fingerprint tables.
+
+
+def _simhash_block_offsets() -> list[int]:
+    offs, acc = [], 0
+    for sz in C.SIMHASH_BLOCK_SIZES:
+        offs.append(acc)
+        acc += sz
+    return offs
+
+
+def _simhash_table_combos() -> list[tuple[int, int, int]]:
+    from itertools import combinations
+
+    keep = len(C.SIMHASH_BLOCK_SIZES) - C.SIMHASH_HAMMING_MAX
+    return list(combinations(range(len(C.SIMHASH_BLOCK_SIZES)), keep))
+
+
+def _simhash_key_expr(combo: tuple[int, ...], col: str, duck: bool = False) -> str:
+    """Concatenate the chosen blocks into one integer key — the same
+    shift/mask arithmetic in both dialects (DuckDB spells shifts as
+    >>/<<, Spark as shiftright/shiftleft)."""
+    offs = _simhash_block_offsets()
+    sizes = C.SIMHASH_BLOCK_SIZES
+    parts, shift = [], 0
+    for b in reversed(combo):
+        mask = (1 << sizes[b]) - 1
+        blk = (
+            f"(({col} >> {offs[b]}) & {mask})"
+            if duck
+            else f"(shiftright({col}, {offs[b]}) & {mask})"
+        )
+        parts.append(f"({blk} * {1 << shift})")
+        shift += sizes[b]
+    return " + ".join(parts)
+
+
+def q_simhash_neardup(
+    spark: SparkSession, sf_dir: str, max_bucket: int = 0
+) -> DataFrame:
+    """All doc pairs within hamming distance SIMHASH_HAMMING_MAX of
+    each other's SimHash, with the exact distance.
+
+    100 TB story: the fingerprint table (one BIGINT per doc) is tiny
+    relative to the corpus; each doc explodes into C(6,3)=20 table
+    keys — 16-17-bit keys whose space grows with the fingerprint
+    width, so buckets hold only true near-duplicates plus ~n/2^16
+    random collisions per table. ONE shuffle (groupBy table_id, tkey),
+    in-bucket pair expansion exactly like the MinHash path (no
+    self-join, fingerprints ride along in the bucket struct so
+    verification is a bit_count on the spot, no re-join), then a
+    uniform pair-key distinct. `max_bucket` > 0 is the same hot-bucket
+    guard as `q_neardup_pairs` — an exact-duplicate mega-cluster
+    collapses to one bucket whose pairs are already captured by exact
+    dedup. Production fingerprints are 64-bit with the same plan
+    shape (wider blocks, same table count).
+    """
+    sim = q_simhash(spark, sf_dir).select("doc_id", "simhash")
+    combos = _simhash_table_combos()
+    tbl_structs = ", ".join(
+        f"struct({t} AS table_id,"
+        f" {_simhash_key_expr(cmb, 'simhash')} AS tkey)"
+        for t, cmb in enumerate(combos)
+    )
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.expr(f"explode(array({tbl_structs}))").alias("tb"),
+    ).select("doc_id", "simhash", "tb.table_id", "tb.tkey")
+    buckets = (
+        bands.groupBy("table_id", "tkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") >= 2)
+    )
+    if max_bucket > 0:
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)), y ->"
+                    " struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                    " cast(bit_count(x.simhash ^ y.simhash) AS bigint)"
+                    " AS hamming))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= C.SIMHASH_HAMMING_MAX)
+        .distinct()
+    )
+    return pairs
+
+
+def sql_simhash_neardup() -> str:
+    combos = _simhash_table_combos()
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {t} AS table_id,"
+        f" {_simhash_key_expr(cmb, 'simhash', duck=True)} AS tkey FROM sims"
+        for t, cmb in enumerate(combos)
+    )
+    return f"""
+        WITH sims AS ({sql_simhash()}),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sa, b.simhash AS sb
+            FROM bands a
+            JOIN bands b
+              ON a.table_id = b.table_id AND a.tkey = b.tkey
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               bit_count(xor(sa, sb))::BIGINT AS hamming
+        FROM cand
+        WHERE bit_count(xor(sa, sb)) <= {C.SIMHASH_HAMMING_MAX}
+    """

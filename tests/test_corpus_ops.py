@@ -72,6 +72,7 @@ def _pairs():
         "jaccard_pairs": (CD.q_jaccard_pairs, CD.sql_jaccard_pairs),
         "dedup_savings": (CD.q_dedup_savings, CD.sql_dedup_savings),
         "simhash": (CD.q_simhash, CD.sql_simhash),
+        "simhash_neardup": (CD.q_simhash_neardup, CD.sql_simhash_neardup),
         "dup_passages": (CD.q_dup_passages, CD.sql_dup_passages),
         "link_pagerank": (CW.q_link_pagerank, CW.sql_link_pagerank),
         "anchor_text_agg": (CW.q_anchor_text_agg, CW.sql_anchor_text_agg),
@@ -372,3 +373,33 @@ def test_anchor_text_agg_properties(spark):
         assert 1 <= r["n_docs"] <= n_docs
         if href.startswith("/s/"):
             assert r["top_anchor"] == href[len("/s/"):]
+
+
+def test_simhash_neardup_is_exhaustive(spark):
+    """The WWW'07 pigeonhole guarantee, checked against ground truth:
+    blocked pair search over the sf0.001 fingerprints returns EXACTLY
+    the pairs a brute-force all-pairs hamming scan finds (no blocking
+    scheme miss, no spurious pair, exact distances)."""
+    from itertools import combinations
+
+    from docling_core_spark.corpus import constants as C
+    from docling_core_spark.corpus.dedup import (
+        q_simhash, q_simhash_neardup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sims = [
+        (r["doc_id"], r["simhash"])
+        for r in q_simhash(spark, sf).collect()
+    ]
+    truth = {
+        (a_id, b_id) if a_id < b_id else (b_id, a_id):
+            bin(a_h ^ b_h).count("1")
+        for (a_id, a_h), (b_id, b_h) in combinations(sims, 2)
+        if bin(a_h ^ b_h).count("1") <= C.SIMHASH_HAMMING_MAX
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in q_simhash_neardup(spark, sf).collect()
+    }
+    assert got == truth
