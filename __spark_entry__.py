@@ -502,6 +502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": CSA.q_stratified_sample,
         "weighted_sample": CSA.q_weighted_sample,
         "mixture_weights": CSA.q_mixture_weights,
+        "dsir_weights": CSA.q_dsir_weights,
+        "dsir_select": CSA.q_dsir_select,
         "pack_sequences": CP.q_pack_sequences,
         "curation_funnel": CC.q_curation_funnel,
         # deduplication
@@ -667,6 +669,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": CSA.sql_stratified_sample(),
         "weighted_sample": CSA.sql_weighted_sample(),
         "mixture_weights": CSA.sql_mixture_weights(),
+        "dsir_weights": CSA.sql_dsir_weights(),
+        "dsir_select": CSA.sql_dsir_select(),
         "pack_sequences": CP.sql_pack_sequences(),
         "curation_funnel": CC.sql_curation_funnel(),
         "stream_dedup_replay": _stream_oracle("dedup"),

@@ -50,6 +50,7 @@ GROUPS: dict[str, list[str]] = {
         "cms_heavy_hitters", "kmv_distinct", "lm_score",
         "extract_links", "link_pagerank", "anchor_text_agg",
         "bloom_decontaminate", "mixture_weights",
+        "dsir_weights", "dsir_select",
     ],
     "dedup": [
         # pure-scan queries first; the LSH family fills the persisted

@@ -256,3 +256,243 @@ def sql_mixture_weights() -> str:
                    AS weight_micro
         FROM strata CROSS JOIN totals
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+# Select raw-corpus documents that look like a TARGET distribution:
+# featurize every doc as hashed {uni,bi}gram counts, fit two smoothed
+# bag-of-buckets models (target vs raw), score each doc by the summed
+# log importance ratio log p_target(doc) - log p_raw(doc), then take
+# the Gumbel-perturbed top-K (the "resampling" half of the paper —
+# Gumbel-top-K over log weights IS sampling without replacement
+# proportional to the importance weights).
+#
+# Cross-engine float discipline (same as lm_score): each bucket's two
+# log-probs are integerised to micro-nats BEFORE any aggregation, so
+# engines sum exact integers in any order. The Gumbel noise is a pure
+# function of the 30-bit doc hash — deterministic, reproducible across
+# runs, engines, and cluster sizes — and is itself integerised.
+#
+# 100 TB story: gram explosion is a narrow per-row expression; both
+# model fits are map-side-combined groupBys onto a FIXED 4096-bucket
+# key space (output size is constant regardless of corpus size, the
+# hot natural-language head spreads over buckets by hash); the scoring
+# join broadcasts the 4096-row log-ratio table onto the gram stream
+# (no shuffle); the per-doc sum aggregates on uniform doc_id; the
+# final cut is a TakeOrderedAndProject top-K, never a global sort.
+# Reference analog: none — training-data extension surface.
+
+DSIR_BUCKETS = 4096
+DSIR_K = 100
+DSIR_TARGET = "lang = 'en'"  # the target slice a curator would swap
+
+
+def _dsir_grams_spark() -> str:
+    """Unigram + bigram multiset (occurrence counts, not distinct)."""
+    return (
+        "concat(t, CASE WHEN size(t) < 2"
+        " THEN cast(array() as array<string>)"
+        " ELSE transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        " END)"
+    )
+
+
+def _dsir_grams_duck() -> str:
+    return (
+        "list_concat(t, CASE WHEN len(t) < 2 THEN []::VARCHAR[]"
+        " ELSE list_transform(generate_series(1, len(t) - 1),"
+        " i -> t[i] || ' ' || t[i + 1]) END)"
+    )
+
+
+def _dsir_lr_micro(duck: bool) -> str:
+    """Per-bucket integerised log importance ratio. Smoothing mirrors
+    lm_score's exact-rational +1/2; the bucket space is the full
+    DSIR_BUCKETS so unseen buckets are defined in both models. The
+    arithmetic inside ln() is the IDENTICAL left-to-right float
+    expression in both dialects (int + 0.5 promotes to double in
+    each), then each log-prob is floored to micro-nats separately."""
+    half_b = DSIR_BUCKETS / 2  # exact in binary: 2048.0
+
+    def _f(expr: str) -> str:
+        if duck:
+            return f"floor({expr} * 1000000)::BIGINT"
+        return f"cast(floor({expr} * 1000000) as bigint)"
+
+    pt = f"ln((ct + 0.5) / (nt + {half_b}))"
+    pr = f"ln((cr + 0.5) / (nr + {half_b}))"
+    return f"{_f(pt)} - {_f(pr)}"
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc summed log importance ratio (micro-nats) + gram count."""
+    from .textstats import TOKENS_SPARK
+
+    docs = read_spread(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(TOKENS_SPARK).alias("t")
+    )
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(_dsir_grams_spark())).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"pmod({_h30_spark('g')}, {DSIR_BUCKETS})"
+        ).alias("b"),
+    )
+    raw = grams.groupBy("b").agg(F.count("*").cast("bigint").alias("cr"))
+    tgt = (
+        grams.where(DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .select("b", "cr", F.coalesce("ct", F.lit(0)).alias("ct"))
+        .crossJoin(
+            F.broadcast(
+                raw.agg(F.sum("cr").cast("bigint").alias("nr"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                tgt.agg(F.sum("ct").cast("bigint").alias("nt"))
+            )
+        )
+        .select("b", F.expr(_dsir_lr_micro(False)).alias("lr_micro"))
+    )
+    return (
+        grams.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("lr_micro").cast("bigint").alias("li_micro"),
+        )
+    )
+
+
+_DSIR_SCORED_DUCK = """
+    toks AS (SELECT doc_id, lang, {tokens} AS t FROM documents),
+    grams AS (
+        SELECT doc_id, lang,
+               ({h30}) % {buckets} AS b
+        FROM (SELECT doc_id, lang, unnest({grams}) AS g FROM toks)
+    ),
+    raw AS (SELECT b, COUNT(*)::BIGINT AS cr FROM grams GROUP BY b),
+    tgt AS (SELECT b, COUNT(*)::BIGINT AS ct FROM grams
+            WHERE {target} GROUP BY b),
+    ratio AS (
+        SELECT r.b, {lr} AS lr_micro
+        FROM (SELECT raw.b, cr, COALESCE(ct, 0) AS ct
+              FROM raw LEFT JOIN tgt USING (b)) r
+        CROSS JOIN (SELECT SUM(cr)::BIGINT AS nr FROM raw)
+        CROSS JOIN (SELECT SUM(ct)::BIGINT AS nt FROM tgt)
+    ),
+    scored AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+               SUM(lr_micro)::BIGINT AS li_micro
+        FROM grams JOIN ratio USING (b)
+        GROUP BY doc_id
+    )
+"""
+
+
+def _dsir_scored_cte() -> str:
+    from .textstats import TOKENS_DUCK
+
+    return _DSIR_SCORED_DUCK.format(
+        tokens=TOKENS_DUCK,
+        h30=_h30_duck("g"),
+        buckets=DSIR_BUCKETS,
+        grams=_dsir_grams_duck(),
+        target=DSIR_TARGET,
+        lr=_dsir_lr_micro(True),
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR importance weight (sum + per-gram average)."""
+    return _dsir_scored(spark, sf_dir).select(
+        "doc_id",
+        "n_grams",
+        "li_micro",
+        F.expr(
+            "round(li_micro / cast(n_grams as double) / 1000000.0, 6)"
+        ).alias("li_avg"),
+    )
+
+
+def sql_dsir_weights() -> str:
+    return f"""
+        WITH {_dsir_scored_cte()}
+        SELECT doc_id, n_grams, li_micro,
+               round(li_micro / n_grams::DOUBLE / 1000000.0, 6)
+                   AS li_avg
+        FROM scored
+    """
+
+
+def _dsir_gumbel(duck: bool) -> str:
+    """Integerised Gumbel(0,1) noise as a pure function of the 30-bit
+    doc hash: g = -ln(-ln(u)), u = (h + 0.5) / 2^30 in (0, 1)."""
+    h = (
+        _h30_duck("doc_id::VARCHAR")
+        if duck
+        else _h30_spark("cast(doc_id as string)")
+    )
+    u = f"(({h}) + 0.5) / {float(C.H30_MOD)}"
+    if duck:
+        return f"floor(-ln(-ln({u})) * 1000000)::BIGINT"
+    return f"cast(floor(-ln(-ln({u})) * 1000000) as bigint)"
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-K resampled selection: the DSIR_K docs with the
+    highest li_micro + gumbel_micro — sampling without replacement
+    proportional to the importance weights, fully deterministic.
+    TakeOrderedAndProject does the global cut; the rank window runs on
+    the K-row result only."""
+    scored = _dsir_scored(spark, sf_dir).select(
+        "doc_id",
+        "li_micro",
+        F.expr(_dsir_gumbel(False)).alias("g_micro"),
+    ).select(
+        "doc_id",
+        "li_micro",
+        "g_micro",
+        (F.col("li_micro") + F.col("g_micro")).alias("key_micro"),
+    )
+    top = scored.orderBy(
+        F.desc("key_micro"), F.asc("doc_id")
+    ).limit(DSIR_K)
+    w = Window.orderBy(F.desc("key_micro"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        "doc_id",
+        "li_micro",
+        "g_micro",
+        "key_micro",
+    )
+
+
+def sql_dsir_select() -> str:
+    return f"""
+        WITH {_dsir_scored_cte()},
+        keyed AS (
+            SELECT doc_id, li_micro,
+                   {_dsir_gumbel(True)} AS g_micro,
+                   li_micro + {_dsir_gumbel(True)} AS key_micro
+            FROM scored
+        )
+        SELECT row_number() OVER
+                   (ORDER BY key_micro DESC, doc_id) ::BIGINT AS rk,
+               doc_id, li_micro, g_micro, key_micro
+        FROM keyed
+        ORDER BY key_micro DESC, doc_id
+        LIMIT {DSIR_K}
+    """

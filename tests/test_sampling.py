@@ -143,3 +143,52 @@ def test_mixture_weights_math_and_parity(spark, tmp_path):
             .sort_values(["source", "lang"]).reset_index(drop=True))
     for c in got.columns:
         assert list(got[c]) == list(want[c]), c
+
+
+def test_dsir_parity_and_target_bias(spark):
+    """DSIR vs the DuckDB oracle, plus the semantic property the
+    operator exists for: documents FROM the target slice (lang='en')
+    must score higher on average than off-target documents, because
+    the target model was fit on them."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    got = (S.q_dsir_weights(spark, SF).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = (con.execute(S.sql_dsir_weights()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in S.q_dsir_weights.__globals__["read_spread"](
+            spark, SF, "documents"
+        ).select("doc_id", "lang").collect()
+    }
+    on = [r.li_avg for r in got.itertuples() if langs[r.doc_id] == "en"]
+    off = [r.li_avg for r in got.itertuples() if langs[r.doc_id] != "en"]
+    assert sum(on) / len(on) > sum(off) / len(off)
+    # the Gumbel-top-K cut must be dominated by target-like docs
+    sel = S.q_dsir_select(spark, SF).collect()
+    assert len(sel) == S.DSIR_K
+    n_en = sum(1 for r in sel if langs[r["doc_id"]] == "en")
+    # clear enrichment over the ~39% base rate (Gumbel resampling is
+    # intentionally noisy — it samples proportionally, not greedily)
+    base_rate = sum(1 for v in langs.values() if v == "en") / len(langs)
+    assert n_en / S.DSIR_K > base_rate * 1.35
+    # rank is dense 1..K and follows the key ordering
+    assert [r["rk"] for r in sorted(sel, key=lambda r: (-r["key_micro"], r["doc_id"]))] == list(range(1, S.DSIR_K + 1))
+
+
+def test_dsir_select_plan_shape(spark):
+    """The global cut must be a distributed TakeOrderedAndProject, and
+    the 4096-row log-ratio table must broadcast onto the gram stream
+    (no shuffle join on the corpus side)."""
+    plan = (S.q_dsir_select(spark, SF)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
