@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_savings": CD.q_dedup_savings,
         "simhash": CD.q_simhash,
         "simhash_neardup": CD.q_simhash_neardup,
+        "dup_passages_apply": CD.q_dup_passages_apply,
         # similarity search
         "knn_bruteforce": CS.q_knn_bruteforce,
         "lsh_bucket_stats": CS.q_lsh_bucket_stats,
@@ -636,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": CD.sql_dedup_clusters(),
         "simhash": CD.sql_simhash(),
         "simhash_neardup": CD.sql_simhash_neardup(),
+        "dup_passages_apply": CD.sql_dup_passages_apply(),
         "knn_bruteforce": CS.sql_knn_bruteforce(),
         "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),
         "ann_lsh_topk": CS.sql_ann_lsh_topk(),

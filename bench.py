@@ -57,8 +57,8 @@ GROUPS: dict[str, list[str]] = {
         # shingle table and runs after them. curation_funnel composes
         # quality + decontamination + the memoized cluster table, so it
         # runs last where the clusters are already warm.
-        "dedup_exact", "seg_dedup", "dup_passages", "simhash",
-        "simhash_neardup",
+        "dedup_exact", "seg_dedup", "dup_passages", "dup_passages_apply",
+        "simhash", "simhash_neardup",
         "minhash_signatures",
         "lsh_buckets",
         "neardup_pairs", "minhash_est_error", "dedup_clusters",

@@ -1344,3 +1344,90 @@ def sql_simhash_neardup() -> str:
         FROM cand
         WHERE bit_count(xor(sa, sb)) <= {C.SIMHASH_HAMMING_MAX}
     """
+
+
+# ---------------------------------------------------------------------------
+# dup_passages_apply: the REWRITE step of exact-substring dedup
+# ---------------------------------------------------------------------------
+# Lee et al. 2021 detect duplicated substrings (q_dup_passages above)
+# and then CUT them out of the corpus; this operator is that apply
+# step, with the conservative corpus-global policy (remove every
+# flagged occurrence — the C4/RefinedWeb-style cut; keep-one-copy is a
+# policy variant that would key the keeper by min(doc_id, pos) per
+# digest before the span merge).
+
+
+def q_dup_passages_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents rewritten with their duplicated passages removed.
+
+    100 TB story: token arrays NEVER explode here — the flagged-span
+    table (only docs that carry duplicates, a small fraction of the
+    corpus) aggregates per doc with one map-side-combinable groupBy on
+    uniform doc_id, joins back to the un-exploded documents scan on the
+    same uniform key, and the cut itself is a per-row JVM lambda over
+    the token array (positions outside every flagged [start, end] span
+    survive, order preserved). Fully-duplicated docs come out as the
+    empty string — the downstream length filter drops them. No windows,
+    no driver-side data.
+    """
+    spans = (
+        q_dup_passages(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "collect_list(struct(start_tok, end_tok))"
+            ).alias("spans")
+        )
+    )
+    docs = read_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("t")
+    )
+    kept = (
+        "case when spans is null then t else transform("
+        " filter(transform(t, (x, i) -> struct(x as tok, i + 1 as p)),"
+        "  s -> size(filter(spans, sp -> s.p >= sp.start_tok"
+        "   and s.p <= sp.end_tok)) = 0),"
+        " s -> s.tok) end"
+    )
+    return (
+        docs.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("cast(size(t) as bigint)").alias("n_tokens"),
+            F.expr(kept).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("cast(size(kept) as bigint)").alias("n_kept"),
+            F.expr("concat_ws(' ', kept)").alias("clean_text"),
+        )
+    )
+
+
+def sql_dup_passages_apply() -> str:
+    kept = (
+        "CASE WHEN spans IS NULL THEN t ELSE list_transform("
+        " list_filter(list_transform(t, (x, i) -> {'tok': x, 'p': i}),"
+        "  s -> len(list_filter(spans, sp -> s.p >= sp.s"
+        "   AND s.p <= sp.e)) = 0),"
+        " s -> s.tok) END"
+    )
+    return f"""
+        WITH pas AS ({sql_dup_passages()}),
+        spans AS (
+            SELECT doc_id,
+                   list({{'s': start_tok, 'e': end_tok}}) AS spans
+            FROM pas GROUP BY doc_id
+        ),
+        toks AS (SELECT doc_id, {TOKENS_DUCK} AS t FROM documents),
+        cut AS (
+            SELECT doc_id, len(t)::BIGINT AS n_tokens, {kept} AS kept
+            FROM toks LEFT JOIN spans USING (doc_id)
+        )
+        -- DuckDB's array_to_string([]) is NULL; Spark's concat_ws of
+        -- an empty array is '' — coalesce so both emit ''
+        SELECT doc_id, n_tokens, len(kept)::BIGINT AS n_kept,
+               COALESCE(array_to_string(kept, ' '), '') AS clean_text
+        FROM cut
+    """

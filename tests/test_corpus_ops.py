@@ -73,6 +73,9 @@ def _pairs():
         "dedup_savings": (CD.q_dedup_savings, CD.sql_dedup_savings),
         "simhash": (CD.q_simhash, CD.sql_simhash),
         "simhash_neardup": (CD.q_simhash_neardup, CD.sql_simhash_neardup),
+        "dup_passages_apply": (
+            CD.q_dup_passages_apply, CD.sql_dup_passages_apply,
+        ),
         "dup_passages": (CD.q_dup_passages, CD.sql_dup_passages),
         "link_pagerank": (CW.q_link_pagerank, CW.sql_link_pagerank),
         "anchor_text_agg": (CW.q_anchor_text_agg, CW.sql_anchor_text_agg),
@@ -403,3 +406,48 @@ def test_simhash_neardup_is_exhaustive(spark):
         for r in q_simhash_neardup(spark, sf).collect()
     }
     assert got == truth
+
+
+def test_dup_passages_apply_cuts_planted_spans(spark, tmp_path):
+    """The rewrite must cut EXACTLY the flagged spans: the shared
+    passage disappears from every doc that carries it, the unique
+    remainder survives in order, the all-unique doc is untouched, and
+    n_tokens - n_kept equals the flagged token mass per doc."""
+    import pandas as pd
+    from docling_core_spark.corpus.dedup import (
+        q_dup_passages, q_dup_passages_apply,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{uniq('a', 5)} {shared} {uniq('b', 5)}",
+                f"{uniq('c', 3)} {shared}",
+                f"{shared} {uniq('d', 4)} {shared}",
+                uniq("e", 30),
+            ],
+        }
+    )
+    docs["lang"] = "en"
+    docs["source"] = "t"
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    out = {
+        r["doc_id"]: r
+        for r in q_dup_passages_apply(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["clean_text"] == f"{uniq('a', 5)} {uniq('b', 5)}"
+    assert out[2]["clean_text"] == uniq("c", 3)
+    assert out[3]["clean_text"] == uniq("d", 4)
+    assert out[4]["clean_text"] == uniq("e", 30)
+    flagged = {
+        d: 0 for d in out
+    }
+    for r in q_dup_passages(spark, str(tmp_path)).collect():
+        flagged[r["doc_id"]] += r["n_tokens"]
+    for d, r in out.items():
+        assert r["n_tokens"] - r["n_kept"] == flagged[d]
