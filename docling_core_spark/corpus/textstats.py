@@ -333,3 +333,92 @@ def sql_corpus_stats() -> str:
                round(quantile_cont(n_toks, 0.99), 6) AS p99_tokens
         FROM toks GROUP BY source, lang
     """
+
+
+# ---------------------------------------------------------------------------
+# histogram quantile sketch (the 10^12-row path corpus_stats documents)
+# ---------------------------------------------------------------------------
+
+HIST_PCTS = (50, 90, 99)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang token-count quantile ESTIMATES from a power-of-two
+    histogram sketch — the bounded-state upgrade path q_corpus_stats'
+    docstring promises for 10^12 rows, where holding each group's
+    value list (Spark `percentile`) is impossible.
+
+    The bucket is the binary WIDTH of the token count
+    (`length(bin(n))`, i.e. floor(log2 n)+1) — pure integer arithmetic,
+    bit-identical in both engines, no float log. The histogram is one
+    map-side-combined groupBy onto a key space of at most
+    langs x 64 buckets regardless of corpus size; the cumulative
+    window and the quantile cut run over THAT sketch table, never the
+    corpus. Each estimate is the bucket's inclusive upper bound
+    2^w - 1, so est/2 < true quantile <= est (one-bucket guarantee,
+    asserted in tests). Rank rule: smallest bucket with
+    cum * 100 >= pct * total — exact integer comparison.
+    """
+    docs = read_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.expr(
+            f"case when size({TOKENS_SPARK}) = 0 then 0"
+            f" else length(bin(cast(size({TOKENS_SPARK}) as bigint)))"
+            f" end"
+        ).alias("w"),
+    )
+    hist = toks.groupBy("lang", "w").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    from pyspark.sql import Window
+
+    cum = hist.select(
+        "lang",
+        "w",
+        F.sum("c").over(
+            Window.partitionBy("lang").orderBy("w")
+        ).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("total"),
+    )
+    aggs = [F.max("total").cast("bigint").alias("n_docs")]
+    for p in HIST_PCTS:
+        aggs.append(
+            F.min(
+                F.expr(
+                    f"case when cum * 100 >= {p} * total"
+                    f" then shiftleft(cast(1 as bigint), w) - 1 end"
+                )
+            ).cast("bigint").alias(f"p{p}_ub")
+        )
+    return cum.groupBy("lang").agg(*aggs)
+
+
+def sql_hist_quantiles() -> str:
+    cuts = ",\n               ".join(
+        f"MIN(CASE WHEN cum * 100 >= {p} * total"
+        f" THEN (1::BIGINT << w) - 1 END)::BIGINT AS p{p}_ub"
+        for p in HIST_PCTS
+    )
+    return f"""
+        WITH toks AS (
+            SELECT lang,
+                   CASE WHEN len({TOKENS_DUCK}) = 0 THEN 0
+                        ELSE length(bin(len({TOKENS_DUCK})::BIGINT))
+                   END AS w
+            FROM documents
+        ),
+        hist AS (
+            SELECT lang, w, COUNT(*)::BIGINT AS c
+            FROM toks GROUP BY lang, w
+        ),
+        cum AS (
+            SELECT lang, w,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY w) AS cum,
+                   SUM(c) OVER (PARTITION BY lang) AS total
+            FROM hist
+        )
+        SELECT lang, MAX(total)::BIGINT AS n_docs,
+               {cuts}
+        FROM cum GROUP BY lang
+    """

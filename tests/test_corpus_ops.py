@@ -94,6 +94,7 @@ def _pairs():
             CS.q_semdedup_clusters, CS.sql_semdedup_clusters,
         ),
         "corpus_stats": (CT.q_corpus_stats, CT.sql_corpus_stats),
+        "hist_quantiles": (CT.q_hist_quantiles, CT.sql_hist_quantiles),
         "gopher_quality": (CF.q_gopher_quality, CF.sql_gopher_quality),
         "dup_ngrams": (CF.q_dup_ngrams, CF.sql_dup_ngrams),
         "pii_scrub": (CF.q_pii_scrub, CF.sql_pii_scrub),
@@ -451,3 +452,35 @@ def test_dup_passages_apply_cuts_planted_spans(spark, tmp_path):
         flagged[r["doc_id"]] += r["n_tokens"]
     for d, r in out.items():
         assert r["n_tokens"] - r["n_kept"] == flagged[d]
+
+
+def test_hist_quantiles_one_bucket_guarantee(spark):
+    """Each sketch estimate must bracket the exact quantile within its
+    power-of-two bucket: exact <= est and est < 2 * exact + 2."""
+    from docling_core_spark.corpus.textstats import (
+        TOKENS_SPARK, q_hist_quantiles,
+    )
+    from docling_core_spark.corpus import read_spread
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    est = {r["lang"]: r for r in q_hist_quantiles(spark, sf).collect()}
+    docs = read_spread(spark, sf, "documents").select(
+        "lang", F.expr(f"size({TOKENS_SPARK})").alias("n")
+    )
+    import math
+
+    counts = {}
+    for r in docs.collect():
+        counts.setdefault(r["lang"], []).append(r["n"])
+    for lang, ns in counts.items():
+        ns.sort()
+        assert est[lang]["n_docs"] == len(ns)
+        for p in (50, 90, 99):
+            # rank rule mirrored from the operator: smallest value
+            # whose rank satisfies cum * 100 >= p * total
+            k = math.ceil(p * len(ns) / 100)
+            exact = ns[k - 1]
+            ub = est[lang][f"p{p}_ub"]
+            assert exact <= ub, (lang, p, exact, ub)
+            assert ub < 2 * exact + 2, (lang, p, exact, ub)
