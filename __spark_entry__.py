@@ -527,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": CS.q_ann_lsh_topk,
         "ann_ivf_topk": CS.q_ann_ivf_topk,
         "ann_recall": CS.q_ann_recall,
+        "ivf_cluster_stats": CS.q_ivf_cluster_stats,
         "neardup_cosine": CS.q_neardup_cosine,
         "semdedup_clusters": CS.q_semdedup_clusters,
         # multimodal plumbing
@@ -644,6 +645,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": CS.sql_ann_lsh_topk(),
         "ann_ivf_topk": CS.sql_ann_ivf_topk(f"/root/testdata/sf{gate_sf}"),
         "ann_recall": CS.sql_ann_recall(f"/root/testdata/sf{gate_sf}"),
+        "ivf_cluster_stats": CS.sql_ivf_cluster_stats(
+            f"/root/testdata/sf{gate_sf}"
+        ),
         "neardup_cosine": CS.sql_neardup_cosine(),
         "semdedup_clusters": CS.sql_semdedup_clusters(),
         "decode_features": CM.sql_decode_features(),

@@ -867,3 +867,107 @@ def sql_ann_recall(sf_dir: str = "/root/testdata/sf0.01") -> str:
                    >= {ANN_RECALL_FLOOR_MICRO['lsh']} AS meets_floor
         FROM h_lsh, t
     """
+
+
+# ---------------------------------------------------------------------------
+# ivf_cluster_stats: index-health view of the IVF assignment
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-centroid cell occupancy + mean assigned cosine — the index
+    diagnostics a production ANN deployment watches (cell imbalance
+    predicts probe-latency skew; low mean cosine flags centroid drift
+    that warrants re-training).
+
+    100 TB story: the centroid table broadcasts (k x EMB_DIM doubles),
+    the per-vector argmax is a vec_id-partitioned window over the
+    k-row-per-vector scored stream, and the rollup is one map-side-
+    combined groupBy on the k-sized cell key. Mean cosine crosses the
+    exchange as an exact micro-int sum (the lm_score discipline), so
+    partition order cannot perturb the 6dp result."""
+    from pyspark.sql.window import Window
+
+    e = _cached_emb(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(ivf_centroids(spark, sf_dir))],
+        "c_id int, c_emb array<double>",
+    ).withColumn("c_nrm", F.expr(f"sqrt({_norm2_spark('c_emb')})"))
+    scored = (
+        e.alias("s")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "s.vec_id",
+            "c_id",
+            F.expr(
+                f"round({_dot_spark('s.emb', 'c_emb')}"
+                f" / (s.nrm * c_nrm), 6)"
+            ).alias("c_cos"),
+        )
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("c_id")
+    )
+    assigned = (
+        scored.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") == 1)
+        .select(
+            "c_id",
+            F.expr(
+                "cast(round(c_cos * 1000000) as bigint)"
+            ).alias("cos_micro"),
+        )
+    )
+    return (
+        assigned.groupBy("c_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("cos_micro").cast("bigint").alias("sum_cos_micro"),
+        )
+        .select(
+            F.col("c_id").cast("bigint").alias("c_id"),
+            "n_members",
+            "sum_cos_micro",
+            F.expr(
+                "round(sum_cos_micro / cast(n_members as double)"
+                " / 1000000.0, 6)"
+            ).alias("mean_cos"),
+        )
+    )
+
+
+def sql_ivf_cluster_stats(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    cdot = (
+        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> a.embedding[i]::DOUBLE * c.c_emb[i]))"
+    )
+    cna = _norm2_duck("a.embedding")
+    cnc = (
+        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> c.c_emb[i] * c.c_emb[i]))"
+    )
+    return f"""
+        WITH cents AS (
+            SELECT * FROM {_centroid_values_duck(sf_dir)}
+        ),
+        scored AS (
+            SELECT a.vec_id, c.c_id,
+                   round({cdot} / (sqrt({cna}) * sqrt({cnc})), 6)
+                       AS c_cos
+            FROM embeddings a CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT c_id,
+                   round(c_cos * 1000000)::BIGINT AS cos_micro
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY c_cos DESC, c_id
+                ) AS crnk FROM scored
+            ) WHERE crnk = 1
+        )
+        SELECT c_id::BIGINT AS c_id, COUNT(*)::BIGINT AS n_members,
+               SUM(cos_micro)::BIGINT AS sum_cos_micro,
+               round(SUM(cos_micro) / COUNT(*)::DOUBLE / 1000000.0, 6)
+                   AS mean_cos
+        FROM assigned GROUP BY c_id
+    """

@@ -89,6 +89,10 @@ def _pairs():
         "ann_recall": (
             CS.q_ann_recall, lambda: CS.sql_ann_recall(SF_DIR),
         ),
+        "ivf_cluster_stats": (
+            CS.q_ivf_cluster_stats,
+            lambda: CS.sql_ivf_cluster_stats(SF_DIR),
+        ),
         "neardup_cosine": (CS.q_neardup_cosine, CS.sql_neardup_cosine),
         "semdedup_clusters": (
             CS.q_semdedup_clusters, CS.sql_semdedup_clusters,
