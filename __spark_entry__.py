@@ -493,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": CW.q_extract_links,
         "link_pagerank": CW.q_link_pagerank,
         "anchor_text_agg": CW.q_anchor_text_agg,
+        "link_cocitation": CW.q_link_cocitation,
         # corpus keywords
         "top_ngrams": CK.q_top_ngrams,
         "tfidf_topk": CK.q_tfidf_topk,
@@ -668,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_links": CW.sql_extract_links(),
         "link_pagerank": CW.sql_link_pagerank(),
         "anchor_text_agg": CW.sql_anchor_text_agg(),
+        "link_cocitation": CW.sql_link_cocitation(),
         "top_ngrams": CK.sql_top_ngrams(),
         "tfidf_topk": CK.sql_tfidf_topk(),
         "cms_heavy_hitters": CK.sql_cms_heavy_hitters(),

@@ -49,6 +49,7 @@ GROUPS: dict[str, list[str]] = {
         "stratified_sample", "weighted_sample", "pack_sequences",
         "cms_heavy_hitters", "kmv_distinct", "hist_quantiles", "lm_score",
         "extract_links", "link_pagerank", "anchor_text_agg",
+        "link_cocitation",
         "bloom_decontaminate", "mixture_weights",
         "dsir_weights", "dsir_select",
     ],

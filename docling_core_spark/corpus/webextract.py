@@ -549,3 +549,90 @@ def sql_anchor_text_agg() -> str:
                top_anchor, top_anchor_n
         FROM stats s JOIN top USING (href)
     """
+
+
+# ---------------------------------------------------------------------------
+# link_cocitation: co-citation similarity over the extracted link table
+# ---------------------------------------------------------------------------
+# Small (1973) co-citation: two targets are related when the same
+# documents link BOTH — the classic item-item signal (the first hop of
+# SimRank, and the exact shape of "users who bought X bought Y").
+# Emitted per unordered target pair: co-citation count, each side's
+# citing-doc count, and the Jaccard of the citing-doc sets in exact
+# micro units.
+
+
+def q_link_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB story: the per-doc outlink set is bounded (crawlers cap
+    outdegree), so the in-array pair expansion — one groupBy(doc_id)
+    collect + the same explode-slice idiom as the LSH bucket path —
+    emits O(outdeg^2) rows per doc with NO self-join of the edge table
+    (a naive edges-x-edges join on doc_id shuffles the corpus twice
+    and skews on link-heavy docs; here the doc's own array expands
+    map-side after one uniform exchange). The pair rollup is a
+    map-side-combined groupBy: the globally hot pair ("/" x a hub,
+    present in every doc) collapses per map task. Degree join is
+    target-keyed and target-sized; Jaccard is exact integer micro
+    arithmetic, no float crosses an exchange."""
+    links = (
+        q_extract_links(spark, sf_dir)
+        .select("doc_id", "href")
+        .distinct()
+    )
+    perdoc = links.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("href")).alias("hs")
+    )
+    pairs = perdoc.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(hs, (x, i) ->"
+                " transform(slice(hs, i + 2, size(hs)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    co = pairs.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("n_co")
+    )
+    deg = links.groupBy("href").agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    return (
+        co.join(deg.withColumnRenamed("href", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(deg.withColumnRenamed("href", "b"), "b")
+        .withColumnRenamed("deg", "deg_b")
+        .select(
+            F.col("a").alias("href_a"),
+            F.col("b").alias("href_b"),
+            "n_co",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "(n_co * 1000000) div (deg_a + deg_b - n_co)"
+            ).cast("bigint").alias("jaccard_micro"),
+        )
+    )
+
+
+def sql_link_cocitation() -> str:
+    return f"""
+        WITH links AS ({sql_extract_links()}),
+        e AS (SELECT DISTINCT doc_id, href FROM links),
+        co AS (
+            SELECT a.href AS href_a, b.href AS href_b,
+                   COUNT(*)::BIGINT AS n_co
+            FROM e a JOIN e b
+              ON a.doc_id = b.doc_id AND a.href < b.href
+            GROUP BY a.href, b.href
+        ),
+        deg AS (
+            SELECT href, COUNT(*)::BIGINT AS deg FROM e GROUP BY href
+        )
+        SELECT href_a, href_b, n_co, da.deg AS deg_a, db.deg AS deg_b,
+               ((n_co * 1000000) // (da.deg + db.deg - n_co))::BIGINT
+                   AS jaccard_micro
+        FROM co
+        JOIN deg da ON da.href = co.href_a
+        JOIN deg db ON db.href = co.href_b
+    """

@@ -79,6 +79,7 @@ def _pairs():
         "dup_passages": (CD.q_dup_passages, CD.sql_dup_passages),
         "link_pagerank": (CW.q_link_pagerank, CW.sql_link_pagerank),
         "anchor_text_agg": (CW.q_anchor_text_agg, CW.sql_anchor_text_agg),
+        "link_cocitation": (CW.q_link_cocitation, CW.sql_link_cocitation),
         "knn_bruteforce": (CS.q_knn_bruteforce, CS.sql_knn_bruteforce),
         "lsh_bucket_stats": (CS.q_lsh_bucket_stats, CS.sql_lsh_bucket_stats),
         "ann_lsh_topk": (CS.q_ann_lsh_topk, CS.sql_ann_lsh_topk),
@@ -488,3 +489,27 @@ def test_hist_quantiles_one_bucket_guarantee(spark):
             ub = est[lang][f"p{p}_ub"]
             assert exact <= ub, (lang, p, exact, ub)
             assert ub < 2 * exact + 2, (lang, p, exact, ub)
+
+
+def test_link_cocitation_properties(spark):
+    """Structural co-citation facts on the fixture graph: every doc
+    links "/", so ("/", x) pairs exist for every other target x and
+    their co-citation count equals x's full citing-doc count (Jaccard
+    = deg_x / deg_slash); counts never exceed either degree."""
+    from docling_core_spark.corpus.webextract import q_link_cocitation
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_link_cocitation(spark, sf).collect()
+    assert rows
+    by_pair = {(r["href_a"], r["href_b"]): r for r in rows}
+    for (a, b), r in by_pair.items():
+        assert a < b
+        assert 1 <= r["n_co"] <= min(r["deg_a"], r["deg_b"])
+        assert r["jaccard_micro"] == (
+            r["n_co"] * 1_000_000
+            // (r["deg_a"] + r["deg_b"] - r["n_co"])
+        )
+        if a == "/":
+            # "/" is cited by every doc, so co-citation with any
+            # target equals that target's own citing count
+            assert r["n_co"] == r["deg_b"]
