@@ -105,6 +105,58 @@ _SQL_EVENTS_SESSIONIZE = """
     FROM sess GROUP BY user_id, session_id
 """
 
+_SQL_EVENTS_ASOF = """
+    WITH v AS (
+        SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS v_id
+        FROM {events} WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT CAST(event_id AS BIGINT) AS p_id, user_id, ts
+        FROM {events} WHERE event_type = 'purchase'
+    ),
+    u AS (
+        SELECT user_id, ts, 0 AS tag, CAST(NULL AS BIGINT) AS p_id, v_id
+        FROM v
+        UNION ALL
+        SELECT user_id, ts, 1 AS tag, p_id, CAST(NULL AS BIGINT) AS v_id
+        FROM p
+    ),
+    carried AS (
+        SELECT user_id, ts, tag, p_id,
+               last(CASE WHEN tag = 0
+                         THEN named_struct('vts', ts, 'v_id', v_id)
+                    END, true) OVER (
+                   PARTITION BY user_id ORDER BY ts, tag
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS lv
+        FROM u
+    )
+    SELECT p_id, CAST(user_id AS BIGINT) AS user_id, lv.v_id AS v_id,
+           CAST(timestampdiff(MICROSECOND, lv.vts, ts) AS BIGINT)
+               AS lag_us
+    FROM carried WHERE tag = 1
+"""
+
+# The DuckDB oracle uses the engine's NATIVE ASOF JOIN — a genuinely
+# independent implementation of the same semantics (greatest view ts
+# <= purchase ts per user, inclusive). Views are pre-deduped to one
+# row per (user_id, ts) keeping max event_id, so ties cannot make
+# either engine nondeterministic.
+_SQL_EVENTS_ASOF_ORACLE = """
+    WITH v AS (
+        SELECT user_id, ts, MAX(event_id)::BIGINT AS v_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id::BIGINT AS p_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.p_id, p.user_id::BIGINT AS user_id, v.v_id,
+           date_diff('microseconds', v.ts, p.ts)::BIGINT AS lag_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
 _SQL_ORDERS_RUNNING_TOTAL = """
     SELECT o_custkey, o_orderkey,
            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
@@ -425,6 +477,23 @@ def _q_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_SUPPLIER_RANK.format(lineitem="li_rank_src"))
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (purchase -> latest prior view per user), the classic
+    operator Spark lacks natively, realized the canonical Spark way:
+    tag-union both streams, one shuffle on the uniform user_id key,
+    and a per-user ordered window carrying last(view, ignorenulls) —
+    at 10^12 events this is ONE exchange plus a bounded per-user sort
+    (range-partition + secondary sort on a real cluster). The DuckDB
+    oracle runs its NATIVE ASOF JOIN, so the gate compares two
+    independent implementations of the semantics. Equal timestamps:
+    a view at the purchase's exact ts IS attributed (inclusive bound,
+    tag ordering view-first), matching ASOF's >= semantics; views are
+    deduped per (user, ts) by max event_id so ties are deterministic
+    in both engines."""
+    _spread_view(spark, sf_dir, "events", "events_asof_src")
+    return spark.sql(_SQL_EVENTS_ASOF.format(events="events_asof_src"))
+
+
 def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     _spread_view(spark, sf_dir, "events", "events_bt_src")
     return spark.sql(_SQL_EVENTS_BY_TYPE.format(events="events_bt_src"))
@@ -551,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
         "events_sessionize": _q_events_sessionize,
+        "events_asof": _q_events_asof,
         "orders_running_total": _q_orders_running_total,
         "supplier_rank": _q_supplier_rank,
     }
@@ -697,6 +767,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_by_type": _SQL_EVENTS_BY_TYPE.format(events="events"),
         "events_sessionize": _SQL_EVENTS_SESSIONIZE.format(events="events"),
+        "events_asof": _SQL_EVENTS_ASOF_ORACLE,
         "orders_running_total": _SQL_ORDERS_RUNNING_TOTAL.format(
             orders="orders"
         ),
