@@ -157,6 +157,71 @@ _SQL_EVENTS_ASOF_ORACLE = """
       ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
+# Range join realized the scalable way: a naive t-range join in Spark
+# plans as BroadcastNestedLoopJoin (quadratic per user at best, a
+# broadcast OOM at worst). Bucketing event time into window-sized
+# buckets turns it into an EQUI-join on (user_id, bucket) — each
+# purchase probes its own bucket and the previous one (2 keys), the
+# exact range predicate filters after the hash join, and the rollup
+# re-left-joins onto the purchase table so empty windows report 0.
+_RJ_EPOCH = "TIMESTAMP '2024-01-01 00:00:00'"
+_RJ_WIN_US = 3_600_000_000  # 1 hour, in microseconds
+
+_SQL_EVENTS_RANGE_JOIN = """
+    WITH v AS (
+        SELECT user_id, ts,
+               CAST(timestampdiff(MICROSECOND, {epoch}, ts)
+                    div {win} AS BIGINT) AS bkt
+        FROM {events} WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT CAST(event_id AS BIGINT) AS p_id, user_id, ts,
+               CAST(timestampdiff(MICROSECOND, {epoch}, ts)
+                    div {win} AS BIGINT) AS bkt
+        FROM {events} WHERE event_type = 'purchase'
+    ),
+    probes AS (
+        SELECT p_id, user_id, ts, bkt FROM p
+        UNION ALL
+        SELECT p_id, user_id, ts, bkt - 1 AS bkt FROM p
+    ),
+    hits AS (
+        SELECT pr.p_id, COUNT(*) AS n
+        FROM probes pr JOIN v
+          ON pr.user_id = v.user_id AND pr.bkt = v.bkt
+        WHERE timestampdiff(MICROSECOND, v.ts, pr.ts)
+                  BETWEEN 0 AND {win}
+        GROUP BY pr.p_id
+    )
+    SELECT p.p_id, CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_views_1h
+    FROM p LEFT JOIN hits h ON p.p_id = h.p_id
+"""
+
+# Oracle: the same semantics as ONE plain inequality join — DuckDB's
+# IEJoin handles it natively, so the gate checks the bucketed plan
+# against an independent direct-range implementation.
+_SQL_EVENTS_RANGE_JOIN_ORACLE = """
+    WITH p AS (
+        SELECT event_id::BIGINT AS p_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    hits AS (
+        SELECT p.p_id, COUNT(*) AS n
+        FROM p JOIN v
+          ON p.user_id = v.user_id
+         AND date_diff('microseconds', v.ts, p.ts)
+                 BETWEEN 0 AND {win}
+        GROUP BY p.p_id
+    )
+    SELECT p.p_id, p.user_id::BIGINT AS user_id,
+           coalesce(h.n, 0)::BIGINT AS n_views_1h
+    FROM p LEFT JOIN hits h ON p.p_id = h.p_id
+"""
+
 _SQL_ORDERS_RUNNING_TOTAL = """
     SELECT o_custkey, o_orderkey,
            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
@@ -494,6 +559,18 @@ def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_EVENTS_ASOF.format(events="events_asof_src"))
 
 
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (views within 1h before each purchase) via time
+    bucketing: equi-join on (user_id, bucket) with a 2-key probe side,
+    never a BroadcastNestedLoopJoin — see _SQL_EVENTS_RANGE_JOIN."""
+    _spread_view(spark, sf_dir, "events", "events_rj_src")
+    return spark.sql(
+        _SQL_EVENTS_RANGE_JOIN.format(
+            events="events_rj_src", epoch=_RJ_EPOCH, win=_RJ_WIN_US
+        )
+    )
+
+
 def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     _spread_view(spark, sf_dir, "events", "events_bt_src")
     return spark.sql(_SQL_EVENTS_BY_TYPE.format(events="events_bt_src"))
@@ -621,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": _q_events_by_type,
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "orders_running_total": _q_orders_running_total,
         "supplier_rank": _q_supplier_rank,
     }
@@ -768,6 +846,9 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": _SQL_EVENTS_BY_TYPE.format(events="events"),
         "events_sessionize": _SQL_EVENTS_SESSIONIZE.format(events="events"),
         "events_asof": _SQL_EVENTS_ASOF_ORACLE,
+        "events_range_join": _SQL_EVENTS_RANGE_JOIN_ORACLE.format(
+            win=_RJ_WIN_US
+        ),
         "orders_running_total": _SQL_ORDERS_RUNNING_TOTAL.format(
             orders="orders"
         ),

@@ -77,7 +77,8 @@ GROUPS: dict[str, list[str]] = {
         "bbox_ops", "page_cells_in_bbox", "page_crop_text",
         "page_textlines", "page_render_svg",
         "tpch_q1", "top_customers", "events_by_type",
-        "events_sessionize", "events_asof", "orders_running_total",
+        "events_sessionize", "events_asof", "events_range_join",
+        "orders_running_total",
         "supplier_rank",
     ],
     "stream": [

@@ -65,3 +65,43 @@ def test_events_asof_planted_timelines(spark, tmp_path):
         for r in con.execute(E.oracle_sql()["events_asof"]).fetchall()
     }
     assert want == got
+
+
+def test_events_range_join_planted_boundaries(spark, tmp_path):
+    """Bucketed range join vs hand counts: exactly-1h-before counts
+    (inclusive), one microsecond over does not, same-ts counts, other
+    users never leak, empty windows report 0."""
+    import __spark_entry__ as E
+
+    h = dt.timedelta(hours=1)
+    us = dt.timedelta(microseconds=1)
+    base = dt.datetime(2024, 1, 2, 12, 0, 0)
+    rows = [
+        (300, base, 1, "purchase"),
+        (110, base - h, 1, "view"),          # exactly 1h -> counts
+        (111, base - h - us, 1, "view"),     # 1h + 1us -> out
+        (112, base, 1, "view"),              # same ts -> counts
+        (113, base - dt.timedelta(minutes=30), 1, "view"),
+        (114, base - dt.timedelta(minutes=10), 2, "view"),  # other user
+        (301, base, 3, "purchase"),          # no views at all
+    ]
+    _write_events(tmp_path, rows)
+    got = {
+        r["p_id"]: r["n_views_1h"]
+        for r in E.queries()["events_range_join"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {300: 3, 301: 0}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = {
+        r[0]: r[2]
+        for r in con.execute(
+            E.oracle_sql()["events_range_join"]
+        ).fetchall()
+    }
+    assert want == got
