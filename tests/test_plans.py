@@ -194,3 +194,41 @@ def test_corpus_stats_single_rollup_exchange(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
     assert len(exchanges) <= 2, plan
     assert "partial_" in plan.lower() or "ObjectHashAggregate" in plan, plan
+
+
+def test_range_join_never_nested_loop(spark):
+    """The whole point of the bucketed range join: the range predicate
+    must ride a hash equi-join, never a BroadcastNestedLoopJoin or a
+    cartesian product."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["events_range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_asof_join_single_user_exchange(spark):
+    """The as-of realization is union -> ONE user-keyed exchange ->
+    ordered window; no join of the two event streams appears at all."""
+    import re
+
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["events_asof"](spark, SF))
+    assert "Window" in plan, plan
+    assert "NestedLoop" not in plan, plan
+    # formatted-mode detail lines carry the partitioning expression
+    assert re.search(r"hashpartitioning\(user_id", plan), plan
+    assert re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
+
+
+def test_cocitation_no_edge_self_join(spark):
+    """Pairs must expand in-array after one doc-keyed exchange — an
+    edges-x-edges SortMergeJoin on doc_id would be the rejected design."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["link_cocitation"](spark, SF))
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    # the only joins are the two target-keyed degree joins
+    assert plan.count("SortMergeJoin") <= 2, plan
