@@ -164,6 +164,11 @@ _SQL_EVENTS_ASOF_ORACLE = """
 # purchase probes its own bucket and the previous one (2 keys), the
 # exact range predicate filters after the hash join, and the rollup
 # re-left-joins onto the purchase table so empty windows report 0.
+# Pre-epoch timestamps make `div` truncate instead of floor; that can
+# only shift a bucket TOWARD the probe's (never away), the probe spans
+# two buckets, and the exact predicate filters post-join — so bucket
+# arithmetic can widen candidates but never lose a match, and the
+# oracle never buckets at all.
 _RJ_EPOCH = "TIMESTAMP '2024-01-01 00:00:00'"
 _RJ_WIN_US = 3_600_000_000  # 1 hour, in microseconds
 
