@@ -655,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": CSA.q_weighted_sample,
         "mixture_weights": CSA.q_mixture_weights,
         "hist_quantiles": CT.q_hist_quantiles,
+        "langid_confusion": CT.q_langid_confusion,
         "dsir_weights": CSA.q_dsir_weights,
         "dsir_select": CSA.q_dsir_select,
         "pack_sequences": CP.q_pack_sequences,
@@ -832,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": CSA.sql_weighted_sample(),
         "mixture_weights": CSA.sql_mixture_weights(),
         "hist_quantiles": CT.sql_hist_quantiles(),
+        "langid_confusion": CT.sql_langid_confusion(),
         "dsir_weights": CSA.sql_dsir_weights(),
         "dsir_select": CSA.sql_dsir_select(),
         "pack_sequences": CP.sql_pack_sequences(),

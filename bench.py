@@ -47,7 +47,8 @@ GROUPS: dict[str, list[str]] = {
         "pii_scrub", "corpus_stats", "decontaminate",
         "html_strip", "main_content", "top_ngrams", "tfidf_topk",
         "stratified_sample", "weighted_sample", "pack_sequences",
-        "cms_heavy_hitters", "kmv_distinct", "hist_quantiles", "lm_score",
+        "cms_heavy_hitters", "kmv_distinct", "hist_quantiles",
+        "langid_confusion", "lm_score",
         "extract_links", "link_pagerank", "anchor_text_agg",
         "link_cocitation",
         "bloom_decontaminate", "mixture_weights",

@@ -422,3 +422,64 @@ def sql_hist_quantiles() -> str:
                {cuts}
         FROM cum GROUP BY lang
     """
+
+
+# ---------------------------------------------------------------------------
+# langid_confusion: evaluation of the language-ID heuristic as a query
+# ---------------------------------------------------------------------------
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword lang-ID against the table's
+    ground-truth labels, plus per-true-lang recall in exact micro
+    units — the same make-quality-claims-gateable philosophy as
+    ann_recall: the classifier's operating quality is a verified gate
+    row, not a doc figure.
+
+    100 TB story: per-row prediction is the same zero-shuffle
+    expression as q_lang_id; the rollup is one map-side-combined
+    groupBy on the (true, pred) key — at most |langs|^2 rows out
+    regardless of corpus size; recall joins against the per-true-lang
+    totals on that same tiny key space."""
+    preds = q_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = read_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    cells = (
+        docs.join(preds, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    totals = cells.groupBy("true_lang").agg(
+        F.sum("n").cast("bigint").alias("n_true")
+    )
+    return cells.join(totals, "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        "n_true",
+        F.expr("(n * 1000000) div n_true").cast("bigint").alias(
+            "share_micro"
+        ),
+    )
+
+
+def sql_langid_confusion() -> str:
+    return f"""
+        WITH preds AS (
+            SELECT doc_id, pred_lang FROM ({sql_lang_id()})
+        ),
+        cells AS (
+            SELECT d.lang AS true_lang, p.pred_lang,
+                   COUNT(*)::BIGINT AS n
+            FROM documents d JOIN preds p USING (doc_id)
+            GROUP BY d.lang, p.pred_lang
+        ),
+        totals AS (
+            SELECT true_lang, SUM(n)::BIGINT AS n_true
+            FROM cells GROUP BY true_lang
+        )
+        SELECT true_lang, pred_lang, n, n_true,
+               ((n * 1000000) // n_true)::BIGINT AS share_micro
+        FROM cells JOIN totals USING (true_lang)
+    """

@@ -100,6 +100,9 @@ def _pairs():
         ),
         "corpus_stats": (CT.q_corpus_stats, CT.sql_corpus_stats),
         "hist_quantiles": (CT.q_hist_quantiles, CT.sql_hist_quantiles),
+        "langid_confusion": (
+            CT.q_langid_confusion, CT.sql_langid_confusion,
+        ),
         "gopher_quality": (CF.q_gopher_quality, CF.sql_gopher_quality),
         "dup_ngrams": (CF.q_dup_ngrams, CF.sql_dup_ngrams),
         "pii_scrub": (CF.q_pii_scrub, CF.sql_pii_scrub),
@@ -513,3 +516,25 @@ def test_link_cocitation_properties(spark):
             # "/" is cited by every doc, so co-citation with any
             # target equals that target's own citing count
             assert r["n_co"] == r["deg_b"]
+
+
+def test_langid_confusion_is_a_partition(spark):
+    """Matrix rows partition the corpus: per-true-lang cell counts sum
+    to n_true, micro shares sum to 1e6 within floor slack, and every
+    labeled doc appears exactly once."""
+    from docling_core_spark.corpus import read_spread
+    from docling_core_spark.corpus.textstats import q_langid_confusion
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_langid_confusion(spark, sf).collect()
+    n_docs = read_spread(spark, sf, "documents").count()
+    per_true = {}
+    for r in rows:
+        per_true.setdefault(r["true_lang"], []).append(r)
+    assert sum(r["n"] for r in rows) == n_docs
+    for lang, cells in per_true.items():
+        n_true = cells[0]["n_true"]
+        assert all(c["n_true"] == n_true for c in cells)
+        assert sum(c["n"] for c in cells) == n_true
+        share = sum(c["share_micro"] for c in cells)
+        assert 1_000_000 - len(cells) < share <= 1_000_000
