@@ -1431,3 +1431,109 @@ def sql_dup_passages_apply() -> str:
                COALESCE(array_to_string(kept, ' '), '') AS clean_text
         FROM cut
     """
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprint: winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03)
+# ---------------------------------------------------------------------------
+# Local fingerprinting with the GUARANTEE the mod-p scheme
+# (textstats.q_fingerprint) lacks: in every window of WINNOW_W
+# consecutive k-gram hashes at least one is selected, so any match of
+# length >= WINNOW_W + WINNOW_K - 1 tokens between two documents
+# shares at least one fingerprint (the paper's detection theorem,
+# asserted on planted docs in tests). Ties select the RIGHTMOST
+# minimal hash — the paper's robust-winnowing rule, which minimizes
+# fingerprint density.
+
+WINNOW_K = 5  # tokens per gram
+WINNOW_W = 4  # grams per window
+
+
+def _winnow_expr(duck: bool) -> str:
+    """Selected (pos, h) pairs from the per-doc gram-hash list `hs`
+    (1-based positions). Shorter-than-one-window docs winnow the
+    whole list as a single window; empty docs select nothing.
+    Selection dedups by POSITION (an int — DuckDB's list_distinct
+    cannot histogram structs), then maps pos -> hs[pos]."""
+    w = WINNOW_W
+    if duck:
+        sl = f"hs[i : i + {w - 1}]"
+        pos = (
+            f"i + len({sl})"
+            f" - list_position(list_reverse({sl}), list_min({sl}))"
+        )
+        whole = (
+            f"len(hs) + 1"
+            f" - list_position(list_reverse(hs), list_min(hs))"
+        )
+        return (
+            f"CASE WHEN len(hs) = 0 THEN []"
+            f" WHEN len(hs) < {w} THEN"
+            f" [{{'pos': {whole}, 'h': hs[{whole}]}}]"
+            f" ELSE list_transform(list_distinct(list_transform("
+            f"generate_series(1, len(hs) - {w - 1}), i -> {pos})),"
+            f" p -> {{'pos': p, 'h': hs[p]}})"
+            f" END"
+        )
+    sl = f"slice(hs, i, {w})"
+    pos = (
+        f"i + size({sl})"
+        f" - array_position(reverse({sl}), array_min({sl}))"
+    )
+    whole = (
+        f"size(hs) + 1 - array_position(reverse(hs), array_min(hs))"
+    )
+    return (
+        f"CASE WHEN size(hs) = 0 THEN"
+        f" cast(array() as array<struct<pos: bigint, h: bigint>>)"
+        f" WHEN size(hs) < {w} THEN"
+        f" array(struct({whole} AS pos,"
+        f" element_at(hs, cast({whole} as int)) AS h))"
+        f" ELSE transform(array_distinct(transform("
+        f"sequence(1, size(hs) - {w - 1}), i -> {pos})),"
+        f" p -> struct(p AS pos, element_at(hs, cast(p as int)) AS h))"
+        f" END"
+    )
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per selected fingerprint: (doc_id, pos, h).
+
+    100 TB story: ZERO shuffles — grams, hashes, window minima, and
+    the rightmost-tie selection are all per-row array lambdas inside
+    whole-stage codegen over a (doc_id, text)-pruned scan; the explode
+    emits ~2/(w+1) of gram count per doc (the paper's expected
+    density). Downstream plagiarism/overlap detection groupBys these
+    rows by h exactly like dup_passages' digest join."""
+    k = WINNOW_K
+    docs = read_spread(spark, sf_dir, "documents")
+    hs = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform({_grams_spark(k)}, g -> {_h30_spark('g.gram')})"
+        ).alias("hs"),
+    )
+    return hs.select(
+        "doc_id", F.explode(F.expr(_winnow_expr(False))).alias("fp")
+    ).select(
+        "doc_id",
+        F.col("fp.pos").cast("bigint").alias("pos"),
+        F.col("fp.h").cast("bigint").alias("h"),
+    )
+
+
+def sql_winnow_fingerprint() -> str:
+    k = WINNOW_K
+    return f"""
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform({_grams_duck(k)},
+                                  g -> {_h30_duck('g.gram')}) AS hs
+            FROM documents
+        ),
+        sel AS (
+            SELECT doc_id, unnest({_winnow_expr(True)}, recursive := true)
+            FROM hs
+        )
+        SELECT doc_id, pos::BIGINT AS pos, h::BIGINT AS h FROM sel
+    """

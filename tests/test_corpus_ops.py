@@ -76,6 +76,9 @@ def _pairs():
         "dup_passages_apply": (
             CD.q_dup_passages_apply, CD.sql_dup_passages_apply,
         ),
+        "winnow_fingerprint": (
+            CD.q_winnow_fingerprint, CD.sql_winnow_fingerprint,
+        ),
         "dup_passages": (CD.q_dup_passages, CD.sql_dup_passages),
         "link_pagerank": (CW.q_link_pagerank, CW.sql_link_pagerank),
         "anchor_text_agg": (CW.q_anchor_text_agg, CW.sql_anchor_text_agg),
@@ -538,3 +541,48 @@ def test_langid_confusion_is_a_partition(spark):
         assert sum(c["n"] for c in cells) == n_true
         share = sum(c["share_micro"] for c in cells)
         assert 1_000_000 - len(cells) < share <= 1_000_000
+
+
+def test_winnowing_detection_guarantee(spark, tmp_path):
+    """Schleimer et al.'s theorem on planted docs: any shared passage
+    of >= W + K - 1 tokens must share at least one fingerprint; the
+    window guarantee (>= 1 selection per W consecutive gram positions)
+    holds within every doc."""
+    import pandas as pd
+    from docling_core_spark.corpus.dedup import (
+        WINNOW_K, WINNOW_W, q_winnow_fingerprint,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"{uniq('a', 7)} {shared} {uniq('b', 6)}",
+                f"{uniq('c', 9)} {shared}",
+                uniq("e", 40),
+            ],
+        }
+    )
+    docs["lang"] = "en"
+    docs["source"] = "t"
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    rows = q_winnow_fingerprint(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["h"]))
+    # detection: docs 1 and 2 share a fingerprint hash; doc 3 shares
+    # none with either
+    h1, h2 = {h for _, h in by_doc[1]}, {h for _, h in by_doc[2]}
+    h3 = {h for _, h in by_doc[3]}
+    assert h1 & h2
+    assert not (h1 & h3) and not (h2 & h3)
+    # window guarantee: every W consecutive gram positions contain a
+    # selection (doc 3 has 40 - K + 1 = 36 gram positions)
+    pos3 = sorted(p for p, _ in by_doc[3])
+    n_grams = 40 - WINNOW_K + 1
+    for start in range(1, n_grams - WINNOW_W + 2):
+        assert any(start <= p < start + WINNOW_W for p in pos3), start
