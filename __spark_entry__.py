@@ -227,6 +227,28 @@ _SQL_EVENTS_RANGE_JOIN_ORACLE = """
     FROM p LEFT JOIN hits h ON p.p_id = h.p_id
 """
 
+# Retention cohorts: the canonical product-analytics rollup. Cohort =
+# the user's first-activity week; each later active week counts the
+# user once at that offset. Weeks are integer day-counts div 7 from a
+# fixed epoch (date_diff semantics identical in both dialects), so no
+# calendar/timezone logic crosses engines.
+_SQL_EVENTS_RETENTION = """
+    WITH weeks AS (
+        SELECT DISTINCT user_id,
+               CAST({datediff} // 7 AS BIGINT) AS wk
+        FROM {events}
+    ),
+    cohorts AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM weeks
+        GROUP BY user_id
+    )
+    SELECT c.cohort_wk,
+           CAST(w.wk - c.cohort_wk AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+    GROUP BY c.cohort_wk, w.wk - c.cohort_wk
+"""
+
 _SQL_ORDERS_RUNNING_TOTAL = """
     SELECT o_custkey, o_orderkey,
            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
@@ -576,6 +598,24 @@ def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts. 100 TB story: the distinct
+    (user, week) projection collapses the event stream to at most
+    users x weeks rows (map-side-combinable distinct on the uniform
+    user key); cohort assignment is a min-agg on the same key; the
+    rollup groupBy emits at most weeks^2 cells regardless of corpus
+    size. Week arithmetic is integer days-div-7 in both engines
+    (non-negative by construction: the fixture epoch precedes every
+    event, so // and div agree)."""
+    _spread_view(spark, sf_dir, "events", "events_ret_src")
+    return spark.sql(
+        _SQL_EVENTS_RETENTION.format(
+            events="events_ret_src",
+            datediff="datediff(cast(ts as date), DATE '2024-01-01')",
+        ).replace(" // 7 ", " div 7 ")
+    )
+
+
 def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     _spread_view(spark, sf_dir, "events", "events_bt_src")
     return spark.sql(_SQL_EVENTS_BY_TYPE.format(events="events_bt_src"))
@@ -706,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
+        "events_retention": _q_events_retention,
         "orders_running_total": _q_orders_running_total,
         "supplier_rank": _q_supplier_rank,
     }
@@ -857,6 +898,10 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": _SQL_EVENTS_ASOF_ORACLE,
         "events_range_join": _SQL_EVENTS_RANGE_JOIN_ORACLE.format(
             win=_RJ_WIN_US
+        ),
+        "events_retention": _SQL_EVENTS_RETENTION.format(
+            events="events",
+            datediff="date_diff('day', DATE '2024-01-01', ts::DATE)",
         ),
         "orders_running_total": _SQL_ORDERS_RUNNING_TOTAL.format(
             orders="orders"

@@ -80,6 +80,7 @@ GROUPS: dict[str, list[str]] = {
         "page_textlines", "page_render_svg",
         "tpch_q1", "top_customers", "events_by_type",
         "events_sessionize", "events_asof", "events_range_join",
+        "events_retention",
         "orders_running_total",
         "supplier_rank",
     ],

@@ -105,3 +105,22 @@ def test_events_range_join_planted_boundaries(spark, tmp_path):
         ).fetchall()
     }
     assert want == got
+
+
+def test_events_retention_cohort_invariants(spark):
+    """Offset-0 cells count each cohort's full membership; later
+    offsets never exceed it; offsets are non-negative."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    rows = E.queries()["events_retention"](spark, sf).collect()
+    assert rows
+    base = {
+        r["cohort_wk"]: r["n_users"]
+        for r in rows
+        if r["week_offset"] == 0
+    }
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert r["cohort_wk"] in base
+        assert r["n_users"] <= base[r["cohort_wk"]]
