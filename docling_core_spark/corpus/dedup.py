@@ -1537,3 +1537,96 @@ def sql_winnow_fingerprint() -> str:
         )
         SELECT doc_id, pos::BIGINT AS pos, h::BIGINT AS h FROM sel
     """
+
+
+WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many prints
+
+
+def q_winnow_overlap(
+    spark: SparkSession, sf_dir: str, max_bucket: int = 0
+) -> DataFrame:
+    """Doc pairs ranked by shared winnow fingerprints — the MOSS-style
+    overlap report the fingerprints exist for: n_shared plus the
+    overlap coefficient n_shared / min(n_a, n_b) in exact micro units.
+
+    100 TB story: the fingerprint table is ~2/(W+1) of gram count and
+    carries only (doc_id, h) after the per-doc distinct; ONE groupBy(h)
+    shuffle builds the inverted index, in-bucket pair expansion exactly
+    like the SimHash path (buckets hold only docs sharing a fingerprint
+    plus ~n/2^30 random collisions), the pair rollup is map-side
+    combined, and per-doc print counts join back at pair-table size.
+    `max_bucket` caps degenerate boilerplate hashes the same way the
+    LSH paths do."""
+    fps = (
+        q_winnow_fingerprint(spark, sf_dir)
+        .select("doc_id", "h")
+        .distinct()
+    )
+    counts = fps.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fp")
+    )
+    buckets = (
+        fps.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    if max_bucket > 0:
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            counts.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        )
+        .withColumnRenamed("n_fp", "n_fp_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_fp", "n_fp_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr(
+                "(n_shared * 1000000) div least(n_fp_a, n_fp_b)"
+            ).cast("bigint").alias("overlap_micro"),
+        )
+    )
+
+
+def sql_winnow_overlap() -> str:
+    return f"""
+        WITH fp0 AS ({sql_winnow_fingerprint()}),
+        fps AS (SELECT DISTINCT doc_id, h FROM fp0),
+        counts AS (
+            SELECT doc_id, COUNT(*)::BIGINT AS n_fp
+            FROM fps GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*)::BIGINT AS n_shared
+            FROM fps a JOIN fps b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+        )
+        SELECT doc_a, doc_b, n_shared,
+               ca.n_fp AS n_fp_a, cb.n_fp AS n_fp_b,
+               ((n_shared * 1000000)
+                // least(ca.n_fp, cb.n_fp))::BIGINT AS overlap_micro
+        FROM pairs
+        JOIN counts ca ON ca.doc_id = pairs.doc_a
+        JOIN counts cb ON cb.doc_id = pairs.doc_b
+    """

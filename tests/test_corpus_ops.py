@@ -79,6 +79,9 @@ def _pairs():
         "winnow_fingerprint": (
             CD.q_winnow_fingerprint, CD.sql_winnow_fingerprint,
         ),
+        "winnow_overlap": (
+            CD.q_winnow_overlap, CD.sql_winnow_overlap,
+        ),
         "dup_passages": (CD.q_dup_passages, CD.sql_dup_passages),
         "link_pagerank": (CW.q_link_pagerank, CW.sql_link_pagerank),
         "anchor_text_agg": (CW.q_anchor_text_agg, CW.sql_anchor_text_agg),
