@@ -232,3 +232,27 @@ def test_cocitation_no_edge_self_join(spark):
     assert "Generate explode" in plan or "Generate" in plan, plan
     # the only joins are the two target-keyed degree joins
     assert plan.count("SortMergeJoin") <= 2, plan
+
+
+def test_winnow_fingerprint_zero_shuffle(spark):
+    """Winnowing is pure per-row array lambdas: no Exchange beyond the
+    read_spread fan-out repartition may appear."""
+    import re
+
+    from docling_core_spark.corpus.dedup import q_winnow_fingerprint
+
+    plan = _plan(q_winnow_fingerprint(spark, SF))
+    hash_exchanges = re.findall(r"hashpartitioning", plan)
+    assert not hash_exchanges, plan
+
+
+def test_simhash_neardup_exchange_budget(spark):
+    """One bucket groupBy + the pair distinct — no third corpus-width
+    shuffle may creep in."""
+    import re
+
+    from docling_core_spark.corpus.dedup import q_simhash_neardup
+
+    plan = _plan(q_simhash_neardup(spark, SF))
+    exchanges = re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+    assert len(exchanges) <= 2, plan
