@@ -37,9 +37,19 @@ _QUALITY_EXPR = (
 
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_decide(read_spread(spark, sf_dir, "documents"))
+
+
+def curation_decide(docs: DataFrame) -> DataFrame:
+    """The per-document curation decision over any documents-shaped
+    DataFrame (doc_id, text): dedup canonical = min doc_id per exact
+    content hash, quality gate, predicted language. Factored out of
+    q_corpus_curation so jobs/curation_job.py can run it per content-
+    hash shard (all copies of a text share a shard, so the per-shard
+    decision equals the corpus-global one — asserted in
+    tests/test_curation_job.py)."""
     from pyspark.sql.window import Window
 
-    docs = read_spread(spark, sf_dir, "documents")
     en_sw = _sw_array_spark("en")
     base = docs.select(
         "doc_id",
