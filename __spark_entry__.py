@@ -716,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_passages_apply": CD.q_dup_passages_apply,
         "winnow_fingerprint": CD.q_winnow_fingerprint,
         "winnow_overlap": CD.q_winnow_overlap,
+        "cdc_segments": CD.q_cdc_segments,
         # similarity search
         "knn_bruteforce": CS.q_knn_bruteforce,
         "lsh_bucket_stats": CS.q_lsh_bucket_stats,
@@ -840,6 +841,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_passages_apply": CD.sql_dup_passages_apply(),
         "winnow_fingerprint": CD.sql_winnow_fingerprint(),
         "winnow_overlap": CD.sql_winnow_overlap(),
+        "cdc_segments": CD.sql_cdc_segments(),
         "knn_bruteforce": CS.sql_knn_bruteforce(),
         "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),
         "ann_lsh_topk": CS.sql_ann_lsh_topk(),

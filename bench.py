@@ -60,7 +60,7 @@ GROUPS: dict[str, list[str]] = {
         # quality + decontamination + the memoized cluster table, so it
         # runs last where the clusters are already warm.
         "dedup_exact", "seg_dedup", "dup_passages", "dup_passages_apply",
-        "winnow_fingerprint", "winnow_overlap",
+        "winnow_fingerprint", "winnow_overlap", "cdc_segments",
         "simhash", "simhash_neardup",
         "minhash_signatures",
         "lsh_buckets",

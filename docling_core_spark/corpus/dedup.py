@@ -1630,3 +1630,121 @@ def sql_winnow_overlap() -> str:
         JOIN counts ca ON ca.doc_id = pairs.doc_a
         JOIN counts cb ON cb.doc_id = pairs.doc_b
     """
+
+
+# ---------------------------------------------------------------------------
+# cdc_segments: content-defined chunking (LBFS, Muthitacharoen SOSP'01)
+# ---------------------------------------------------------------------------
+# Boundaries are declared wherever the rolling hash of the last
+# CDC_W tokens hits 0 mod CDC_MOD — so segment boundaries are a
+# function of CONTENT, not position. Insert a token at the front of a
+# document and every fixed-window segmentation shifts, but CDC
+# boundaries re-synchronize after one window (shift-robustness is
+# property-tested); repeated chunks then collide on their digest
+# corpus-wide no matter where they sit in a document. Expected segment
+# length = CDC_MOD tokens.
+
+CDC_W = 3     # tokens per rolling window
+CDC_MOD = 32  # boundary probability 1/MOD -> expected segment length
+
+
+def _cdc_segments_expr(duck: bool) -> str:
+    """Per-doc array<struct<seg_idx, n_tokens, digest>> over `toks`."""
+    w, m = CDC_W, CDC_MOD
+    if duck:
+        gram = f"array_to_string(toks[i - {w - 1} : i], ' ')"
+        bpos = (
+            f"list_filter(list_transform("
+            f"generate_series({w}, len(toks)),"
+            f" i -> CASE WHEN ({_h30_duck(gram)}) % {m} = 0"
+            f" THEN i ELSE 0 END), x -> x > 0)"
+        )
+        cuts = (
+            f"list_sort(list_distinct(list_concat(list_concat("
+            f"[0], {bpos}), [len(toks)])))"
+        )
+        seg = (
+            "{'seg_idx': j, 'n_tokens': cuts[j + 1] - cuts[j],"
+            " 'digest': md5(array_to_string("
+            "toks[cuts[j] + 1 : cuts[j + 1]], ' '))}"
+        )
+        return (
+            f"CASE WHEN len(toks) = 0 THEN [] ELSE"
+            f" flatten(list_transform([{cuts}], cuts ->"
+            f" list_transform(generate_series(1, len(cuts) - 1),"
+            f" j -> {seg})))"
+            f" END"
+        )
+    gram = f"concat_ws(' ', slice(toks, i - {w - 1}, {w}))"
+    bpos = (
+        f"filter(transform(sequence({w}, size(toks)),"
+        f" i -> IF({_h30_spark(gram)} % {m} = 0, i, 0)), x -> x > 0)"
+    )
+    # bind cuts once via a single-element transform (Spark SQL has no
+    # scalar LET inside an expression)
+    cuts = (
+        f"array_sort(array_distinct(concat(array(0), {bpos},"
+        f" array(size(toks)))))"
+    )
+    seg = (
+        "struct(j AS seg_idx,"
+        " element_at(cuts, j + 1) - element_at(cuts, j) AS n_tokens,"
+        " md5(encode(concat_ws(' ', slice(toks,"
+        " element_at(cuts, j) + 1,"
+        " element_at(cuts, j + 1) - element_at(cuts, j))),"
+        " 'utf-8')) AS digest)"
+    )
+    return (
+        f"CASE WHEN size(toks) = 0 THEN"
+        f" cast(array() as"
+        f" array<struct<seg_idx: int, n_tokens: int, digest: string>>)"
+        f" ELSE flatten(transform(array({cuts}), cuts ->"
+        f" transform(sequence(1, size(cuts) - 1), j -> {seg})))"
+        f" END"
+    )
+
+
+def q_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per content-defined segment: (doc_id, seg_idx,
+    n_tokens, digest).
+
+    100 TB story: ZERO shuffles — the rolling-hash boundary scan, cut
+    assembly, and per-segment digests are per-row array lambdas in
+    whole-stage codegen over a pruned (doc_id, text) scan (the Spark
+    side binds the cut list via a one-element transform, the
+    expression-level LET). Corpus-wide chunk dedup downstream is a
+    groupBy on the digest — uniform by construction, and shift-robust
+    where seg_dedup's separator-based segments are not."""
+    docs = read_spread(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.explode(F.expr(_cdc_segments_expr(False))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s.seg_idx").cast("bigint").alias("seg_idx"),
+            F.col("s.n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("s.digest").alias("digest"),
+        )
+    )
+
+
+def sql_cdc_segments() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+        ),
+        segs AS (
+            SELECT doc_id,
+                   unnest({_cdc_segments_expr(True)},
+                          recursive := true)
+            FROM toks
+        )
+        SELECT doc_id, seg_idx::BIGINT AS seg_idx,
+               n_tokens::BIGINT AS n_tokens, digest
+        FROM segs
+    """

@@ -82,6 +82,7 @@ def _pairs():
         "winnow_overlap": (
             CD.q_winnow_overlap, CD.sql_winnow_overlap,
         ),
+        "cdc_segments": (CD.q_cdc_segments, CD.sql_cdc_segments),
         "dup_passages": (CD.q_dup_passages, CD.sql_dup_passages),
         "link_pagerank": (CW.q_link_pagerank, CW.sql_link_pagerank),
         "anchor_text_agg": (CW.q_anchor_text_agg, CW.sql_anchor_text_agg),
@@ -589,3 +590,40 @@ def test_winnowing_detection_guarantee(spark, tmp_path):
     n_grams = 40 - WINNOW_K + 1
     for start in range(1, n_grams - WINNOW_W + 2):
         assert any(start <= p < start + WINNOW_W for p in pos3), start
+
+
+def test_cdc_segments_shift_robustness(spark, tmp_path):
+    """The CDC property fixed windows lack: prepending one token
+    re-synchronizes boundaries after a single window, so almost every
+    segment digest survives the shift; segments partition each doc."""
+    import pandas as pd
+    from docling_core_spark.corpus.dedup import CDC_W, q_cdc_segments
+
+    text = " ".join(f"tok{i * 7 % 97}" for i in range(400))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [text, "zzz " + text],
+        }
+    )
+    docs["lang"] = "en"
+    docs["source"] = "t"
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    rows = q_cdc_segments(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # partition invariant: token counts sum to doc lengths, indices dense
+    assert sum(r["n_tokens"] for r in by_doc[1]) == 400
+    assert sum(r["n_tokens"] for r in by_doc[2]) == 401
+    for segs in by_doc.values():
+        assert sorted(r["seg_idx"] for r in segs) == list(
+            range(1, len(segs) + 1)
+        )
+    # shift-robustness: all but the first segment's digests survive the
+    # one-token prepend (boundaries re-sync within CDC_W tokens)
+    d1 = {r["digest"] for r in by_doc[1]}
+    d2 = {r["digest"] for r in by_doc[2]}
+    assert len(d1 & d2) >= len(d1) - 2, (len(d1), len(d1 & d2))
