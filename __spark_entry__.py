@@ -717,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": CD.q_winnow_fingerprint,
         "winnow_overlap": CD.q_winnow_overlap,
         "cdc_segments": CD.q_cdc_segments,
+        "cdc_dup_chunks": CD.q_cdc_dup_chunks,
         # similarity search
         "knn_bruteforce": CS.q_knn_bruteforce,
         "lsh_bucket_stats": CS.q_lsh_bucket_stats,
@@ -842,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint": CD.sql_winnow_fingerprint(),
         "winnow_overlap": CD.sql_winnow_overlap(),
         "cdc_segments": CD.sql_cdc_segments(),
+        "cdc_dup_chunks": CD.sql_cdc_dup_chunks(),
         "knn_bruteforce": CS.sql_knn_bruteforce(),
         "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),
         "ann_lsh_topk": CS.sql_ann_lsh_topk(),

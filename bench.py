@@ -61,6 +61,7 @@ GROUPS: dict[str, list[str]] = {
         # runs last where the clusters are already warm.
         "dedup_exact", "seg_dedup", "dup_passages", "dup_passages_apply",
         "winnow_fingerprint", "winnow_overlap", "cdc_segments",
+        "cdc_dup_chunks",
         "simhash", "simhash_neardup",
         "minhash_signatures",
         "lsh_buckets",

@@ -1748,3 +1748,46 @@ def sql_cdc_segments() -> str:
                n_tokens::BIGINT AS n_tokens, digest
         FROM segs
     """
+
+
+def q_cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated content-defined chunks: for every digest
+    seen in >= 2 places, its occurrence count, distinct docs, token
+    length, and the duplicated token mass (count-1 copies are
+    redundant) — the storage/compute savings table a CDC-based dedup
+    run acts on.
+
+    100 TB story: one map-side-combined groupBy on the digest (uniform
+    md5 key); boilerplate chunks repeated 10^9x collapse per map task
+    exactly like exact-dedup's text hash."""
+    segs = q_cdc_segments(spark, sf_dir)
+    return (
+        segs.groupBy("digest")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .select(
+            "digest",
+            "n_occurrences",
+            "n_docs",
+            "n_tokens",
+            ((F.col("n_occurrences") - 1) * F.col("n_tokens"))
+            .cast("bigint")
+            .alias("dup_token_mass"),
+        )
+    )
+
+
+def sql_cdc_dup_chunks() -> str:
+    return f"""
+        WITH segs AS ({sql_cdc_segments()})
+        SELECT digest, COUNT(*)::BIGINT AS n_occurrences,
+               COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+               MAX(n_tokens)::BIGINT AS n_tokens,
+               ((COUNT(*) - 1) * MAX(n_tokens))::BIGINT
+                   AS dup_token_mass
+        FROM segs GROUP BY digest HAVING COUNT(*) >= 2
+    """

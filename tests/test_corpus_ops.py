@@ -83,6 +83,7 @@ def _pairs():
             CD.q_winnow_overlap, CD.sql_winnow_overlap,
         ),
         "cdc_segments": (CD.q_cdc_segments, CD.sql_cdc_segments),
+        "cdc_dup_chunks": (CD.q_cdc_dup_chunks, CD.sql_cdc_dup_chunks),
         "dup_passages": (CD.q_dup_passages, CD.sql_dup_passages),
         "link_pagerank": (CW.q_link_pagerank, CW.sql_link_pagerank),
         "anchor_text_agg": (CW.q_anchor_text_agg, CW.sql_anchor_text_agg),
