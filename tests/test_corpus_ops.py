@@ -628,3 +628,45 @@ def test_cdc_segments_shift_robustness(spark, tmp_path):
     d1 = {r["digest"] for r in by_doc[1]}
     d2 = {r["digest"] for r in by_doc[2]}
     assert len(d1 & d2) >= len(d1) - 2, (len(d1), len(d1 & d2))
+
+
+def test_hot_bucket_caps_on_new_pair_searches(spark, tmp_path):
+    """An exact-duplicate mega-cluster collapses into single hot
+    buckets; max_bucket must drop those buckets (their pairs belong to
+    exact dedup) while distinct near-dup pairs survive."""
+    import pandas as pd
+    from docling_core_spark.corpus.dedup import (
+        clear_caches, q_simhash_neardup, q_winnow_overlap,
+    )
+
+    base = " ".join(f"tok{i * 13 % 89}" for i in range(60))
+    docs = pd.DataFrame(
+        {
+            # 30 identical docs (the mega-cluster) + 2 distinct docs
+            # sharing most content with each other but not the cluster
+            "doc_id": list(range(1, 31)) + [100, 101],
+            "text": ["dup " * 40] * 30
+            + [base + " extraa", base + " extrab"],
+        }
+    )
+    docs["lang"] = "en"
+    docs["source"] = "t"
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+    try:
+        capped = q_simhash_neardup(spark, sf, max_bucket=10).collect()
+        ids = {r["doc_a"] for r in capped} | {r["doc_b"] for r in capped}
+        assert ids <= {100, 101}  # mega-cluster buckets dropped
+        assert (100, 101) in {(r["doc_a"], r["doc_b"]) for r in capped}
+        uncapped = q_simhash_neardup(spark, sf).collect()
+        assert len(uncapped) > len(capped)  # cluster pairs were real
+
+        wcap = q_winnow_overlap(spark, sf, max_bucket=10).collect()
+        wids = {r["doc_a"] for r in wcap} | {r["doc_b"] for r in wcap}
+        assert wids <= {100, 101}
+        assert any(
+            (r["doc_a"], r["doc_b"]) == (100, 101) for r in wcap
+        )
+    finally:
+        clear_caches()
