@@ -725,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": CS.q_ann_ivf_topk,
         "ann_recall": CS.q_ann_recall,
         "ivf_cluster_stats": CS.q_ivf_cluster_stats,
+        "pq_encode": CS.q_pq_encode,
+        "pq_search": CS.q_pq_search,
         "neardup_cosine": CS.q_neardup_cosine,
         "semdedup_clusters": CS.q_semdedup_clusters,
         # multimodal plumbing
@@ -852,6 +854,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cluster_stats": CS.sql_ivf_cluster_stats(
             f"/root/testdata/sf{gate_sf}"
         ),
+        "pq_encode": CS.sql_pq_encode(f"/root/testdata/sf{gate_sf}"),
+        "pq_search": CS.sql_pq_search(f"/root/testdata/sf{gate_sf}"),
         "neardup_cosine": CS.sql_neardup_cosine(),
         "semdedup_clusters": CS.sql_semdedup_clusters(),
         "decode_features": CM.sql_decode_features(),

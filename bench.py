@@ -73,7 +73,8 @@ GROUPS: dict[str, list[str]] = {
         # not pay for the similarity family's persisted tables
         "decode_features", "media_resize", "frame_sample",
         "knn_bruteforce", "lsh_bucket_stats", "ann_lsh_topk",
-        "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "neardup_cosine",
+        "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "pq_encode",
+        "pq_search", "neardup_cosine",
         "semdedup_clusters",
     ],
     "rel": [

@@ -971,3 +971,331 @@ def sql_ivf_cluster_stats(sf_dir: str = "/root/testdata/sf0.01") -> str:
                    AS mean_cos
         FROM assigned GROUP BY c_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou/Douze/Schmid TPAMI 2011) — the compression
+# half of the billion-scale ANN recipe (IVF above is the pruning half).
+# ---------------------------------------------------------------------------
+# Each 64-dim vector splits into PQ_M 8-dim subvectors; each subvector
+# quantizes to its nearest of PQ_KS per-subspace centroids, so a vector
+# stores as PQ_M 4-bit codes (4 bytes vs 256) — at 10^12 vectors this
+# is the difference between an index that fits executor memory and one
+# that does not. Search is ADC (asymmetric distance computation): the
+# exact query builds a PQ_M x PQ_KS lookup table once, and every
+# corpus vector's approximate distance is PQ_M integer table lookups.
+
+PQ_M = 8            # subspaces
+PQ_SUBDIM = C.EMB_DIM // PQ_M
+PQ_KS = 16          # centroids per subspace (4-bit codes)
+PQ_KMEANS_ITERS = 3
+PQ_SEED_IDS = list(range(200, 200 + PQ_KS))
+
+
+def _pq_path(sf_dir: str) -> str:
+    import os
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(repo, "goldens", f"pq_codebooks_sf{sf}.json")
+
+
+def _pq_subvecs(e: DataFrame) -> DataFrame:
+    """(vec_id, m, sub) — the per-subspace view of the embedding."""
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m ->"
+                f" struct(m AS m,"
+                f" slice(emb, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sub))"
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sub")
+
+
+_L2_SPARK = (
+    "round(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as double), (acc, v) -> acc + v), 6)"
+)
+
+
+def compute_pq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    ks: int = PQ_KS,
+    iters: int = PQ_KMEANS_ITERS,
+) -> list:
+    """Offline deterministic per-subspace k-means (L2), all subspaces
+    trained in one Spark job per Lloyd step — the same
+    train-once-broadcast-everywhere discipline as compute_ivf_centroids
+    (6dp rounding per step for bit-stable artifacts; empty cells keep
+    their previous centroid; the per-step collect is
+    PQ_M x PQ_KS x PQ_SUBDIM doubles). Returns
+    codebooks[m][c] = list of PQ_SUBDIM floats."""
+    from pyspark.sql.window import Window
+
+    e = _emb_df(spark, sf_dir)
+    seeds = (
+        e.filter(F.col("vec_id").isin(PQ_SEED_IDS[:ks]))
+        .orderBy("vec_id").collect()
+    )
+    books = [
+        [
+            [
+                round(float(x), 6)
+                for x in r["emb"][m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            ]
+            for r in seeds
+        ]
+        for m in range(PQ_M)
+    ]
+    subs = _pq_subvecs(e)
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d").asc(), F.col("c_id").asc()
+    )
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [
+                (m, c, books[m][c])
+                for m in range(PQ_M)
+                for c in range(ks)
+            ],
+            "m int, c_id int, c_sub array<double>",
+        )
+        assigned = (
+            subs.join(F.broadcast(cdf), "m")
+            .select(
+                "vec_id", "m", "c_id", "sub",
+                F.expr(
+                    _L2_SPARK.format(a="sub", b="c_sub")
+                ).alias("d"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        means = (
+            assigned.select(
+                "m", "c_id", F.posexplode("sub").alias("pos", "x")
+            )
+            .groupBy("m", "c_id", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("mu"))
+            .collect()
+        )
+        new_books = [
+            [list(books[m][c]) for c in range(ks)] for m in range(PQ_M)
+        ]
+        for r in means:
+            new_books[r["m"]][r["c_id"]][r["pos"]] = float(r["mu"])
+        books = new_books
+    return books
+
+
+def pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    """Committed artifact if present (tools/gen_pq_codebooks.py — also
+    what the DuckDB oracle embeds), else computed and memoized."""
+    import json
+    import os
+
+    path = _pq_path(sf_dir)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)["codebooks"]
+    key = _cache_key(spark, sf_dir, "pq_codebooks")
+    if key not in _BANDED_CACHE:
+        _BANDED_CACHE[key] = compute_pq_codebooks(spark, sf_dir)
+    return _BANDED_CACHE[key]
+
+
+def _pq_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    books = pq_codebooks(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (m, c, books[m][c])
+            for m in range(PQ_M)
+            for c in range(PQ_KS)
+        ],
+        "m int, c_id int, c_sub array<double>",
+    )
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes: one row per (vec_id, subspace) with the assigned
+    centroid code and the quantization error in exact micro units.
+
+    100 TB story: the PQ_M x PQ_KS codebook broadcasts (1 KB of
+    doubles); subvector extraction is a per-row lambda; assignment is
+    a (vec_id, m)-partitioned window over PQ_KS rows per subvector —
+    scan-shaped, no corpus shuffle. The emitted code table is the
+    4-bytes-per-vector index a production deployment materializes."""
+    from pyspark.sql.window import Window
+
+    e = _cached_emb(spark, sf_dir).select(
+        "vec_id", F.col("emb")
+    )
+    subs = _pq_subvecs(e)
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d").asc(), F.col("c_id").asc()
+    )
+    return (
+        subs.join(F.broadcast(_pq_cdf(spark, sf_dir)), "m")
+        .select(
+            "vec_id", "m", "c_id",
+            F.expr(_L2_SPARK.format(a="sub", b="c_sub")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("m").cast("bigint").alias("m"),
+            F.col("c_id").cast("bigint").alias("code"),
+            F.expr("cast(round(d * 1000000) as bigint)").alias(
+                "qerr_micro"
+            ),
+        )
+    )
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k: each query's exact vector scores every corpus
+    vector's PQ codes via PQ_M integer lookup-table reads.
+
+    100 TB story: per query the LUT is PQ_M x PQ_KS integers computed
+    once; the corpus side touches ONLY the 4-byte code table (never
+    the embeddings) — the memory-bandwidth win PQ exists for. Each
+    per-subspace distance is integerised to micro BEFORE summing
+    (lm_score discipline), so the ADC total is an exact integer in any
+    partition order. Plan shape = knn_bruteforce: broadcast query LUTs
+    x code-table scan, per-query top-k window."""
+    from pyspark.sql.window import Window
+
+    codes = q_pq_encode(spark, sf_dir)
+    q = _pq_subvecs(
+        _cached_emb(spark, sf_dir)
+        .filter(F.col("vec_id") < C.KNN_NUM_QUERIES)
+        .select("vec_id", "emb")
+    ).withColumnRenamed("vec_id", "q_id")
+    lut = (
+        q.join(F.broadcast(_pq_cdf(spark, sf_dir)), "m")
+        .select(
+            "q_id", "m", F.col("c_id").alias("code"),
+            F.expr(
+                "cast(round("
+                + _L2_SPARK.format(a="sub", b="c_sub")
+                + " * 1000000) as bigint)"
+            ).alias("lut_micro"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("lut_micro").cast("bigint").alias("adc_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_micro").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= C.KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_micro",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def _pq_values_duck(sf_dir: str) -> str:
+    """The committed PQ artifact as DuckDB literal rows (m, c_id,
+    c_sub) — the oracle consumes the SAME codebook the Spark query
+    broadcasts."""
+    import json
+    import os
+
+    path = _pq_path(sf_dir)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} missing — run tools/gen_pq_codebooks.py"
+        )
+    with open(path) as f:
+        books = json.load(f)["codebooks"]
+    rows = ", ".join(
+        f"({m}, {c}, [{', '.join(repr(float(x)) for x in books[m][c])}]"
+        f"::DOUBLE[])"
+        for m in range(PQ_M)
+        for c in range(PQ_KS)
+    )
+    return f"(VALUES {rows}) cb(m, c_id, c_sub)"
+
+
+_L2_DUCK = (
+    "round(list_sum(list_transform(generate_series(1, {n}),"
+    " i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+    " * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), 6)"
+)
+
+
+def _pq_subs_cte() -> str:
+    return f"""
+        subs AS (
+            SELECT vec_id, m,
+                   embedding[m * {PQ_SUBDIM} + 1 : (m + 1) * {PQ_SUBDIM}]
+                       AS sub
+            FROM embeddings, generate_series(0, {PQ_M - 1}) g(m)
+        )
+    """
+
+
+def sql_pq_encode(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    l2 = _L2_DUCK.format(n=PQ_SUBDIM, a="sub", b="c_sub")
+    return f"""
+        WITH cb AS (SELECT * FROM {_pq_values_duck(sf_dir)}),
+        {_pq_subs_cte()},
+        scored AS (
+            SELECT vec_id, subs.m, c_id, {l2} AS d
+            FROM subs JOIN cb ON subs.m = cb.m
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d ASC, c_id ASC
+            ) AS rn FROM scored
+        )
+        SELECT vec_id::BIGINT AS vec_id, m::BIGINT AS m,
+               c_id::BIGINT AS code,
+               round(d * 1000000)::BIGINT AS qerr_micro
+        FROM ranked WHERE rn = 1
+    """
+
+
+def sql_pq_search(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    l2 = _L2_DUCK.format(n=PQ_SUBDIM, a="sub", b="c_sub")
+    return f"""
+        WITH codes AS ({sql_pq_encode(sf_dir)}),
+        cb AS (SELECT * FROM {_pq_values_duck(sf_dir)}),
+        {_pq_subs_cte()},
+        lut AS (
+            SELECT vec_id AS q_id, subs.m, c_id AS code,
+                   round({l2} * 1000000)::BIGINT AS lut_micro
+            FROM subs JOIN cb ON subs.m = cb.m
+            WHERE vec_id < {C.KNN_NUM_QUERIES}
+        ),
+        scored AS (
+            SELECT lut.q_id, codes.vec_id,
+                   SUM(lut_micro)::BIGINT AS adc_micro
+            FROM codes JOIN lut
+              ON codes.m = lut.m AND codes.code = lut.code
+             AND codes.vec_id != lut.q_id
+            GROUP BY lut.q_id, codes.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY adc_micro ASC, vec_id ASC
+            ) AS rnk FROM scored
+        )
+        SELECT q_id, vec_id AS neighbor_id, adc_micro,
+               rnk::BIGINT AS rnk
+        FROM ranked WHERE rnk <= {C.KNN_K}
+    """
