@@ -727,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cluster_stats": CS.q_ivf_cluster_stats,
         "pq_encode": CS.q_pq_encode,
         "pq_search": CS.q_pq_search,
+        "ivfpq_search": CS.q_ivfpq_search,
         "neardup_cosine": CS.q_neardup_cosine,
         "semdedup_clusters": CS.q_semdedup_clusters,
         # multimodal plumbing
@@ -856,6 +857,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pq_encode": CS.sql_pq_encode(f"/root/testdata/sf{gate_sf}"),
         "pq_search": CS.sql_pq_search(f"/root/testdata/sf{gate_sf}"),
+        "ivfpq_search": CS.sql_ivfpq_search(
+            f"/root/testdata/sf{gate_sf}"
+        ),
         "neardup_cosine": CS.sql_neardup_cosine(),
         "semdedup_clusters": CS.sql_semdedup_clusters(),
         "decode_features": CM.sql_decode_features(),

@@ -1299,3 +1299,137 @@ def sql_pq_search(sf_dir: str = "/root/testdata/sf0.01") -> str:
                rnk::BIGINT AS rnk
         FROM ranked WHERE rnk <= {C.KNN_K}
     """
+
+
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the composed billion-scale recipe (FAISS's IVFPQ
+    shape): IVF prunes the corpus to the query's IVF_NPROBE nearest
+    cells, then ADC scores ONLY those members from the 4-byte code
+    table. Neither full-corpus scan survives: the cell filter removes
+    (1 - nprobe/k) of the corpus before any distance work, and the
+    distance work never touches a float vector.
+
+    100 TB story: reuses the memoized nprobe-truncated cell ranking
+    (the materialized assignment table) and the PQ code table; the
+    candidate pair set is bounded by queries x probed-cell membership
+    and BROADCASTS into the code join; per-subspace distances are
+    micro-integerised before the order-independent ADC sum; top-k is a
+    per-query window over candidates only."""
+    from pyspark.sql.window import Window
+
+    # candidate (q_id, vec_id) pairs via the IVF cell machinery
+    # (same memoized ranking q_ann_ivf_topk materializes)
+    e = _cached_emb(spark, sf_dir)
+    ckey = _cache_key(spark, sf_dir, "ivf_ranked")
+    if ckey not in _BANDED_CACHE:
+        # build it through the IVF query's own path
+        q_ann_ivf_topk(spark, sf_dir)
+    ranked_cells = _BANDED_CACHE[ckey]
+    assigned = ranked_cells.filter(F.col("crnk") == 1).select(
+        "vec_id", "cell"
+    )
+    probes = ranked_cells.filter(
+        (F.col("crnk") <= IVF_NPROBE)
+        & (F.col("vec_id") < C.KNN_NUM_QUERIES)
+    ).select(F.col("vec_id").alias("q_id"), "cell")
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id")
+    )
+    codes = q_pq_encode(spark, sf_dir)
+    q = _pq_subvecs(
+        e.filter(F.col("vec_id") < C.KNN_NUM_QUERIES)
+        .select("vec_id", "emb")
+    ).withColumnRenamed("vec_id", "q_id")
+    lut = q.join(F.broadcast(_pq_cdf(spark, sf_dir)), "m").select(
+        "q_id", "m", F.col("c_id").alias("code"),
+        F.expr(
+            "cast(round("
+            + _L2_SPARK.format(a="sub", b="c_sub")
+            + " * 1000000) as bigint)"
+        ).alias("lut_micro"),
+    )
+    scored = (
+        codes.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("lut_micro").cast("bigint").alias("adc_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_micro").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= C.KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_micro",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def sql_ivfpq_search(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    cdot = (
+        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> a.embedding[i]::DOUBLE * c.c_emb[i]))"
+    )
+    cna = _norm2_duck("a.embedding")
+    cnc = (
+        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> c.c_emb[i] * c.c_emb[i]))"
+    )
+    l2 = _L2_DUCK.format(n=PQ_SUBDIM, a="sub", b="c_sub")
+    return f"""
+        WITH cents AS (
+            SELECT * FROM {_centroid_values_duck(sf_dir)}
+        ),
+        cscored AS (
+            SELECT a.vec_id, c.c_id,
+                   round({cdot} / (sqrt({cna}) * sqrt({cnc})), 6)
+                       AS c_cos
+            FROM embeddings a CROSS JOIN cents c
+        ),
+        ranked_cells AS (
+            SELECT vec_id, c_id AS cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY c_cos DESC, c_id
+            ) AS crnk FROM cscored
+        ),
+        cand AS (
+            SELECT p.vec_id AS q_id, a.vec_id
+            FROM ranked_cells p JOIN ranked_cells a
+              ON p.cell = a.cell AND a.crnk = 1
+             AND p.crnk <= {IVF_NPROBE}
+             AND p.vec_id < {C.KNN_NUM_QUERIES}
+             AND p.vec_id != a.vec_id
+        ),
+        codes AS ({sql_pq_encode(sf_dir)}),
+        cb AS (SELECT * FROM {_pq_values_duck(sf_dir)}),
+        {_pq_subs_cte()},
+        lut AS (
+            SELECT vec_id AS q_id, subs.m, c_id AS code,
+                   round({l2} * 1000000)::BIGINT AS lut_micro
+            FROM subs JOIN cb ON subs.m = cb.m
+            WHERE vec_id < {C.KNN_NUM_QUERIES}
+        ),
+        scored AS (
+            SELECT cand.q_id, cand.vec_id,
+                   SUM(lut_micro)::BIGINT AS adc_micro
+            FROM cand
+            JOIN codes ON codes.vec_id = cand.vec_id
+            JOIN lut ON lut.q_id = cand.q_id
+                    AND lut.m = codes.m AND lut.code = codes.code
+            GROUP BY cand.q_id, cand.vec_id
+        ),
+        rankedq AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY adc_micro ASC, vec_id ASC
+            ) AS rnk FROM scored
+        )
+        SELECT q_id, vec_id AS neighbor_id, adc_micro,
+               rnk::BIGINT AS rnk
+        FROM rankedq WHERE rnk <= {C.KNN_K}
+    """
