@@ -695,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": CSA.q_weighted_sample,
         "mixture_weights": CSA.q_mixture_weights,
         "hist_quantiles": CT.q_hist_quantiles,
+        "shard_manifest": CP.q_shard_manifest,
         "langid_confusion": CT.q_langid_confusion,
         "dsir_weights": CSA.q_dsir_weights,
         "dsir_select": CSA.q_dsir_select,
@@ -890,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": CSA.sql_weighted_sample(),
         "mixture_weights": CSA.sql_mixture_weights(),
         "hist_quantiles": CT.sql_hist_quantiles(),
+        "shard_manifest": CP.sql_shard_manifest(),
         "langid_confusion": CT.sql_langid_confusion(),
         "dsir_weights": CSA.sql_dsir_weights(),
         "dsir_select": CSA.sql_dsir_select(),

@@ -47,6 +47,7 @@ GROUPS: dict[str, list[str]] = {
         "pii_scrub", "corpus_stats", "decontaminate",
         "html_strip", "main_content", "top_ngrams", "tfidf_topk",
         "stratified_sample", "weighted_sample", "pack_sequences",
+        "shard_manifest",
         "cms_heavy_hitters", "kmv_distinct", "hist_quantiles",
         "langid_confusion", "lm_score",
         "extract_links", "link_pagerank", "anchor_text_agg",

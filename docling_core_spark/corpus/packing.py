@@ -145,3 +145,79 @@ def sql_pack_sequences() -> str:
                (global_start % {SEQ_LEN})::BIGINT AS start_pos
         FROM placed
     """
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest: the final-mile table a training run reads
+# ---------------------------------------------------------------------------
+
+N_OUTPUT_SHARDS = 16
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every packed sequence to an output shard and emit the
+    per-shard manifest a trainer's data loader consumes: sequence
+    count, contributing doc-slice count, token mass, and a lineage
+    XOR over the sequence hashes (the extract/curation jobs' audit
+    fingerprint, here certifying that every sequence landed in exactly
+    one shard — XOR over all shards reproduces the corpus total).
+
+    100 TB story: sequence membership explodes from the packing
+    table's (first_seq, last_seq) spans — bounded per doc by
+    ceil(n_tokens / SEQ_LEN) + 1; the shard key is the 30-bit md5 hash
+    of the sequence id (uniform, and identical in both engines —
+    xxhash64 has no DuckDB twin), so shards are balanced regardless of
+    doc length skew; both rollups are map-side-combined groupBys onto
+    sequence- and shard-sized key spaces, and bit_xor aggregates carry
+    fixed-width state."""
+    from .textstats import _h30_spark
+
+    pack = q_pack_sequences(spark, sf_dir)
+    seqdocs = pack.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("explode(sequence(first_seq, last_seq))").alias("seq_id"),
+    )
+    per_seq = seqdocs.groupBy("seq_id").agg(
+        F.count("*").cast("bigint").alias("n_doc_slices"),
+    )
+    h = _h30_spark("cast(seq_id as string)")
+    return (
+        per_seq.select(
+            "seq_id",
+            "n_doc_slices",
+            F.expr(f"pmod({h}, {N_OUTPUT_SHARDS})").cast("bigint").alias(
+                "shard"
+            ),
+            F.expr(h).alias("seq_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_seqs"),
+            F.sum("n_doc_slices").cast("bigint").alias("n_doc_slices"),
+            F.expr("bit_xor(seq_h)").cast("bigint").alias("lineage_xor"),
+        )
+    )
+
+
+def sql_shard_manifest() -> str:
+    from .textstats import _h30_duck
+
+    h = _h30_duck("seq_id::VARCHAR")
+    return f"""
+        WITH pack AS ({sql_pack_sequences()}),
+        seqdocs AS (
+            SELECT doc_id, n_tokens,
+                   unnest(generate_series(first_seq, last_seq)) AS seq_id
+            FROM pack
+        ),
+        per_seq AS (
+            SELECT seq_id, COUNT(*)::BIGINT AS n_doc_slices
+            FROM seqdocs GROUP BY seq_id
+        )
+        SELECT ({h}) % {N_OUTPUT_SHARDS} AS shard,
+               COUNT(*)::BIGINT AS n_seqs,
+               SUM(n_doc_slices)::BIGINT AS n_doc_slices,
+               bit_xor({h})::BIGINT AS lineage_xor
+        FROM per_seq GROUP BY 1
+    """

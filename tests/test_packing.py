@@ -73,3 +73,48 @@ def test_plan_has_no_global_corpus_window(spark):
     # corpus-wide cumsum must be partitioned on g
     assert len(unpartitioned) == 1, plan
     assert len(partitioned) == 1 and "g#" in partitioned[0], plan
+
+
+def test_shard_manifest_exactly_once(spark):
+    """Every packed sequence lands in exactly one shard: n_seqs sums to
+    the total sequence count, and the XOR of shard lineages equals the
+    XOR over all sequence hashes (any dropped or duplicated sequence
+    breaks it)."""
+    from functools import reduce
+
+    from docling_core_spark.corpus.packing import (
+        q_pack_sequences, q_shard_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_shard_manifest(spark, sf).collect()
+    pack = q_pack_sequences(spark, sf).collect()
+    n_seqs_total = len({
+        s for r in pack for s in range(r["first_seq"], r["last_seq"] + 1)
+    })
+    assert sum(r["n_seqs"] for r in rows) == n_seqs_total
+    assert sum(r["n_doc_slices"] for r in rows) == sum(
+        r["last_seq"] - r["first_seq"] + 1 for r in pack
+    )
+    import hashlib
+
+    def h30(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % (1 << 30)
+
+    want = reduce(
+        lambda a, x: a ^ x,
+        (h30(str(s)) for r in pack
+         for s in range(r["first_seq"], r["last_seq"] + 1)),
+        0,
+    )
+    # per-seq hash enters each shard's XOR once -> global XOR matches
+    have = reduce(lambda a, r: a ^ r["lineage_xor"], rows, 0)
+    # sequences shared by several docs still hash once: recompute over
+    # the DISTINCT sequence set
+    want_distinct = reduce(
+        lambda a, x: a ^ x,
+        {h30(str(s)) for r in pack
+         for s in range(r["first_seq"], r["last_seq"] + 1)},
+        0,
+    )
+    assert have == want_distinct, (have, want, want_distinct)
