@@ -729,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": CS.q_pq_encode,
         "pq_search": CS.q_pq_search,
         "ivfpq_search": CS.q_ivfpq_search,
+        "pq_recall": CS.q_pq_recall,
         "neardup_cosine": CS.q_neardup_cosine,
         "semdedup_clusters": CS.q_semdedup_clusters,
         # multimodal plumbing
@@ -861,6 +862,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_search": CS.sql_ivfpq_search(
             f"/root/testdata/sf{gate_sf}"
         ),
+        "pq_recall": CS.sql_pq_recall(f"/root/testdata/sf{gate_sf}"),
         "neardup_cosine": CS.sql_neardup_cosine(),
         "semdedup_clusters": CS.sql_semdedup_clusters(),
         "decode_features": CM.sql_decode_features(),

@@ -75,7 +75,7 @@ GROUPS: dict[str, list[str]] = {
         "decode_features", "media_resize", "frame_sample",
         "knn_bruteforce", "lsh_bucket_stats", "ann_lsh_topk",
         "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "pq_encode",
-        "pq_search", "ivfpq_search", "neardup_cosine",
+        "pq_search", "ivfpq_search", "pq_recall", "neardup_cosine",
         "semdedup_clusters",
     ],
     "rel": [

@@ -1433,3 +1433,112 @@ def sql_ivfpq_search(sf_dir: str = "/root/testdata/sf0.01") -> str:
                rnk::BIGINT AS rnk
         FROM rankedq WHERE rnk <= {C.KNN_K}
     """
+
+
+PQ_RECALL_FLOOR_MICRO = 150_000  # honest floor on the near-uniform
+# synthetic embeddings (measured 250k-375k at both gate scales; this
+# corpus is the documented worst case for any blocking/quantization)
+
+
+def _l2_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L2 top-KNN_K per query — the ground truth ADC answers
+    approximate (cosine truth would mis-grade an L2 quantizer).
+    Broadcast-query x corpus scan, same plan shape as knn_bruteforce."""
+    from pyspark.sql.window import Window
+
+    e = _cached_emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < C.KNN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    d = _L2_SPARK.format(a="q_emb", b="emb")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("d").asc(), F.col("vec_id").asc()
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.expr(d).alias("d"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= C.KNN_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@KNN_K of the PQ searchers against exact L2 truth, one
+    row per method with the floor asserted in-query — the ann_recall
+    discipline applied to the quantized index (an honest, gate-checked
+    operating point instead of a doc figure)."""
+    truth = _l2_truth(spark, sf_dir)
+    t_cnt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    floor = PQ_RECALL_FLOOR_MICRO
+    reports = []
+    for method, qf in (("pq", q_pq_search), ("ivfpq", q_ivfpq_search)):
+        hits = (
+            qf(spark, sf_dir)
+            .select("q_id", "neighbor_id")
+            .join(truth, ["q_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+        )
+        reports.append(
+            hits.crossJoin(t_cnt).select(
+                F.lit(method).alias("method"),
+                F.lit(C.KNN_K).cast("bigint").alias("k"),
+                "n_truth",
+                "n_hits",
+                F.expr(
+                    "cast(n_hits * 1000000 div n_truth as bigint)"
+                ).alias("recall_micro"),
+                F.lit(floor).cast("bigint").alias("floor_micro"),
+                F.expr(
+                    f"n_hits * 1000000 div n_truth >= {floor}"
+                ).alias("meets_floor"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def sql_pq_recall(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    l2 = _L2_DUCK.format(n=C.EMB_DIM, a="q.embedding", b="e.embedding")
+    floor = PQ_RECALL_FLOOR_MICRO
+    return f"""
+        WITH dists AS (
+            SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+                   {l2} AS d
+            FROM embeddings q JOIN embeddings e
+              ON q.vec_id < {C.KNN_NUM_QUERIES}
+             AND q.vec_id != e.vec_id
+        ),
+        truth AS (
+            SELECT q_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY d ASC, neighbor_id ASC
+                ) AS rnk FROM dists
+            ) WHERE rnk <= {C.KNN_K}
+        ),
+        t AS (SELECT COUNT(*)::BIGINT AS n_truth FROM truth),
+        pqh AS (
+            SELECT COUNT(*)::BIGINT AS n_hits
+            FROM ({sql_pq_search(sf_dir)}) s
+            JOIN truth USING (q_id, neighbor_id)
+        ),
+        ipqh AS (
+            SELECT COUNT(*)::BIGINT AS n_hits
+            FROM ({sql_ivfpq_search(sf_dir)}) s
+            JOIN truth USING (q_id, neighbor_id)
+        )
+        SELECT 'pq' AS method, {C.KNN_K}::BIGINT AS k, n_truth, n_hits,
+               (n_hits * 1000000 // n_truth)::BIGINT AS recall_micro,
+               {floor}::BIGINT AS floor_micro,
+               n_hits * 1000000 // n_truth >= {floor} AS meets_floor
+        FROM pqh CROSS JOIN t
+        UNION ALL
+        SELECT 'ivfpq', {C.KNN_K}::BIGINT, n_truth, n_hits,
+               (n_hits * 1000000 // n_truth)::BIGINT,
+               {floor}::BIGINT,
+               n_hits * 1000000 // n_truth >= {floor}
+        FROM ipqh CROSS JOIN t
+    """

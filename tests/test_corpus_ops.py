@@ -111,6 +111,9 @@ def _pairs():
         "ivfpq_search": (
             CS.q_ivfpq_search, lambda: CS.sql_ivfpq_search(SF_DIR),
         ),
+        "pq_recall": (
+            CS.q_pq_recall, lambda: CS.sql_pq_recall(SF_DIR),
+        ),
         "neardup_cosine": (CS.q_neardup_cosine, CS.sql_neardup_cosine),
         "semdedup_clusters": (
             CS.q_semdedup_clusters, CS.sql_semdedup_clusters,
