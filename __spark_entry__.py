@@ -648,7 +648,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lm as CL,
         packing as CP,
         sampling as CSA,
+        bm25 as CB,
+        normalize as CN,
         textstats as CT,
+        urls as CU,
         webextract as CW,
     )
 
@@ -675,6 +678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": CT.q_corpus_stats,
         "gopher_quality": CF.q_gopher_quality,
         "dup_ngrams": CF.q_dup_ngrams,
+        "repetition_ladder": CF.q_repetition_ladder,
+        "text_normalize": CN.q_text_normalize,
+        "normalize_uplift": CN.q_normalize_uplift,
         "pii_scrub": CF.q_pii_scrub,
         "decontaminate": CF.q_decontaminate,
         "bloom_decontaminate": CF.q_bloom_decontaminate,
@@ -682,15 +688,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": CW.q_html_strip,
         "main_content": CW.q_main_content,
         "extract_links": CW.q_extract_links,
+        "url_normalize": CU.q_url_normalize,
+        "domain_stats": CU.q_domain_stats,
+        "robots_filter": CU.q_robots_filter,
+        "crawl_frontier": CU.q_crawl_frontier,
         "link_pagerank": CW.q_link_pagerank,
         "anchor_text_agg": CW.q_anchor_text_agg,
         "link_cocitation": CW.q_link_cocitation,
         # corpus keywords
         "top_ngrams": CK.q_top_ngrams,
         "tfidf_topk": CK.q_tfidf_topk,
+        "bm25_topk": CB.q_bm25_topk,
         "cms_heavy_hitters": CK.q_cms_heavy_hitters,
         "kmv_distinct": CK.q_kmv_distinct,
         "lm_score": CL.q_lm_score,
+        "ccnet_buckets": CL.q_ccnet_buckets,
         "stratified_sample": CSA.q_stratified_sample,
         "weighted_sample": CSA.q_weighted_sample,
         "mixture_weights": CSA.q_mixture_weights,
@@ -719,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": CD.q_winnow_overlap,
         "cdc_segments": CD.q_cdc_segments,
         "cdc_dup_chunks": CD.q_cdc_dup_chunks,
+        "crossdedup_lsh": CD.q_crossdedup_lsh,
         # similarity search
         "knn_bruteforce": CS.q_knn_bruteforce,
         "lsh_bucket_stats": CS.q_lsh_bucket_stats,
@@ -736,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_features": CM.q_decode_features,
         "media_resize": CM.q_media_resize,
         "frame_sample": CM.q_frame_sample,
+        "media_dedup": CM.q_media_dedup,
         # streaming surface, gate-verified via deterministic
         # micro-batch replays (SURVEY.md §2.6)
         "stream_dedup_replay": _q_stream_dedup_replay,
@@ -797,7 +811,10 @@ def oracle_sql() -> dict[str, str]:
         lm as CL,
         packing as CP,
         sampling as CSA,
+        bm25 as CB,
+        normalize as CN,
         textstats as CT,
+        urls as CU,
         webextract as CW,
     )
 
@@ -849,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap": CD.sql_winnow_overlap(),
         "cdc_segments": CD.sql_cdc_segments(),
         "cdc_dup_chunks": CD.sql_cdc_dup_chunks(),
+        "crossdedup_lsh": CD.sql_crossdedup_lsh(),
         "knn_bruteforce": CS.sql_knn_bruteforce(),
         "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),
         "ann_lsh_topk": CS.sql_ann_lsh_topk(),
@@ -868,10 +886,14 @@ def oracle_sql() -> dict[str, str]:
         "decode_features": CM.sql_decode_features(),
         "media_resize": CM.sql_media_resize(),
         "frame_sample": CM.sql_frame_sample(),
+        "media_dedup": CM.sql_media_dedup(),
         "corpus_curation": CC.sql_corpus_curation(),
         "corpus_stats": CT.sql_corpus_stats(),
         "gopher_quality": CF.sql_gopher_quality(),
         "dup_ngrams": CF.sql_dup_ngrams(),
+        "repetition_ladder": CF.sql_repetition_ladder(),
+        "text_normalize": CN.sql_text_normalize(),
+        "normalize_uplift": CN.sql_normalize_uplift(),
         "pii_scrub": CF.sql_pii_scrub(),
         "decontaminate": CF.sql_decontaminate(),
         "bloom_decontaminate": CF.sql_bloom_decontaminate(),
@@ -881,14 +903,20 @@ def oracle_sql() -> dict[str, str]:
         "html_strip": CW.sql_html_strip(),
         "main_content": CW.sql_main_content(),
         "extract_links": CW.sql_extract_links(),
+        "url_normalize": CU.sql_url_normalize(),
+        "domain_stats": CU.sql_domain_stats(),
+        "robots_filter": CU.sql_robots_filter(),
+        "crawl_frontier": CU.sql_crawl_frontier(),
         "link_pagerank": CW.sql_link_pagerank(),
         "anchor_text_agg": CW.sql_anchor_text_agg(),
         "link_cocitation": CW.sql_link_cocitation(),
         "top_ngrams": CK.sql_top_ngrams(),
         "tfidf_topk": CK.sql_tfidf_topk(),
+        "bm25_topk": CB.sql_bm25_topk(),
         "cms_heavy_hitters": CK.sql_cms_heavy_hitters(),
         "kmv_distinct": CK.sql_kmv_distinct(),
         "lm_score": CL.sql_lm_score(),
+        "ccnet_buckets": CL.sql_ccnet_buckets(),
         "stratified_sample": CSA.sql_stratified_sample(),
         "weighted_sample": CSA.sql_weighted_sample(),
         "mixture_weights": CSA.sql_mixture_weights(),

@@ -44,14 +44,18 @@ GROUPS: dict[str, list[str]] = {
     "text": [
         "token_stats", "lang_id", "quality_score", "fingerprint",
         "lang_stats", "corpus_curation", "gopher_quality", "dup_ngrams",
+        "repetition_ladder",
         "pii_scrub", "corpus_stats", "decontaminate",
         "html_strip", "main_content", "top_ngrams", "tfidf_topk",
+        "bm25_topk", "text_normalize", "normalize_uplift",
         "stratified_sample", "weighted_sample", "pack_sequences",
         "shard_manifest",
         "cms_heavy_hitters", "kmv_distinct", "hist_quantiles",
-        "langid_confusion", "lm_score",
+        "langid_confusion", "lm_score", "ccnet_buckets",
         "extract_links", "link_pagerank", "anchor_text_agg",
         "link_cocitation",
+        "url_normalize", "domain_stats", "robots_filter",
+        "crawl_frontier",
         "bloom_decontaminate", "mixture_weights",
         "dsir_weights", "dsir_select",
     ],
@@ -66,13 +70,14 @@ GROUPS: dict[str, list[str]] = {
         "simhash", "simhash_neardup",
         "minhash_signatures",
         "lsh_buckets",
-        "neardup_pairs", "minhash_est_error", "dedup_clusters",
+        "neardup_pairs", "crossdedup_lsh", "minhash_est_error",
+        "dedup_clusters",
         "jaccard_pairs", "dedup_savings", "curation_funnel",
     ],
     "sim": [
         # multimodal first: they are cheap Arrow-stage queries and must
         # not pay for the similarity family's persisted tables
-        "decode_features", "media_resize", "frame_sample",
+        "decode_features", "media_resize", "frame_sample", "media_dedup",
         "knn_bruteforce", "lsh_bucket_stats", "ann_lsh_topk",
         "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "pq_encode",
         "pq_search", "ivfpq_search", "pq_recall", "neardup_cosine",

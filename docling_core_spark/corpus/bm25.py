@@ -1,0 +1,183 @@
+"""BM25 ranked retrieval over the corpus (Robertson & Sparck Jones;
+the Okapi BM25 formula in its Lucene form) — the retrieval half of a
+training-data pipeline: eval-query search, RAG indexing diagnostics,
+and the relevance scorer data-selection recipes rank by.
+
+``bm25_topk`` returns the top-K documents per query for a fixed query
+set. The score is the standard
+
+    sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))    (Lucene's form,
+                                                     always positive)
+
+Cross-engine float discipline (the lm_score rule): each (doc, term)
+partial score is computed with the IDENTICAL left-to-right double
+expression in both dialects, floored to micro units, and summed as
+integers — aggregation order cannot move the result.
+
+100 TB story: the gram stream is cut to query-vocabulary terms by a
+broadcast hash semi-join BEFORE any shuffle (the scan's whole token
+stream never exchanges); df/tf aggregate on uniform (term) / (doc_id,
+term) keys; the per-query top-K runs as a SALTED two-level cut — a
+window over (query_id, salt) keeps K per salt, then the final window
+sees only K x SALTS rows per query — so a query matching 10^10
+documents still never concentrates one partition (the DuckDB oracle
+computes the single-level top-K; the gate proves the two-level cut is
+algebraically identical given the deterministic tie-break).
+
+Reference analog: none (SURVEY.md §2.8); tfidf_topk is the per-doc
+keyword variant, this is cross-doc retrieval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import read_spread
+from .textstats import TOKENS_DUCK, TOKENS_SPARK
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_SALTS = 16
+
+# fixed query set (terms chosen from the synthetic corpus vocabulary)
+BM25_QUERIES = [
+    ("q_hash_join", ["hash", "join"]),
+    ("q_window_sort", ["window", "sort"]),
+    ("q_vector_query", ["vector", "query"]),
+    ("q_stream_batch_dup", ["stream", "batch", "dup"]),
+]
+
+
+def _score_micro(duck: bool) -> str:
+    """Per-(doc, term) BM25 partial in micro units. `tf`, `df`, `dl`
+    BIGINT; `n_docs`, `avgdl` from the broadcast scalar row. The float
+    expression is written ONCE here and rendered per dialect with
+    identical operator order."""
+    idf = "ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
+    dl = "(dl / avgdl)"
+    denom = f"(tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * {dl}))"
+    expr = f"{idf} * tf * ({BM25_K1} + 1) / {denom}"
+    if duck:
+        return f"floor(({expr}) * 1000000)::BIGINT"
+    return f"cast(floor(({expr}) * 1000000) as bigint)"
+
+
+def _query_rows() -> list[tuple[str, str]]:
+    return [(qid, t) for qid, terms in BM25_QUERIES for t in terms]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_spread(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(_query_rows(), ["query_id", "term"])
+    terms = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("term")
+    )
+    # doc lengths + corpus scalars come from the full stream; the
+    # expensive per-term work only from the query-vocab subset
+    dls = docs.select(
+        "doc_id", F.expr(f"cast(size({TOKENS_SPARK}) as bigint)").alias("dl")
+    )
+    scalars = dls.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr("sum(dl) / cast(count(*) as double)").alias("avgdl"),
+    )
+    vocab = qterms.select("term").distinct()
+    hits = terms.join(F.broadcast(vocab), "term")
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select("doc_id", "term", F.expr(_score_micro(False)).alias("s"))
+    )
+    per_query = (
+        scored.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("s").cast("bigint").alias("score_micro"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    # salted two-level top-K (see module docstring)
+    salted = per_query.withColumn(
+        "salt", F.expr(f"cast(doc_id % {BM25_SALTS} as int)")
+    )
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .where(f"r1 <= {BM25_TOPK}")
+        .withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .where(f"rk <= {BM25_TOPK}")
+        .select(
+            "query_id",
+            "rk",
+            "doc_id",
+            "n_terms_hit",
+            F.expr("round(score_micro / cast(1000000 as double), 6)").alias("score"),
+        )
+    )
+
+
+def sql_bm25_topk() -> str:
+    qrows = ", ".join(f"('{q}', '{t}')" for q, t in _query_rows())
+    return f"""
+        WITH qterms(query_id, term) AS (VALUES {qrows}),
+        dls AS (
+            SELECT doc_id, len({TOKENS_DUCK})::BIGINT AS dl
+            FROM documents
+        ),
+        scalars AS (
+            SELECT COUNT(*)::BIGINT AS n_docs,
+                   SUM(dl) / COUNT(*)::DOUBLE AS avgdl
+            FROM dls
+        ),
+        terms AS (
+            SELECT doc_id, unnest({TOKENS_DUCK}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+            FROM terms
+            WHERE term IN (SELECT DISTINCT term FROM qterms)
+            GROUP BY doc_id, term
+        ),
+        dfs AS (
+            SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT doc_id, term, {_score_micro(True)} AS s
+            FROM tf JOIN dfs USING (term)
+            JOIN dls USING (doc_id)
+            CROSS JOIN scalars
+        ),
+        per_query AS (
+            SELECT query_id, doc_id,
+                   SUM(s)::BIGINT AS score_micro,
+                   COUNT(*)::BIGINT AS n_terms_hit
+            FROM scored JOIN qterms USING (term)
+            GROUP BY query_id, doc_id
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, n_terms_hit, score_micro,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id ASC
+                   )::BIGINT AS rk
+            FROM per_query
+        )
+        SELECT query_id, rk, doc_id, n_terms_hit,
+               round(score_micro / 1000000.0, 6) AS score
+        FROM ranked WHERE rk <= {BM25_TOPK}
+    """

@@ -1791,3 +1791,137 @@ def sql_cdc_dup_chunks() -> str:
                    AS dup_token_mass
         FROM segs GROUP BY digest HAVING COUNT(*) >= 2
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot incremental dedup: new crawl batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+CROSS_NEW_MOD = 4  # doc_id % 4 == 0 is the incoming batch (~25%)
+
+
+def q_crossdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the corpus is split into an OLD
+    snapshot (already curated) and a NEW crawl batch (doc_id %
+    CROSS_NEW_MOD == 0), and each new document is checked for a
+    near-duplicate ALREADY IN the old snapshot — the decision table an
+    append-only corpus consults before admitting a batch. One row per
+    new document: its best old-side match (highest verified Jaccard,
+    ties to the smallest old doc_id), the candidate count, and the
+    admit/drop verdict.
+
+    100 TB story: the signature table is the SAME persisted artifact
+    the full-corpus chain uses (an incremental run would read the old
+    side's signatures from storage and compute only the batch's); band
+    keys join new x old directly — candidates are only cross-side, so
+    the old corpus NEVER self-pairs: cost scales with the batch, not
+    the corpus. Verification joins shingles at candidate-set size; the
+    best-match window partitions by new doc_id over candidate-sized
+    partitions. Reference analog: none (SURVEY.md §2.8).
+    """
+    sh = _persisted_shingles(spark, sf_dir)
+    bands = _bands_from_sig(_sig_from_shingles(sh))
+    new_b = bands.where(f"doc_id % {CROSS_NEW_MOD} = 0")
+    old_b = bands.where(f"doc_id % {CROSS_NEW_MOD} != 0")
+    cand = (
+        new_b.alias("n")
+        .join(
+            old_b.alias("o"),
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("o.doc_id").alias("old_id"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("old_id") == F.col("sb.doc_id"))
+        .select(
+            "new_id",
+            "old_id",
+            F.expr(
+                "cast(size(array_intersect(sa.sh, sb.sh)) * 1000000"
+                " div (size(sa.sh) + size(sb.sh)"
+                " - size(array_intersect(sa.sh, sb.sh))) as bigint)"
+            ).alias("j_micro"),
+        )
+        .where(f"j_micro >= {int(C.JACCARD_THRESHOLD * 1_000_000)}")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("j_micro"), F.asc("old_id")
+    )
+    best = (
+        verified.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_candidates",
+            F.count("*").over(Window.partitionBy("new_id")).cast("bigint"),
+        )
+        .where("rk = 1")
+        .select("new_id", "old_id", "j_micro", "n_candidates")
+    )
+    new_docs = read_spread(spark, sf_dir, "documents").where(
+        f"doc_id % {CROSS_NEW_MOD} = 0"
+    )
+    return new_docs.join(
+        best, new_docs.doc_id == best.new_id, "left"
+    ).select(
+        "doc_id",
+        F.col("old_id").alias("match_id"),
+        F.expr("round(j_micro / cast(1000000 as double), 6)").alias("jaccard"),
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.expr("old_id is not null").alias("is_dup"),
+    )
+
+
+def sql_crossdedup_lsh() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {_band_key_duck(b)} AS band_key"
+        f" FROM sig"
+        for b in range(C.LSH_BANDS)
+    )
+    thr = int(C.JACCARD_THRESHOLD * 1_000_000)
+    return f"""
+        WITH {_sig_cte_duck()},
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+            FROM bands n JOIN bands o
+              ON n.band_id = o.band_id AND n.band_key = o.band_key
+            WHERE n.doc_id % {CROSS_NEW_MOD} = 0
+              AND o.doc_id % {CROSS_NEW_MOD} != 0
+        ),
+        verified AS (
+            SELECT new_id, old_id,
+                   (len(list_intersect(sa.sh, sb.sh)) * 1000000
+                    // (len(sa.sh) + len(sb.sh)
+                        - len(list_intersect(sa.sh, sb.sh))))::BIGINT
+                       AS j_micro
+            FROM cand
+            JOIN shs sa ON cand.new_id = sa.doc_id
+            JOIN shs sb ON cand.old_id = sb.doc_id
+        ),
+        kept AS (SELECT * FROM verified WHERE j_micro >= {thr}),
+        best AS (
+            SELECT new_id, old_id, j_micro,
+                   COUNT(*) OVER (PARTITION BY new_id)::BIGINT
+                       AS n_candidates,
+                   row_number() OVER (
+                       PARTITION BY new_id
+                       ORDER BY j_micro DESC, old_id ASC) AS rk
+            FROM kept
+        )
+        SELECT d.doc_id,
+               b.old_id AS match_id,
+               round(b.j_micro / 1000000.0, 6) AS jaccard,
+               COALESCE(b.n_candidates, 0)::BIGINT AS n_candidates,
+               b.old_id IS NOT NULL AS is_dup
+        FROM documents d
+        LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+          ON d.doc_id = b.new_id
+        WHERE d.doc_id % {CROSS_NEW_MOD} = 0
+    """

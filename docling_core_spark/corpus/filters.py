@@ -629,3 +629,236 @@ def sql_bloom_decontaminate() -> str:
         FROM probed
         GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# full Gopher repetition ladder (top n-grams 2-4, duplicate n-grams 5-6)
+# ---------------------------------------------------------------------------
+
+# Public thresholds from Rae et al. 2021 (table A1): top-n-gram char
+# fraction caps for n=2..4 and duplicate-n-gram char fraction caps for
+# n=5,6 (the paper's ladder continues to n=10 with caps 0.13..0.10;
+# this corpus' documents are <=~120 tokens so n>6 rungs are all-zero
+# and add nothing but expression width).
+REP_TOP_THRESH = {2: 0.20, 3: 0.18, 4: 0.16}
+REP_DUP_THRESH = {5: 0.15, 6: 0.14}
+
+
+def _rep_grams_spark(n: int) -> str:
+    return (
+        f"case when size(toks) >= {n} then"
+        f" transform(sequence(1, size(toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(toks, i, {n})))"
+        " else cast(array() as array<string>) end"
+    )
+
+
+def _rep_grams_duck(n: int) -> str:
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN"
+        f" list_transform(range(1, len(toks) - {n - 2}),"
+        f" i -> array_to_string(toks[i:i + {n - 1}], ' '))"
+        " ELSE []::VARCHAR[] END"
+    )
+
+
+def q_repetition_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher repetition ladder, in full (Rae et al. 2021
+    A1.1): for n in {2,3,4} the fraction of token characters claimed by
+    the MOST FREQUENT n-gram (count x the gram's token chars / total
+    token chars); for n in {5,6} the fraction of token characters
+    COVERED by any duplicated n-gram, counting each covered token once
+    even when overlapping duplicated grams claim it repeatedly — the
+    paper's "taking care not to count characters ... more than once"
+    rule, which `dup_ngrams`' mass ratio deliberately simplifies away.
+
+    Ties for the modal gram break to the lexicographically smallest
+    gram (both engines sort ASCII byte-wise), making the char count
+    deterministic. The count x gram-chars product is capped at 1.0 of
+    the doc's chars: overlapping occurrences of the modal gram (e.g. a
+    doc that IS one phrase repeated) otherwise claim more characters
+    than the document has.
+
+    100 TB story: ZERO shuffles — the whole ladder is array lambdas
+    (transform/filter/exists/aggregate) inside one codegen stage over a
+    pruned (doc_id, text) scan. Per-row cost is O(G^2) in the gram
+    count G of one document, the classic per-doc in-memory formulation
+    every public Gopher implementation uses; for a long-document corpus
+    (G >~ 10^3) the groupBy(doc_id, gram) form `dup_ngrams` uses is the
+    shuffle-paying fallback. No join, no window, no Python."""
+    docs = read_spread(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        F.expr(TOKENS_SPARK).alias("toks"),
+    ).select(
+        "doc_id",
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr(
+            "aggregate(toks, 0, (acc, t) -> acc + length(t))"
+        ).alias("tot_chars"),
+        "toks",
+        *[
+            F.expr(_rep_grams_spark(n)).alias(f"g{n}")
+            for n in (*REP_TOP_THRESH, *REP_DUP_THRESH)
+        ],
+    )
+    # modal-gram rungs: count of the most frequent n-gram, then its
+    # token-char mass (gram length minus the n-1 joining spaces)
+    for n in REP_TOP_THRESH:
+        out = out.withColumn(
+            f"topcnt{n}",
+            F.expr(
+                f"coalesce(array_max(transform(g{n},"
+                f" x -> size(filter(g{n}, y -> y = x)))), 0)"
+            ),
+        ).withColumn(
+            f"topchars{n}",
+            F.expr(
+                f"case when topcnt{n} = 0 then 0 else"
+                f" topcnt{n} * (length(element_at(array_sort("
+                f"   filter(g{n}, x -> size(filter(g{n}, y -> y = x))"
+                f"     = topcnt{n})), 1)) - {n - 1}) end"
+            ),
+        )
+    # duplicate-gram rungs: token positions covered by any gram value
+    # occurring >= 2x in the doc, each position's chars counted once.
+    # The duplicated-position array is the FIRST ARGUMENT of the fold,
+    # so it is evaluated once per row even after projection collapse
+    # (as a column reference inside the lambda it would re-run the
+    # O(G^2) scan per token); the fold then merges the [i, i+n-1]
+    # coverage intervals left to right, summing each token's chars the
+    # first time an interval claims it — O(|dup positions| x n) after
+    # the single O(G^2) scan, and free for the dup-free common case.
+    for n in REP_DUP_THRESH:
+        a = "greatest(i, acc.ce + 1)"          # first uncovered pos
+        b = f"i + {n - 1}"                     # interval end
+        out = out.withColumn(
+            f"dupchars{n}",
+            F.expr(
+                f"aggregate("
+                f" filter("
+                f"   if(size(g{n}) = 0, cast(array() as array<int>),"
+                f"      sequence(1, size(g{n}))),"
+                f"   i -> size(filter(g{n},"
+                f"          y -> y = element_at(g{n}, i))) >= 2),"
+                f" named_struct('ch', 0, 'ce', 0),"
+                f" (acc, i) -> named_struct("
+                f"   'ch', acc.ch + if({b} >= {a},"
+                f"     aggregate(slice(toks, {a}, {b} - ({a}) + 1), 0,"
+                f"       (c, t) -> c + length(t)), 0),"
+                f"   'ce', greatest(acc.ce, {b})),"
+                f" acc -> acc.ch)"
+            ),
+        )
+    frac_cols = []
+    for n in REP_TOP_THRESH:
+        frac_cols.append(
+            F.expr(
+                f"case when tot_chars > 0 then"
+                f" round(least(1.0, topchars{n}"
+                f" / cast(tot_chars as double)), 6)"
+                f" else cast(0.0 as double) end"
+            ).alias(f"top_frac_{n}")
+        )
+    for n in REP_DUP_THRESH:
+        frac_cols.append(
+            F.expr(
+                f"case when tot_chars > 0 then"
+                f" round(dupchars{n} / cast(tot_chars as double), 6)"
+                f" else cast(0.0 as double) end"
+            ).alias(f"dup_frac_{n}")
+        )
+    keep = " and ".join(
+        [f"top_frac_{n} <= {t}" for n, t in REP_TOP_THRESH.items()]
+        + [f"dup_frac_{n} <= {t}" for n, t in REP_DUP_THRESH.items()]
+    )
+    return out.select("doc_id", "n_tokens", "tot_chars", *frac_cols).select(
+        "*", F.expr(keep).alias("keep")
+    )
+
+
+def sql_repetition_ladder() -> str:
+    gram_cols = ",\n                   ".join(
+        f"{_rep_grams_duck(n)} AS g{n}"
+        for n in (*REP_TOP_THRESH, *REP_DUP_THRESH)
+    )
+    top_cols = []
+    for n in REP_TOP_THRESH:
+        top_cols.append(
+            f"coalesce(list_max(list_transform(g{n},"
+            f" x -> len(list_filter(g{n}, y -> y = x)))), 0)"
+            f" AS topcnt{n}"
+        )
+    # dp{n} is hoisted into its own CTE column so the O(G^2) scan runs
+    # once per row; the per-token membership test then reads the list
+    # value (DuckDB materializes projection columns, so no recompute)
+    dp_cols = [
+        f"""list_filter(generate_series(1, len(g{n})),
+                i -> len(list_filter(g{n}, y -> y = g{n}[i])) >= 2)
+            AS dp{n}"""
+        for n in REP_DUP_THRESH
+    ]
+    dup_cols = []
+    for n in REP_DUP_THRESH:
+        dup_cols.append(
+            f"""coalesce(list_sum(list_transform(
+                   generate_series(1, len(toks)),
+                   t -> CASE WHEN len(list_filter(dp{n},
+                       i -> i <= t AND t <= i + {n - 1})) > 0
+                   THEN len(toks[t]) ELSE 0 END)), 0)::BIGINT
+                AS dupchars{n}"""
+        )
+    topchar_cols = []
+    for n in REP_TOP_THRESH:
+        topchar_cols.append(
+            f"""CASE WHEN topcnt{n} = 0 THEN 0 ELSE
+                topcnt{n} * (len((list_sort(list_filter(g{n},
+                    x -> len(list_filter(g{n}, y -> y = x))
+                         = topcnt{n})))[1]) - {n - 1}) END
+                AS topchars{n}"""
+        )
+    fracs = []
+    for n in REP_TOP_THRESH:
+        fracs.append(
+            f"CASE WHEN tot_chars > 0 THEN"
+            f" round(least(1.0, topchars{n} / tot_chars::DOUBLE), 6)"
+            f" ELSE 0.0 END AS top_frac_{n}"
+        )
+    for n in REP_DUP_THRESH:
+        fracs.append(
+            f"CASE WHEN tot_chars > 0 THEN"
+            f" round(dupchars{n} / tot_chars::DOUBLE, 6)"
+            f" ELSE 0.0 END AS dup_frac_{n}"
+        )
+    keep = " AND ".join(
+        [f"top_frac_{n} <= {t}" for n, t in REP_TOP_THRESH.items()]
+        + [f"dup_frac_{n} <= {t}" for n, t in REP_DUP_THRESH.items()]
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+        ),
+        gr AS (
+            SELECT doc_id, toks,
+                   len(toks) AS n_tokens,
+                   coalesce(list_sum(list_transform(toks,
+                       t -> len(t))), 0)::BIGINT AS tot_chars,
+                   {gram_cols}
+            FROM toks
+        ),
+        dps AS (
+            SELECT *, {", ".join(dp_cols)} FROM gr
+        ),
+        cnts AS (
+            SELECT *, {", ".join(top_cols)}, {", ".join(dup_cols)}
+            FROM dps
+        ),
+        chars AS (
+            SELECT *, {", ".join(topchar_cols)} FROM cnts
+        ),
+        fr AS (
+            SELECT doc_id, n_tokens, tot_chars, {", ".join(fracs)}
+            FROM chars
+        )
+        SELECT *, ({keep}) AS keep FROM fr
+    """

@@ -105,3 +105,177 @@ def sql_lm_score() -> str:
                    AS avg_logprob
         FROM scored GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# CCNet head / middle / tail perplexity bucketing
+# ---------------------------------------------------------------------------
+
+# histogram bucket width for the per-lang score distribution, in
+# micro-nats of average token log-prob: 0.05 nat per bucket. The avg
+# log-prob is bounded below by -ln(N + V/2) (an unseen-vocab floor), so
+# the per-lang histogram state is a few hundred buckets REGARDLESS of
+# corpus size — the same bounded-state argument as hist_quantiles.
+CCNET_BUCKET_MICRO = 50_000
+
+
+def _logp_micro(duck: bool) -> str:
+    """Integerised micro-nat unigram log-prob (identical float ops
+    left-to-right in both dialects, then floor — the lm_score
+    discipline)."""
+    if duck:
+        return (
+            f"floor(ln((c + {LM_SMOOTH_NUM} / {LM_SMOOTH_DEN}::DOUBLE)"
+            f" / (n_total + {LM_SMOOTH_NUM} * vocab"
+            f" / {LM_SMOOTH_DEN}::DOUBLE)) * 1000000)::BIGINT"
+        )
+    return (
+        f"cast(floor(ln((c + {LM_SMOOTH_NUM} / cast({LM_SMOOTH_DEN} as"
+        f" double)) / (n_total + {LM_SMOOTH_NUM} * vocab"
+        f" / cast({LM_SMOOTH_DEN} as double))) * 1000000) as bigint)"
+    )
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): score
+    every document under the LM, then cut each language's score
+    distribution into terciles — head = the best-scoring third (lowest
+    perplexity), tail = the worst. CCNet computes the cutoffs on a
+    sample; here they come from a per-lang HISTOGRAM of 0.05-nat
+    buckets (bounded state at any corpus size), so a document's label
+    is exact given its bucket and the tercile boundary lands on a
+    bucket edge — the one-bucket-granularity error hist_quantiles
+    documents, applied to the classic CCNet dashboard.
+
+    100 TB story: lm_score's shuffles (vocab-keyed train groupBy,
+    term-keyed scoring join, doc_id-keyed per-doc agg) plus a
+    lang+bucket groupBy whose output is O(langs x 300) rows; the
+    cumulative window and the tercile reduction run on that tiny table
+    and the cutoffs broadcast back onto the corpus. No corpus-wide
+    window, no floats across exchanges."""
+    from pyspark.sql import Window
+
+    docs = read_spread(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", "lang", F.explode(F.expr(TOKENS_SPARK)).alias("term")
+    )
+    counts = terms.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    scalars = counts.agg(
+        F.sum("c").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("vocab"),
+    )
+    per_doc = (
+        terms.join(counts, "term")
+        .crossJoin(F.broadcast(scalars))
+        .select("doc_id", "lang", F.expr(_logp_micro(False)).alias("lp"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lp").cast("bigint").alias("sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(
+                "round(sum_lp / cast(n_tokens as double)"
+                " / 1000000.0, 6)"
+            ).alias("avg_logprob"),
+            F.expr(
+                "cast(floor(sum_lp / cast(n_tokens as double)"
+                f" / {CCNET_BUCKET_MICRO}.0) as bigint)"
+            ).alias("bucket"),
+        )
+    )
+    hist = per_doc.groupBy("lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy("bucket")
+    cum = hist.select(
+        "lang",
+        "bucket",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy("lang")
+        ).alias("n_lang"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(F.when(F.expr("cum * 3 >= n_lang"), F.col("bucket"))).alias(
+            "tail_ub"
+        ),
+        F.min(
+            F.when(F.expr("cum * 3 >= 2 * n_lang"), F.col("bucket"))
+        ).alias("middle_ub"),
+    )
+    return per_doc.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "avg_logprob",
+        "bucket",
+        "tail_ub",
+        "middle_ub",
+        F.expr(
+            "case when bucket <= tail_ub then 'tail'"
+            " when bucket <= middle_ub then 'middle'"
+            " else 'head' end"
+        ).alias("ppl_bucket"),
+    )
+
+
+def sql_ccnet_buckets() -> str:
+    return f"""
+        WITH terms AS (
+            SELECT doc_id, lang, unnest({TOKENS_DUCK}) AS term
+            FROM documents
+        ),
+        counts AS (
+            SELECT term, COUNT(*)::BIGINT AS c FROM terms GROUP BY term
+        ),
+        scalars AS (
+            SELECT sum(c)::BIGINT AS n_total, COUNT(*)::BIGINT AS vocab
+            FROM counts
+        ),
+        per_doc AS (
+            SELECT doc_id, lang,
+                   COUNT(*)::BIGINT AS n_tokens,
+                   round(sum(lp) / COUNT(*)::DOUBLE / 1000000.0, 6)
+                       AS avg_logprob,
+                   floor(sum(lp) / COUNT(*)::DOUBLE
+                         / {CCNET_BUCKET_MICRO}.0)::BIGINT AS bucket
+            FROM (
+                SELECT t.doc_id, t.lang, {_logp_micro(True)} AS lp
+                FROM terms t JOIN counts USING (term)
+                CROSS JOIN scalars
+            ) GROUP BY doc_id, lang
+        ),
+        hist AS (
+            SELECT lang, bucket, COUNT(*)::BIGINT AS cnt
+            FROM per_doc GROUP BY lang, bucket
+        ),
+        cum AS (
+            SELECT lang, bucket,
+                   SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER (PARTITION BY lang) AS n_lang
+            FROM hist
+        ),
+        cuts AS (
+            SELECT lang,
+                   MIN(CASE WHEN cum * 3 >= n_lang THEN bucket END)
+                       AS tail_ub,
+                   MIN(CASE WHEN cum * 3 >= 2 * n_lang THEN bucket END)
+                       AS middle_ub
+            FROM cum GROUP BY lang
+        )
+        SELECT doc_id, p.lang, n_tokens, avg_logprob, bucket,
+               tail_ub, middle_ub,
+               CASE WHEN bucket <= tail_ub THEN 'tail'
+                    WHEN bucket <= middle_ub THEN 'middle'
+                    ELSE 'head' END AS ppl_bucket
+        FROM per_doc p JOIN cuts USING (lang)
+    """

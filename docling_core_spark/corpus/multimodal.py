@@ -235,3 +235,78 @@ def sql_frame_sample() -> str:
         FROM documents
         WHERE doc_id % 3 = 2
     """
+
+
+# ---------------------------------------------------------------------------
+# media_dedup: binary-asset dedup by content digest
+# ---------------------------------------------------------------------------
+
+MEDIA_ASSET_GROUP = 4  # synthetic sharing factor: ~4 docs embed one asset
+
+
+def asset_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the attachment table: every document references one
+    binary asset, and consecutive same-source documents share one
+    (doc_id div 4) — the hotlinked-logo / repeated-stock-photo shape a
+    real crawl's media store sees. Payload bytes are a deterministic
+    function of (asset group, source), with a group-dependent filler so
+    sizes vary."""
+    docs = read_spread(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            f"encode(concat('ASSET-', cast(doc_id div"
+            f" {MEDIA_ASSET_GROUP} as string), '-', source, '-',"
+            f" repeat('x', cast((doc_id div {MEDIA_ASSET_GROUP}) % 7"
+            f" as int) * 16)), 'utf-8')"
+        ).alias("payload"),
+    )
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup over the attachment store: one row per
+    distinct payload digest with its reference count, canonical keeper
+    (min media_id), per-copy size, and the byte savings a
+    dedup-by-digest store realizes. The CommonCrawl/LAION image-dedup
+    step, as a first-class oracle-checked query.
+
+    100 TB story: the payload bytes NEVER cross an exchange — the scan
+    projects (media_id, md5(payload), length(payload)) and only those
+    three narrow columns shuffle into one map-side-combined groupBy on
+    the uniform digest key. Keeper selection is an agg min, not a
+    window; output is distinct-asset-sized, not corpus-sized."""
+    assets = asset_df(spark, sf_dir).select(
+        "media_id",
+        F.md5("payload").alias("digest"),
+        F.expr("cast(length(payload) as bigint)").alias("n_bytes"),
+    )
+    return assets.groupBy("digest").agg(
+        F.count("*").cast("bigint").alias("n_refs"),
+        F.min("media_id").alias("keeper_id"),
+        F.min("n_bytes").alias("bytes_each"),
+        F.expr("cast((count(*) - 1) * min(n_bytes) as bigint)").alias(
+            "wasted_bytes"
+        ),
+    )
+
+
+def sql_media_dedup() -> str:
+    g = MEDIA_ASSET_GROUP
+    payload = (
+        f"'ASSET-' || (doc_id // {g})::VARCHAR || '-' || source || '-'"
+        f" || repeat('x', (((doc_id // {g}) % 7) * 16)::INT)"
+    )
+    return f"""
+        WITH assets AS (
+            SELECT doc_id AS media_id,
+                   md5({payload}) AS digest,
+                   octet_length(encode({payload}))::BIGINT AS n_bytes
+            FROM documents
+        )
+        SELECT digest,
+               COUNT(*)::BIGINT AS n_refs,
+               MIN(media_id) AS keeper_id,
+               MIN(n_bytes) AS bytes_each,
+               ((COUNT(*) - 1) * MIN(n_bytes))::BIGINT AS wasted_bytes
+        FROM assets GROUP BY digest
+    """

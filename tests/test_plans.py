@@ -256,3 +256,70 @@ def test_simhash_neardup_exchange_budget(spark):
     plan = _plan(q_simhash_neardup(spark, SF))
     exchanges = re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
     assert len(exchanges) <= 2, plan
+
+
+def test_url_normalize_zero_shuffle_and_pruned_scan(spark):
+    """Canonicalization is pure per-row expressions: no hash exchange;
+    only doc_id reaches the scan (the URL is synthesised from it)."""
+    import re
+
+    from docling_core_spark.corpus.urls import q_url_normalize
+
+    plan = _plan(q_url_normalize(spark, SF))
+    assert not re.findall(r"hashpartitioning", plan), plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "doc_id" in scan[0] and "text" not in scan[0]
+
+
+def test_repetition_ladder_zero_shuffle(spark):
+    """The full ladder is array lambdas in one codegen stage — no
+    Exchange beyond the read_spread fan-out."""
+    import re
+
+    from docling_core_spark.corpus.filters import q_repetition_ladder
+
+    plan = _plan(q_repetition_ladder(spark, SF))
+    assert not re.findall(r"hashpartitioning", plan), plan
+
+
+def test_media_dedup_single_exchange_no_payload_shuffle(spark):
+    """One digest groupBy; the binary payload is digested BEFORE the
+    exchange so only (digest, id, n_bytes) cross the wire."""
+    import re
+
+    from docling_core_spark.corpus.multimodal import q_media_dedup
+
+    plan = _plan(q_media_dedup(spark, SF))
+    exchanges = re.findall(r"Arguments: hashpartitioning", plan)
+    assert len(exchanges) == 1, plan
+    # downstream of the digest shuffle the payload column is gone —
+    # only (digest, counts) reach the final aggregate
+    assert "payload" not in plan.split("hashpartitioning")[-1], plan
+
+
+def test_robots_filter_broadcasts_rules(spark):
+    from docling_core_spark.corpus.urls import q_robots_filter
+
+    plan = _plan(q_robots_filter(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_crossdedup_never_self_pairs_old_side(spark):
+    """Candidate generation joins new-side bands against old-side bands
+    only — the old corpus must not appear on both sides of the join
+    (cost scales with the batch, not the corpus)."""
+    from docling_core_spark.corpus import dedup as CD
+
+    CD.clear_caches()
+    try:
+        rows = CD.q_crossdedup_lsh(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r["doc_id"] % CD.CROSS_NEW_MOD == 0
+            if r["is_dup"]:
+                assert r["match_id"] % CD.CROSS_NEW_MOD != 0
+                assert r["jaccard"] >= 0.5
+            else:
+                assert r["match_id"] is None and r["n_candidates"] == 0
+    finally:
+        CD.clear_caches()
