@@ -649,7 +649,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         packing as CP,
         sampling as CSA,
         bm25 as CB,
+        domains as CDQ,
+        lm2 as CL2,
         normalize as CN,
+        splits as CSP,
         textstats as CT,
         urls as CU,
         webextract as CW,
@@ -692,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": CU.q_domain_stats,
         "robots_filter": CU.q_robots_filter,
         "crawl_frontier": CU.q_crawl_frontier,
+        "domain_quality": CDQ.q_domain_quality,
+        "data_split": CSP.q_data_split,
         "link_pagerank": CW.q_link_pagerank,
         "anchor_text_agg": CW.q_anchor_text_agg,
         "link_cocitation": CW.q_link_cocitation,
@@ -703,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": CK.q_kmv_distinct,
         "lm_score": CL.q_lm_score,
         "ccnet_buckets": CL.q_ccnet_buckets,
+        "lm2_score": CL2.q_lm2_score,
         "stratified_sample": CSA.q_stratified_sample,
         "weighted_sample": CSA.q_weighted_sample,
         "mixture_weights": CSA.q_mixture_weights,
@@ -732,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_segments": CD.q_cdc_segments,
         "cdc_dup_chunks": CD.q_cdc_dup_chunks,
         "crossdedup_lsh": CD.q_crossdedup_lsh,
+        "split_leakage": CSP.q_split_leakage,
         # similarity search
         "knn_bruteforce": CS.q_knn_bruteforce,
         "lsh_bucket_stats": CS.q_lsh_bucket_stats,
@@ -812,7 +819,10 @@ def oracle_sql() -> dict[str, str]:
         packing as CP,
         sampling as CSA,
         bm25 as CB,
+        domains as CDQ,
+        lm2 as CL2,
         normalize as CN,
+        splits as CSP,
         textstats as CT,
         urls as CU,
         webextract as CW,
@@ -867,6 +877,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_segments": CD.sql_cdc_segments(),
         "cdc_dup_chunks": CD.sql_cdc_dup_chunks(),
         "crossdedup_lsh": CD.sql_crossdedup_lsh(),
+        "split_leakage": CSP.sql_split_leakage(),
         "knn_bruteforce": CS.sql_knn_bruteforce(),
         "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),
         "ann_lsh_topk": CS.sql_ann_lsh_topk(),
@@ -907,6 +918,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": CU.sql_domain_stats(),
         "robots_filter": CU.sql_robots_filter(),
         "crawl_frontier": CU.sql_crawl_frontier(),
+        "domain_quality": CDQ.sql_domain_quality(),
+        "data_split": CSP.sql_data_split(),
         "link_pagerank": CW.sql_link_pagerank(),
         "anchor_text_agg": CW.sql_anchor_text_agg(),
         "link_cocitation": CW.sql_link_cocitation(),
@@ -917,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": CK.sql_kmv_distinct(),
         "lm_score": CL.sql_lm_score(),
         "ccnet_buckets": CL.sql_ccnet_buckets(),
+        "lm2_score": CL2.sql_lm2_score(),
         "stratified_sample": CSA.sql_stratified_sample(),
         "weighted_sample": CSA.sql_weighted_sample(),
         "mixture_weights": CSA.sql_mixture_weights(),

