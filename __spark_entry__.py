@@ -650,7 +650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sampling as CSA,
         bm25 as CB,
         domains as CDQ,
+        drift as CDR,
         lm2 as CL2,
+        mining as CMI,
         normalize as CN,
         splits as CSP,
         textstats as CT,
@@ -709,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": CL.q_lm_score,
         "ccnet_buckets": CL.q_ccnet_buckets,
         "lm2_score": CL2.q_lm2_score,
+        "source_drift": CDR.q_source_drift,
         "stratified_sample": CSA.q_stratified_sample,
         "weighted_sample": CSA.q_weighted_sample,
         "mixture_weights": CSA.q_mixture_weights,
@@ -752,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": CS.q_pq_recall,
         "neardup_cosine": CS.q_neardup_cosine,
         "semdedup_clusters": CS.q_semdedup_clusters,
+        "hard_negatives": CMI.q_hard_negatives,
         # multimodal plumbing
         "decode_features": CM.q_decode_features,
         "media_resize": CM.q_media_resize,
@@ -820,7 +824,9 @@ def oracle_sql() -> dict[str, str]:
         sampling as CSA,
         bm25 as CB,
         domains as CDQ,
+        drift as CDR,
         lm2 as CL2,
+        mining as CMI,
         normalize as CN,
         splits as CSP,
         textstats as CT,
@@ -894,6 +900,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_recall": CS.sql_pq_recall(f"/root/testdata/sf{gate_sf}"),
         "neardup_cosine": CS.sql_neardup_cosine(),
         "semdedup_clusters": CS.sql_semdedup_clusters(),
+        "hard_negatives": CMI.sql_hard_negatives(),
         "decode_features": CM.sql_decode_features(),
         "media_resize": CM.sql_media_resize(),
         "frame_sample": CM.sql_frame_sample(),
@@ -931,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": CL.sql_lm_score(),
         "ccnet_buckets": CL.sql_ccnet_buckets(),
         "lm2_score": CL2.sql_lm2_score(),
+        "source_drift": CDR.sql_source_drift(),
         "stratified_sample": CSA.sql_stratified_sample(),
         "weighted_sample": CSA.sql_weighted_sample(),
         "mixture_weights": CSA.sql_mixture_weights(),

@@ -51,7 +51,7 @@ GROUPS: dict[str, list[str]] = {
         "stratified_sample", "weighted_sample", "pack_sequences",
         "shard_manifest",
         "cms_heavy_hitters", "kmv_distinct", "hist_quantiles",
-        "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score",
+        "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score", "source_drift",
         "extract_links", "link_pagerank", "anchor_text_agg",
         "link_cocitation",
         "url_normalize", "domain_stats", "robots_filter",
@@ -82,7 +82,7 @@ GROUPS: dict[str, list[str]] = {
         "knn_bruteforce", "lsh_bucket_stats", "ann_lsh_topk",
         "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "pq_encode",
         "pq_search", "ivfpq_search", "pq_recall", "neardup_cosine",
-        "semdedup_clusters",
+        "semdedup_clusters", "hard_negatives",
     ],
     "rel": [
         "bbox_ops", "page_cells_in_bbox", "page_crop_text",

@@ -56,10 +56,16 @@ def _score_micro(duck: bool) -> str:
     BIGINT; `n_docs`, `avgdl` from the broadcast scalar row. The float
     expression is written ONCE here and rendered per dialect with
     identical operator order."""
-    idf = "ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
-    dl = "(dl / avgdl)"
-    denom = f"(tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * {dl}))"
-    expr = f"{idf} * tf * ({BM25_K1} + 1) / {denom}"
+    # explicit double casts on the Spark side: bare `bigint + 0.5`
+    # parses the literal as DECIMAL in Spark SQL and the high-precision
+    # decimal quotient can round differently from DuckDB's doubles
+    def d(col: str) -> str:
+        return col if duck else f"cast({col} as double)"
+
+    idf = f"ln(1 + ({d('n_docs')} - {d('df')} + 0.5) / ({d('df')} + 0.5))"
+    dl = f"({d('dl')} / avgdl)"
+    denom = f"({d('tf')} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * {dl}))"
+    expr = f"{idf} * {d('tf')} * ({BM25_K1} + 1) / {denom}"
     if duck:
         return f"floor(({expr}) * 1000000)::BIGINT"
     return f"cast(floor(({expr}) * 1000000) as bigint)"

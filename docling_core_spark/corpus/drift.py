@@ -1,0 +1,126 @@
+"""Per-source distribution drift: smoothed KL divergence of each
+source's unigram distribution from the corpus-wide distribution — the
+monitoring dashboard a continuously-ingesting corpus watches (a crawl
+source whose token distribution walks away from the corpus signals a
+template change, a language shift, or spam injection long before
+per-doc filters catch it).
+
+    KL(P_s || P_c) ~= sum_{w observed in s} P_s(w) * ln(P_s(w)/P_c(w))
+    P_s(w) = (c_s(w) + 0.5) / (N_s + V/2)     (corpus-vocab smoothing)
+    P_c(w) = (c(w) + 0.5) / (N + V/2)
+
+The sum runs over the source's OBSERVED support (terms the source
+actually uses): the unobserved-term remainder is a smoothing artifact
+that shrinks with V and is identical across sources, so the observed-
+support estimate preserves the ranking the dashboard exists for —
+documented as the estimator, not hidden. Per-term contributions are
+floored to micro-nat integers BEFORE summation (the lm_score
+discipline), so engines agree bit-for-bit. Note the observed-support
+sum can be slightly negative for a source that under-uses common
+words — it is a truncated KL, not the full (always >= 0) divergence.
+
+100 TB story: per-(source, term) counts are one map-side-combined
+groupBy on a uniform composite key; the corpus count table joins on
+the uniform term key (sort-merge at prod vocab scale); per-source
+totals and the (N, V) scalars broadcast; the final rollup has
+source-table-sized output.
+
+Reference analog: none (SURVEY.md §2.8). Kullback & Leibler 1951.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import read_spread
+from .textstats import TOKENS_DUCK, TOKENS_SPARK
+
+
+def _contrib_micro(duck: bool) -> str:
+    """Micro-nat KL contribution of one (source, term) row given
+    columns cs, ns, c, n_total, vocab. Identical float ops
+    left-to-right in both dialects, then floor. The Spark branch casts
+    every integer operand to double explicitly: a bare `x + 0.5` /
+    `x / 2.0` parses the literal as DECIMAL in Spark SQL, and decimal
+    rounding diverges from DuckDB's double arithmetic by one micro-nat
+    on a few terms (observed before this cast)."""
+    def d(col: str) -> str:
+        return col if duck else f"cast({col} as double)"
+
+    ps = f"(({d('cs')} + 0.5) / ({d('ns')} + {d('vocab')} / 2.0))"
+    pc = f"(({d('c')} + 0.5) / ({d('n_total')} + {d('vocab')} / 2.0))"
+    e = f"{ps} * ln({ps} / {pc})"
+    if duck:
+        return f"floor(({e}) * 1000000)::BIGINT"
+    return f"cast(floor(({e}) * 1000000) as bigint)"
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_spread(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", F.explode(F.expr(TOKENS_SPARK)).alias("term")
+    )
+    per_st = terms.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("cs")
+    )
+    per_t = per_st.groupBy("term").agg(
+        F.sum("cs").cast("bigint").alias("c")
+    )
+    per_s = per_st.groupBy("source").agg(
+        F.sum("cs").cast("bigint").alias("ns")
+    )
+    scalars = per_t.agg(
+        F.sum("c").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("vocab"),
+    )
+    return (
+        per_st.join(per_t, "term")
+        .join(F.broadcast(per_s), "source")
+        .crossJoin(F.broadcast(scalars))
+        .select("source", "ns", F.expr(_contrib_micro(False)).alias("k"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.max("ns").alias("n_tokens"),
+            F.sum("k").cast("bigint").alias("kl_micro"),
+            F.expr("round(sum(k) / cast(1000000 as double), 6)").alias(
+                "kl_nats"
+            ),
+        )
+    )
+
+
+def sql_source_drift() -> str:
+    return f"""
+        WITH terms AS (
+            SELECT source, unnest({TOKENS_DUCK}) AS term FROM documents
+        ),
+        per_st AS (
+            SELECT source, term, COUNT(*)::BIGINT AS cs
+            FROM terms GROUP BY source, term
+        ),
+        per_t AS (
+            SELECT term, SUM(cs)::BIGINT AS c FROM per_st GROUP BY term
+        ),
+        per_s AS (
+            SELECT source, SUM(cs)::BIGINT AS ns
+            FROM per_st GROUP BY source
+        ),
+        scalars AS (
+            SELECT SUM(c)::BIGINT AS n_total, COUNT(*)::BIGINT AS vocab
+            FROM per_t
+        )
+        SELECT source,
+               COUNT(*)::BIGINT AS n_terms,
+               MAX(ns) AS n_tokens,
+               SUM(k)::BIGINT AS kl_micro,
+               round(SUM(k) / 1000000.0, 6) AS kl_nats
+        FROM (
+            SELECT st.source, ns, {_contrib_micro(True)} AS k
+            FROM per_st st
+            JOIN per_t USING (term)
+            JOIN per_s USING (source)
+            CROSS JOIN scalars
+        ) GROUP BY source
+    """

@@ -45,8 +45,13 @@ def _logp2(duck: bool, c2: str = "c2") -> str:
     the PRECEDING token, NULL for doc-initial), c1 (count of the token
     itself), n_total, vocab. Identical left-to-right float ops in both
     dialects, then floor."""
-    puni = "((c1 + 0.5) / (n_total + vocab / 2.0))"
-    pbi = f"(({c2} + 0.5) / (c1p + vocab / 2.0))"
+    # explicit double casts on the Spark side (see bm25._score_micro:
+    # bare `bigint + 0.5` is DECIMAL arithmetic in Spark SQL)
+    def d(col: str) -> str:
+        return col if duck else f"cast({col} as double)"
+
+    puni = f"(({d('c1')} + 0.5) / ({d('n_total')} + {d('vocab')} / 2.0))"
+    pbi = f"(({d(c2)} + 0.5) / ({d('c1p')} + {d('vocab')} / 2.0))"
     p = (
         f"CASE WHEN c1p IS NULL THEN {puni}"
         f" ELSE {LM2_LAMBDA} * {pbi}"

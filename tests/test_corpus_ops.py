@@ -53,8 +53,10 @@ def _pairs():
         bm25 as CB,
         dedup as CD,
         domains as CDQ,
+        drift as CDR,
         filters as CF,
         lm2 as CL2,
+        mining as CMI,
         multimodal as CM,
         normalize as CN,
         similarity as CS,
@@ -153,6 +155,8 @@ def _pairs():
         "domain_quality": (CDQ.q_domain_quality, CDQ.sql_domain_quality),
         "data_split": (CSP.q_data_split, CSP.sql_data_split),
         "split_leakage": (CSP.q_split_leakage, CSP.sql_split_leakage),
+        "hard_negatives": (CMI.q_hard_negatives, CMI.sql_hard_negatives),
+        "source_drift": (CDR.q_source_drift, CDR.sql_source_drift),
     }
 
 
@@ -994,3 +998,64 @@ def test_domain_quality_consistency(spark):
     for r in rows:
         assert r["keep_ppm"] == r["n_keep"] * 1_000_000 // r["n_pages"]
         assert 0 <= r["dup_ppm"] <= 1_000_000
+
+
+def test_hard_negatives_triplet_invariants(spark):
+    """Negatives sit strictly below the dup threshold; when an anchor
+    has a positive, every triplet margin is positive (pos >= threshold
+    > neg); ranks are dense and ordered by descending neg_cos."""
+    from docling_core_spark.corpus import constants as C
+    from docling_core_spark.corpus import mining as MI
+    from docling_core_spark.corpus import similarity as CS
+
+    CS.clear_caches()
+    try:
+        rows = MI.q_hard_negatives(spark, SF_DIR).collect()
+    finally:
+        CS.clear_caches()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        cos = [r["neg_cos"] for r in rs]
+        assert cos == sorted(cos, reverse=True)
+        for r in rs:
+            assert r["neg_cos"] < C.COSINE_NEARDUP_THRESHOLD
+            if r["pos_cos"] is not None:
+                assert r["pos_cos"] >= C.COSINE_NEARDUP_THRESHOLD
+                assert r["margin"] > 0
+
+
+def test_source_drift_detects_planted_shift(spark, tmp_path):
+    """A source whose vocabulary diverges from the corpus must score a
+    strictly higher KL than sources drawn from the shared
+    distribution."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.corpus import drift as DR
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for i in range(40):
+        src = f"s{i % 4}"
+        text = shared if i % 4 != 3 else "spam spam buy now " * 3
+        rows.append((i, text.strip(), "en", src))
+    pq.write_table(
+        pa.table({
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": [r[3] for r in rows],
+            "n_chars": [len(r[1]) for r in rows],
+        }),
+        tmp_path / "documents.parquet",
+    )
+    kl = {
+        r["source"]: r["kl_micro"]
+        for r in DR.q_source_drift(spark, str(tmp_path)).collect()
+    }
+    assert kl["s3"] > max(kl["s0"], kl["s1"], kl["s2"])

@@ -323,3 +323,30 @@ def test_crossdedup_never_self_pairs_old_side(spark):
                 assert r["match_id"] is None and r["n_candidates"] == 0
     finally:
         CD.clear_caches()
+
+
+def test_bm25_broadcasts_query_vocab(spark):
+    """The query vocabulary must reach the token stream as a broadcast
+    semi-join (no corpus-wide shuffle before the term filter), and the
+    salted cut must keep the heavy window off the raw stream: both
+    row_number windows run AFTER the per-(query, doc) aggregate."""
+    from docling_core_spark.corpus.bm25 import q_bm25_topk
+
+    plan = _plan(q_bm25_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lm2_no_corpus_wide_window(spark):
+    """The bigram LM must never rank or window the corpus: only
+    joins + aggregates may appear."""
+    from docling_core_spark.corpus.lm2 import q_lm2_score
+
+    plan = _plan(q_lm2_score(spark, SF))
+    assert "Window" not in plan, plan
+
+
+def test_source_drift_broadcasts_scalars(spark):
+    from docling_core_spark.corpus.drift import q_source_drift
+
+    plan = _plan(q_source_drift(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
