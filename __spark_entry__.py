@@ -232,6 +232,41 @@ _SQL_EVENTS_RANGE_JOIN_ORACLE = """
 # user once at that offset. Weeks are integer day-counts div 7 from a
 # fixed epoch (date_diff semantics identical in both dialects), so no
 # calendar/timezone logic crosses engines.
+_SQL_EVENTS_FUNNEL = """
+    WITH a AS (
+        SELECT user_id, min(ts) AS ts_a FROM {events}
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    b AS (
+        SELECT e.user_id, min(e.ts) AS ts_b
+        FROM {events} e JOIN a ON e.user_id = a.user_id
+        WHERE e.event_type = 'click' AND e.ts > a.ts_a
+        GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS ts_c
+        FROM {events} e JOIN b ON e.user_id = b.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > b.ts_b
+        GROUP BY e.user_id
+    ),
+    stages AS (
+        SELECT 1 AS stage, 'signup' AS event_type,
+               (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_users
+        UNION ALL
+        SELECT 2, 'click after signup',
+               (SELECT CAST(count(*) AS BIGINT) FROM b)
+        UNION ALL
+        SELECT 3, 'purchase after click',
+               (SELECT CAST(count(*) AS BIGINT) FROM c)
+    )
+    SELECT stage, event_type, n_users,
+           CAST(n_users * 1000000 //
+                (SELECT max(n_users) FROM stages WHERE stage = 1)
+                AS BIGINT) AS conv_ppm
+    FROM stages
+"""
+
+
 _SQL_EVENTS_RETENTION = """
     WITH weeks AS (
         SELECT DISTINCT user_id,
@@ -616,6 +651,25 @@ def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase: users
+    reaching each stage with the event STRICTLY AFTER their previous
+    stage's first occurrence, plus ppm conversion vs stage 1 — the
+    product-analytics staple, in exact integer ppm.
+
+    100 TB story: each stage is a min-agg on the uniform user_id key
+    over a predicate-pruned scan (the event_type filter pushes to
+    parquet); stage joins stay user-keyed; the stage census is 3 rows.
+    The ordered-sequence semantics (ts strictly increasing through the
+    funnel) is what distinguishes this from a naive per-type distinct
+    count. Reference analog: none (SURVEY.md §2.8)."""
+    _spread_view(spark, sf_dir, "events", "events_fun_src")
+    return spark.sql(
+        _SQL_EVENTS_FUNNEL.format(events="events_fun_src")
+        .replace("//", "div")
+    )
+
+
 def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     _spread_view(spark, sf_dir, "events", "events_bt_src")
     return spark.sql(_SQL_EVENTS_BY_TYPE.format(events="events_bt_src"))
@@ -649,8 +703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         packing as CP,
         sampling as CSA,
         bm25 as CB,
+        cohesion as CCO,
         domains as CDQ,
         drift as CDR,
+        heldout as CHO,
         lm2 as CL2,
         mining as CMI,
         normalize as CN,
@@ -712,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": CL.q_ccnet_buckets,
         "lm2_score": CL2.q_lm2_score,
         "source_drift": CDR.q_source_drift,
+        "heldout_ppl": CHO.q_heldout_ppl,
         "stratified_sample": CSA.q_stratified_sample,
         "weighted_sample": CSA.q_weighted_sample,
         "mixture_weights": CSA.q_mixture_weights,
@@ -756,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine": CS.q_neardup_cosine,
         "semdedup_clusters": CS.q_semdedup_clusters,
         "hard_negatives": CMI.q_hard_negatives,
+        "label_cohesion": CCO.q_label_cohesion,
+        "emb_dim_stats": CCO.q_emb_dim_stats,
         # multimodal plumbing
         "decode_features": CM.q_decode_features,
         "media_resize": CM.q_media_resize,
@@ -780,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
         "events_retention": _q_events_retention,
+        "events_funnel": _q_events_funnel,
         "orders_running_total": _q_orders_running_total,
         "supplier_rank": _q_supplier_rank,
     }
@@ -823,8 +883,10 @@ def oracle_sql() -> dict[str, str]:
         packing as CP,
         sampling as CSA,
         bm25 as CB,
+        cohesion as CCO,
         domains as CDQ,
         drift as CDR,
+        heldout as CHO,
         lm2 as CL2,
         mining as CMI,
         normalize as CN,
@@ -901,6 +963,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_cosine": CS.sql_neardup_cosine(),
         "semdedup_clusters": CS.sql_semdedup_clusters(),
         "hard_negatives": CMI.sql_hard_negatives(),
+        "label_cohesion": CCO.sql_label_cohesion(),
+        "emb_dim_stats": CCO.sql_emb_dim_stats(),
         "decode_features": CM.sql_decode_features(),
         "media_resize": CM.sql_media_resize(),
         "frame_sample": CM.sql_frame_sample(),
@@ -939,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": CL.sql_ccnet_buckets(),
         "lm2_score": CL2.sql_lm2_score(),
         "source_drift": CDR.sql_source_drift(),
+        "heldout_ppl": CHO.sql_heldout_ppl(),
         "stratified_sample": CSA.sql_stratified_sample(),
         "weighted_sample": CSA.sql_weighted_sample(),
         "mixture_weights": CSA.sql_mixture_weights(),
@@ -967,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": _SQL_EVENTS_RANGE_JOIN_ORACLE.format(
             win=_RJ_WIN_US
         ),
+        "events_funnel": _SQL_EVENTS_FUNNEL.format(events="events"),
         "events_retention": _SQL_EVENTS_RETENTION.format(
             events="events",
             datediff="date_diff('day', DATE '2024-01-01', ts::DATE)",

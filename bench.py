@@ -51,7 +51,7 @@ GROUPS: dict[str, list[str]] = {
         "stratified_sample", "weighted_sample", "pack_sequences",
         "shard_manifest",
         "cms_heavy_hitters", "kmv_distinct", "hist_quantiles",
-        "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score", "source_drift",
+        "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score", "source_drift", "heldout_ppl",
         "extract_links", "link_pagerank", "anchor_text_agg",
         "link_cocitation",
         "url_normalize", "domain_stats", "robots_filter",
@@ -82,14 +82,15 @@ GROUPS: dict[str, list[str]] = {
         "knn_bruteforce", "lsh_bucket_stats", "ann_lsh_topk",
         "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "pq_encode",
         "pq_search", "ivfpq_search", "pq_recall", "neardup_cosine",
-        "semdedup_clusters", "hard_negatives",
+        "semdedup_clusters", "hard_negatives", "label_cohesion",
+        "emb_dim_stats",
     ],
     "rel": [
         "bbox_ops", "page_cells_in_bbox", "page_crop_text",
         "page_textlines", "page_render_svg",
         "tpch_q1", "top_customers", "events_by_type",
         "events_sessionize", "events_asof", "events_range_join",
-        "events_retention",
+        "events_retention", "events_funnel",
         "orders_running_total",
         "supplier_rank",
     ],

@@ -1,0 +1,241 @@
+"""Per-label embedding cohesion: centroid norm and mean member-to-
+centroid cosine per label — the embedding-space QA dashboard a labeled
+corpus (classifier training data, dedup clusters, topic buckets) is
+checked with before anyone trains on it: a label whose members barely
+point at their own centroid is noise, two labels whose centroids
+coincide are a merge candidate.
+
+Float discipline for a FLOAT-typed vector column: per-dimension values
+are integerised (floor(x * 1e6)) BEFORE the cross-row sum, so the
+centroid numerators are exact BIGINTs in any partition order; the
+centroid itself is then reconstructed as double from those integer
+sums, and each member's dot/norm folds run IN-ROW over the fixed dim
+order 1..64 (deterministic left-to-right in both engines), floored to
+micro before the per-label mean.
+
+100 TB story: the per-(label, dim) sum is one map-side-combined
+groupBy with labels x 64 output rows; centroids rebuild per label from
+64 rows and BROADCAST back onto the embedding scan; the member pass is
+zero-shuffle; the final rollup is label-table-sized. No floats cross
+an exchange un-integerised, no window, no Python.
+
+Reference analog: none (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import constants as C, read_spread
+
+
+def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_spread(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " v -> cast(floor(cast(v as double) * 1000000)"
+                " as bigint))"
+            )
+        ).alias("dim", "md"),
+    )
+    sums = dims.groupBy("label", "dim").agg(
+        F.sum("md").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    cents = sums.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, s))),"
+            " p -> p.s)"
+        ).alias("cs"),
+        F.max("n").alias("n_vecs"),
+    )
+    scored = (
+        emb.join(F.broadcast(cents), "label")
+        .select(
+            "label",
+            "n_vecs",
+            # centroid dim d (double): cs[d] / n / 1e6; folds over the
+            # fixed dim order are in-row and deterministic
+            F.expr(
+                f"""cast(floor(
+                    aggregate(sequence(1, {C.EMB_DIM}), cast(0.0 as double),
+                        (acc, i) -> acc
+                            + cast(element_at(embedding, i) as double)
+                            * (element_at(cs, i) / cast(n_vecs as double)
+                               / 1000000.0))
+                    / (sqrt(aggregate(sequence(1, {C.EMB_DIM}),
+                            cast(0.0 as double),
+                            (acc, i) -> acc
+                                + cast(element_at(embedding, i) as double)
+                                * cast(element_at(embedding, i) as double)))
+                       * sqrt(aggregate(sequence(1, {C.EMB_DIM}),
+                            cast(0.0 as double),
+                            (acc, i) -> acc
+                                + (element_at(cs, i)
+                                   / cast(n_vecs as double) / 1000000.0)
+                                * (element_at(cs, i)
+                                   / cast(n_vecs as double) / 1000000.0))))
+                    * 1000000) as bigint)"""
+            ).alias("cos_micro"),
+            F.expr(
+                f"""cast(floor(
+                    sqrt(aggregate(sequence(1, {C.EMB_DIM}),
+                        cast(0.0 as double),
+                        (acc, i) -> acc
+                            + (element_at(cs, i)
+                               / cast(n_vecs as double) / 1000000.0)
+                            * (element_at(cs, i)
+                               / cast(n_vecs as double) / 1000000.0)))
+                    * 1000000) as bigint)"""
+            ).alias("cnorm_micro"),
+        )
+    )
+    return scored.groupBy("label").agg(
+        F.max("n_vecs").alias("n_vecs"),
+        F.max("cnorm_micro").alias("centroid_norm_micro"),
+        F.expr(
+            "round(sum(cos_micro) / cast(count(*) as double)"
+            " / 1000000.0, 6)"
+        ).alias("mean_cos"),
+    )
+
+
+def sql_label_cohesion() -> str:
+    d = C.EMB_DIM
+    cd = "(cs[i] / n_vecs::DOUBLE / 1000000.0)"
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {d}),"
+        f" i -> embedding[i]::DOUBLE * {cd}))"
+    )
+    nv = (
+        f"list_sum(list_transform(generate_series(1, {d}),"
+        f" i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))"
+    )
+    nc = (
+        f"list_sum(list_transform(generate_series(1, {d}),"
+        f" i -> {cd} * {cd}))"
+    )
+    return f"""
+        WITH dims AS (
+            SELECT label, i AS dim,
+                   floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS md
+            FROM embeddings,
+                 unnest(generate_series(1, {d})) AS t(i)
+        ),
+        sums AS (
+            SELECT label, dim, SUM(md)::BIGINT AS s,
+                   COUNT(*)::BIGINT AS n
+            FROM dims GROUP BY label, dim
+        ),
+        cents AS (
+            SELECT label,
+                   list(s ORDER BY dim) AS cs,
+                   MAX(n) AS n_vecs
+            FROM sums GROUP BY label
+        ),
+        scored AS (
+            SELECT e.label, n_vecs,
+                   floor({dot} / (sqrt({nv}) * sqrt({nc}))
+                         * 1000000)::BIGINT AS cos_micro,
+                   floor(sqrt({nc}) * 1000000)::BIGINT AS cnorm_micro
+            FROM embeddings e JOIN cents USING (label)
+        )
+        SELECT label,
+               MAX(n_vecs) AS n_vecs,
+               MAX(cnorm_micro) AS centroid_norm_micro,
+               round(SUM(cos_micro) / COUNT(*)::DOUBLE / 1000000.0, 6)
+                   AS mean_cos
+        FROM scored GROUP BY label
+    """
+
+
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health census: n_zero (dead-dimension
+    signal), exact min/max in micro units, mean and RMS per dim — the
+    first dashboard run on any new embedding dump (a dim that is zero
+    everywhere means a truncated export; a dim whose RMS dwarfs the
+    others breaks cosine geometry).
+
+    Float discipline: values integerise in-row (floor(x*1e6) for
+    sums/extremes, floor(x*1e3) for the squared term so Σq² stays
+    within BIGINT to ~9e12 vectors) BEFORE any cross-row aggregation,
+    so every aggregate is an exact integer in any partition order;
+    mean/RMS are derived from those exact integers at the very end.
+
+    100 TB story: posexplode fans each row to 64, but the groupBy key
+    is the 64-value dim id, so partial (map-side) aggregation collapses
+    every partition to <=64 rows before the one exchange; the output is
+    64 rows. No window, no Python, no floats across the exchange.
+    Reference analog: none (SURVEY.md §2.8)."""
+    emb = read_spread(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(
+            F.expr(
+                "transform(embedding, v -> struct("
+                " cast(floor(cast(v as double) * 1000000) as bigint)"
+                "   as md,"
+                " cast(floor(cast(v as double) * 1000) as bigint)"
+                "   as mq))"
+            )
+        ).alias("pos", "m"),
+    ).select(
+        (F.col("pos") + F.lit(1)).alias("dim"),
+        F.col("m.md").alias("md"),
+        F.col("m.mq").alias("mq"),
+    )
+    return (
+        dims.groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(F.expr("cast(md = 0 as bigint)")).cast("bigint")
+            .alias("n_zero"),
+            F.min("md").cast("bigint").alias("min_micro"),
+            F.max("md").cast("bigint").alias("max_micro"),
+            F.sum("md").cast("bigint").alias("sum_micro"),
+            F.sum(F.expr("mq * mq")).cast("bigint").alias("sumsq_milli"),
+        )
+        .select(
+            "dim", "n_vecs", "n_zero", "min_micro", "max_micro",
+            F.expr(
+                "round(sum_micro / cast(n_vecs as double)"
+                " / 1000000.0, 6)"
+            ).alias("mean"),
+            F.expr(
+                "round(sqrt(sumsq_milli / cast(n_vecs as double))"
+                " / 1000.0, 6)"
+            ).alias("rms"),
+        )
+    )
+
+
+def sql_emb_dim_stats() -> str:
+    d = C.EMB_DIM
+    return f"""
+        WITH dims AS (
+            SELECT i AS dim,
+                   floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS md,
+                   floor(embedding[i]::DOUBLE * 1000)::BIGINT AS mq
+            FROM embeddings,
+                 unnest(generate_series(1, {d})) AS t(i)
+        ),
+        aggd AS (
+            SELECT dim,
+                   COUNT(*)::BIGINT AS n_vecs,
+                   SUM(CASE WHEN md = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_zero,
+                   MIN(md)::BIGINT AS min_micro,
+                   MAX(md)::BIGINT AS max_micro,
+                   SUM(md)::BIGINT AS sum_micro,
+                   SUM(mq * mq)::BIGINT AS sumsq_milli
+            FROM dims GROUP BY dim
+        )
+        SELECT dim, n_vecs, n_zero, min_micro, max_micro,
+               round(sum_micro / n_vecs::DOUBLE / 1000000.0, 6) AS mean,
+               round(sqrt(sumsq_milli / n_vecs::DOUBLE) / 1000.0, 6)
+                   AS rms
+        FROM aggd
+    """

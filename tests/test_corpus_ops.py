@@ -51,10 +51,12 @@ def duck():
 def _pairs():
     from docling_core_spark.corpus import (
         bm25 as CB,
+        cohesion as CCO,
         dedup as CD,
         domains as CDQ,
         drift as CDR,
         filters as CF,
+        heldout as CHO,
         lm2 as CL2,
         mining as CMI,
         multimodal as CM,
@@ -157,6 +159,9 @@ def _pairs():
         "split_leakage": (CSP.q_split_leakage, CSP.sql_split_leakage),
         "hard_negatives": (CMI.q_hard_negatives, CMI.sql_hard_negatives),
         "source_drift": (CDR.q_source_drift, CDR.sql_source_drift),
+        "heldout_ppl": (CHO.q_heldout_ppl, CHO.sql_heldout_ppl),
+        "label_cohesion": (CCO.q_label_cohesion, CCO.sql_label_cohesion),
+        "emb_dim_stats": (CCO.q_emb_dim_stats, CCO.sql_emb_dim_stats),
     }
 
 
@@ -1059,3 +1064,125 @@ def test_source_drift_detects_planted_shift(spark, tmp_path):
         for r in DR.q_source_drift(spark, str(tmp_path)).collect()
     }
     assert kl["s3"] > max(kl["s0"], kl["s1"], kl["s2"])
+
+
+def test_heldout_ppl_oov_and_gap(spark, tmp_path):
+    """Planted construction: a word that appears ONLY in heldout docs
+    must register as OOV there, drive heldout perplexity above train
+    perplexity, and never corrupt the train row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.corpus import heldout as HO
+    from docling_core_spark.corpus.splits import _split_expr
+
+    import duckdb
+
+    base = "alpha beta gamma delta epsilon"
+    # find doc_ids landing in each split under the real split hash
+    con = duckdb.connect()
+    split_of = dict(
+        con.execute(
+            "SELECT doc_id, " + _split_expr(True)
+            + " FROM (SELECT unnest(range(0, 400)) AS doc_id)"
+        ).fetchall()
+    )
+    train_ids = [i for i, s in split_of.items() if s == "train"][:30]
+    ho_ids = [i for i, s in split_of.items() if s != "train"][:10]
+    assert train_ids and ho_ids
+    rows = [(i, base) for i in train_ids] + [
+        (i, base + " zxqwv") for i in ho_ids  # zxqwv never in train
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }),
+        tmp_path / "documents.parquet",
+    )
+    out = {r["split"]: r for r in HO.q_heldout_ppl(spark, str(tmp_path)).collect()}
+    assert out["train"]["n_oov"] == 0
+    ho_rows = [out[s] for s in ("val", "test") if s in out]
+    assert sum(r["n_oov"] for r in ho_rows) == len(ho_ids)
+    assert all(
+        r["perplexity"] > out["train"]["perplexity"] for r in ho_rows
+    )
+
+
+def test_events_funnel_monotone(spark):
+    import __spark_entry__ as E
+
+    rows = {r["stage"]: r for r in E.queries()["events_funnel"](
+        spark, SF_DIR).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
+    assert rows[1]["conv_ppm"] == 1_000_000
+    for r in rows.values():
+        assert r["conv_ppm"] == r["n_users"] * 1_000_000 // rows[1]["n_users"]
+
+
+def test_label_cohesion_planted_tight_cluster(spark, tmp_path):
+    """A label whose members all point the same way must out-cohere
+    labels with random members."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.corpus import cohesion as CO
+    from docling_core_spark.corpus import constants as C
+
+    rng = np.random.default_rng(7)
+    tight = np.tile(
+        rng.normal(size=C.EMB_DIM), (20, 1)
+    ) + rng.normal(scale=0.01, size=(20, C.EMB_DIM))
+    loose = rng.normal(size=(20, C.EMB_DIM))
+    vecs = np.vstack([tight, loose]).astype("float32")
+    pq.write_table(
+        pa.table({
+            "vec_id": list(range(40)),
+            "embedding": [list(map(float, v)) for v in vecs],
+            "label": [0] * 20 + [1] * 20,
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    rows = {r["label"]: r for r in CO.q_label_cohesion(
+        spark, str(tmp_path)).collect()}
+    assert rows[0]["mean_cos"] > 0.95
+    assert rows[0]["mean_cos"] > rows[1]["mean_cos"] + 0.3
+
+
+def test_emb_dim_stats_planted_dead_and_hot_dim(spark, tmp_path):
+    """A dim that is zero everywhere must show n_zero == n_vecs; a dim
+    scaled 10x must dominate the RMS census; min/max micros are exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.corpus import cohesion as CO
+    from docling_core_spark.corpus import constants as C
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(30, C.EMB_DIM))
+    vecs[:, 4] = 0.0          # dead dim 5 (1-based)
+    vecs[:, 9] *= 10.0        # hot dim 10
+    vecs = vecs.astype("float32")
+    pq.write_table(
+        pa.table({
+            "vec_id": list(range(30)),
+            "embedding": [list(map(float, v)) for v in vecs],
+            "label": [0] * 30,
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    rows = {r["dim"]: r for r in CO.q_emb_dim_stats(
+        spark, str(tmp_path)).collect()}
+    assert len(rows) == C.EMB_DIM
+    assert rows[5]["n_zero"] == rows[5]["n_vecs"] == 30
+    assert rows[5]["min_micro"] == rows[5]["max_micro"] == 0
+    assert rows[10]["rms"] == max(r["rms"] for r in rows.values())
+    import math
+    exp_max = math.floor(float(vecs[:, 9].max()) * 1_000_000)
+    assert rows[10]["max_micro"] == exp_max
