@@ -691,6 +691,16 @@ def _q_stream_windowed_replay(
     return q_stream_windowed_replay(spark, sf_dir)
 
 
+def _q_stream_sessionize_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from docling_core_spark.streaming.replay import (
+        q_stream_sessionize_replay,
+    )
+
+    return q_stream_sessionize_replay(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_core_spark.corpus import (
         curation as CC,
@@ -824,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # micro-batch replays (SURVEY.md §2.6)
         "stream_dedup_replay": _q_stream_dedup_replay,
         "stream_windowed_replay": _q_stream_windowed_replay,
+        "stream_sessionize_replay": _q_stream_sessionize_replay,
         # layout geometry (bbox interval algebra, SURVEY.md §1.3)
         "bbox_ops": _q_bbox_ops,
         # page-parse layer (SURVEY.md §1.6): cells-table ops
@@ -868,6 +879,7 @@ def _stream_oracle(which: str) -> str:
     return {
         "dedup": R.sql_stream_dedup_replay,
         "windowed": R.sql_stream_windowed_replay,
+        "sessionize": R.sql_stream_sessionize_replay,
     }[which]()
 
 
@@ -1016,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": CC.sql_curation_funnel(),
         "stream_dedup_replay": _stream_oracle("dedup"),
         "stream_windowed_replay": _stream_oracle("windowed"),
+        "stream_sessionize_replay": _stream_oracle("sessionize"),
         "bbox_ops": _bbox_oracle(),
         "page_cells_in_bbox": _pages_oracle("cells_in_bbox"),
         "page_crop_text": _pages_oracle("crop_text"),

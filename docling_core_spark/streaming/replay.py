@@ -143,6 +143,110 @@ def sql_stream_dedup_replay() -> str:
     """
 
 
+def q_stream_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table through the stateful gap-sessionizer
+    (sessions.py) in N_BATCHES event-time-ordered micro-batches and
+    return the final sink: every session CLOSED by a successor event.
+
+    The batch cut is an event-time RANGE split (batch k = k-th quantile
+    of the epoch-us range), so the feed is event-time monotonic across
+    batches — the precondition under which the closed-session set is a
+    pure function of the input (sessions.py docstring) and a DuckDB
+    window oracle reproduces it exactly. The range bounds are a 2-value
+    driver-side agg (same footprint as the snapshot pins in
+    sources/table_io.py). Each user's final session never closes by
+    successor and stays in state — exactly what a real perpetual ingest
+    would hold open (the event_time timeout mode closes those; its
+    firing instant is a watermark race, so the gate pins the
+    deterministic core)."""
+    from .sessions import sessionize_stream
+
+    base = tempfile.mkdtemp(prefix="sessionize-replay-")
+    input_dir, output_dir, ckpt = (
+        f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    )
+    try:
+        os.makedirs(input_dir)
+        events = read_spread(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).cast("long").alias("ts_us"),
+        )
+        mn, mx = events.agg(
+            F.min("ts_us"), F.max("ts_us")
+        ).first()
+        span = max(int(mx) - int(mn) + 1, 1)
+        events = events.withColumn(
+            "b",
+            F.least(
+                F.lit(N_BATCHES - 1),
+                ((F.col("ts_us") - F.lit(int(mn)))
+                 * N_BATCHES / F.lit(span)).cast("int"),
+            ),
+        )
+        batch_schema = events.drop("b", "ts_us").schema
+        with _stream_width(spark):
+            for k in range(N_BATCHES):
+                _stage_batch(
+                    events.filter(F.col("b") == k)
+                    .select("event_id", "user_id", "ts"),
+                    input_dir, k,
+                )
+                q = sessionize_stream(
+                    spark, input_dir, output_dir, ckpt,
+                    schema=batch_schema, timeout_mode="none",
+                )
+                _drain(q, "stream_sessionize_replay")
+        return spark.read.parquet(output_dir).select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("session_start_us").cast("bigint")
+            .alias("session_start_us"),
+            F.col("session_end_us").cast("bigint")
+            .alias("session_end_us"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def sql_stream_sessionize_replay() -> str:
+    from .sessions import SESSION_GAP_US
+
+    return f"""
+        WITH e AS (
+            SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS ts_us
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, ts_us,
+                   CASE WHEN lag(ts_us) OVER w IS NULL
+                          OR ts_us - lag(ts_us) OVER w
+                             > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS ns
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        ),
+        s AS (
+            SELECT user_id, ts_us,
+                   SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS sid
+            FROM g
+        ),
+        sess AS (
+            SELECT user_id, sid,
+                   MIN(ts_us)::BIGINT AS session_start_us,
+                   MAX(ts_us)::BIGINT AS session_end_us,
+                   COUNT(*)::BIGINT AS n_events
+            FROM s GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start_us, session_end_us, n_events
+        FROM sess
+        QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
+    """
+
+
 def q_stream_windowed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events table through the watermarked tumbling-window
     aggregation (windowed.py) in N_BATCHES deterministic micro-batches
