@@ -716,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cohesion as CCO,
         domains as CDQ,
         drift as CDR,
+        fertility as CFE,
         heldout as CHO,
         lm2 as CL2,
         mining as CMI,
@@ -779,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm2_score": CL2.q_lm2_score,
         "source_drift": CDR.q_source_drift,
         "heldout_ppl": CHO.q_heldout_ppl,
+        "tok_fertility": CFE.q_tok_fertility,
         "stratified_sample": CSA.q_stratified_sample,
         "weighted_sample": CSA.q_weighted_sample,
         "mixture_weights": CSA.q_mixture_weights,
@@ -898,6 +900,7 @@ def oracle_sql() -> dict[str, str]:
         cohesion as CCO,
         domains as CDQ,
         drift as CDR,
+        fertility as CFE,
         heldout as CHO,
         lm2 as CL2,
         mining as CMI,
@@ -927,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
             "pipeline_chunks", "pipeline_chunks_hybrid",
             "pipeline_chunks_hybrid_ref",
             "media_externalize", "pipeline_export_variants",
+            "tok_fertility",
         )
         if os.path.exists(f"{g}/{name}.parquet")
     }

@@ -52,6 +52,7 @@ GROUPS: dict[str, list[str]] = {
         "shard_manifest",
         "cms_heavy_hitters", "kmv_distinct", "hist_quantiles",
         "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score", "source_drift", "heldout_ppl",
+        "tok_fertility",
         "extract_links", "link_pagerank", "anchor_text_agg",
         "link_cocitation",
         "url_normalize", "domain_stats", "robots_filter",

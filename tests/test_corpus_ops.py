@@ -55,6 +55,7 @@ def _pairs():
         dedup as CD,
         domains as CDQ,
         drift as CDR,
+        fertility as CFE,
         filters as CF,
         heldout as CHO,
         lm2 as CL2,
@@ -162,6 +163,9 @@ def _pairs():
         "heldout_ppl": (CHO.q_heldout_ppl, CHO.sql_heldout_ppl),
         "label_cohesion": (CCO.q_label_cohesion, CCO.sql_label_cohesion),
         "emb_dim_stats": (CCO.q_emb_dim_stats, CCO.sql_emb_dim_stats),
+        "tok_fertility": (
+            CFE.q_tok_fertility, lambda: CFE.sql_tok_fertility(SF_DIR),
+        ),
     }
 
 
@@ -1186,3 +1190,38 @@ def test_emb_dim_stats_planted_dead_and_hot_dim(spark, tmp_path):
     import math
     exp_max = math.floor(float(vecs[:, 9].max()) * 1_000_000)
     assert rows[10]["max_micro"] == exp_max
+
+
+def test_tok_fertility_counts_unk_and_fertility(spark, tmp_path):
+    """Planted: a vocab-covered word yields no [UNK]; gibberish with
+    characters outside the vocab alphabet tokenizes to [UNK] and is
+    counted; fertility_ppm is the exact integer tokens-per-word ppm."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.chunk.wordpiece import load_default
+    from docling_core_spark.corpus import fertility as FE
+
+    tok = load_default()
+    covered = "the"
+    gib = "☃☄☠"  # snowman etc.: outside the vocab alphabet
+    assert tok.wordpiece(gib) == ["[UNK]"]
+    n_tok_covered = len(tok.wordpiece(covered))
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2],
+            "text": [f"{covered} {covered}", f"{covered} {gib}"],
+            "lang": ["en", "zz"],
+            "source": ["t", "t"],
+            "n_chars": [7, 5],
+        }),
+        tmp_path / "documents.parquet",
+    )
+    rows = {r["lang"]: r for r in FE.q_tok_fertility(
+        spark, str(tmp_path)).collect()}
+    assert rows["en"]["n_unk"] == 0
+    assert rows["en"]["n_tokens"] == 2 * n_tok_covered
+    assert rows["en"]["fertility_ppm"] == (
+        2 * n_tok_covered * 1_000_000 // 2
+    )
+    assert rows["zz"]["n_unk"] == 1
