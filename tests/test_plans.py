@@ -350,3 +350,44 @@ def test_source_drift_broadcasts_scalars(spark):
 
     plan = _plan(q_source_drift(spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_emb_dim_stats_partial_agg_single_exchange(spark):
+    """The 64-key dim census must collapse map-side: HashAggregate
+    with partial_ BEFORE the single rollup exchange (+ read_spread
+    fan-out); no window, no Python."""
+    import re
+
+    from docling_core_spark.corpus.cohesion import q_emb_dim_stats
+
+    plan = _plan(q_emb_dim_stats(spark, SF))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 2, plan
+    assert "partial_" in plan.lower(), plan
+    assert "Window" not in plan, plan
+
+
+def test_tok_fertility_one_exchange_pruned_scan(spark):
+    """The Arrow tokenizer stage pre-aggregates per batch, so the plan
+    is scan -> mapInPandas -> one lang-keyed rollup exchange; only
+    (lang, text) reach the parquet scan."""
+    import re
+
+    from docling_core_spark.corpus.fertility import q_tok_fertility
+
+    plan = _plan(q_tok_fertility(spark, SF))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 2, plan  # rollup + read_spread fan-out
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "text" in scan[0] and "lang" in scan[0], plan
+    assert "n_chars" not in scan[0] and "source" not in scan[0], plan
+
+
+def test_events_funnel_pushes_type_predicates(spark):
+    """Each funnel stage's event_type filter must reach the scan, and
+    no stage may plan a nested-loop join."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["events_funnel"](spark, SF))
+    assert "NestedLoop" not in plan, plan
+    assert "PushedFilters" in plan and "event_type" in plan, plan
