@@ -771,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_cocitation": CW.q_link_cocitation,
         # corpus keywords
         "top_ngrams": CK.q_top_ngrams,
+        "pmi_pairs": CK.q_pmi_pairs,
         "tfidf_topk": CK.q_tfidf_topk,
         "bm25_topk": CB.q_bm25_topk,
         "cms_heavy_hitters": CK.q_cms_heavy_hitters,
@@ -1011,6 +1012,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_agg": CW.sql_anchor_text_agg(),
         "link_cocitation": CW.sql_link_cocitation(),
         "top_ngrams": CK.sql_top_ngrams(),
+        "pmi_pairs": CK.sql_pmi_pairs(),
         "tfidf_topk": CK.sql_tfidf_topk(),
         "bm25_topk": CB.sql_bm25_topk(),
         "cms_heavy_hitters": CK.sql_cms_heavy_hitters(),

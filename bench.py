@@ -46,7 +46,7 @@ GROUPS: dict[str, list[str]] = {
         "lang_stats", "corpus_curation", "gopher_quality", "dup_ngrams",
         "repetition_ladder",
         "pii_scrub", "corpus_stats", "decontaminate",
-        "html_strip", "main_content", "top_ngrams", "tfidf_topk",
+        "html_strip", "main_content", "top_ngrams", "pmi_pairs", "tfidf_topk",
         "bm25_topk", "text_normalize", "normalize_uplift",
         "stratified_sample", "weighted_sample", "pack_sequences",
         "shard_manifest",

@@ -397,3 +397,114 @@ def sql_kmv_distinct() -> str:
                           / exact_distinct::DOUBLE, 6) END AS rel_error
         FROM sketch CROSS JOIN exact
     """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5   # count floor: PMI is unstable on rare pairs
+PMI_TOPK = 100
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigram collocations by pointwise mutual information
+    PMI(a,b) = ln( p(ab) / (p(a) p(b)) ) with a count floor — the
+    classic collocation detector (Church & Hanks 1990): high-PMI pairs
+    are multiword units ("los angeles"), low/negative PMI at high count
+    is boilerplate glue.
+
+    Float discipline: the probability ratio is assembled as ONE double
+    expression in identical left-to-right order in both dialects —
+    (c_ab * N * N) / (M * c_a * c_b), all factors exact BIGINT counts,
+    products in double (IEEE multiplication is order-deterministic),
+    ln is 1-ulp libm in both engines (same contract as tfidf/lm_score),
+    and the result is floored to micro-nats BEFORE ordering, with a
+    lexical gram tie-break, so the top-k cut is identical.
+
+    100 TB story: bigram and unigram counts are two map-side-combined
+    groupBys on uniform term keys; the count floor cuts the bigram
+    table BEFORE the two vocabulary-keyed joins; the corpus scalars
+    (N, M) broadcast; the final cut is TakeOrdered, never a full sort.
+    Reference analog: none (SURVEY.md §2.8)."""
+    grams = _bigram_rows(spark, sf_dir)
+    big = (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+    )
+    m_tot = big.agg(
+        F.sum("c_ab").cast("bigint").alias("m_tot")
+    )
+    docs = read_spread(spark, sf_dir, "documents")
+    uni = (
+        docs.select(
+            F.explode(F.expr(TOKENS_SPARK)).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n_tot = uni.agg(F.sum("c").cast("bigint").alias("n_tot"))
+    cand = (
+        big.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.expr("element_at(split(gram, ' '), 1)"))
+        .withColumn("w2", F.expr("element_at(split(gram, ' '), 2)"))
+        .join(uni.select(F.col("tok").alias("w1"),
+                         F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"),
+                         F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(m_tot))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "gram",
+            F.col("c_ab").alias("n_occurrences"),
+            F.expr(
+                "cast(floor(ln((cast(c_ab as double) * n_tot * n_tot)"
+                " / (cast(m_tot as double) * c_a * c_b))"
+                " * 1000000) as bigint)"
+            ).alias("pmi_micro"),
+        )
+    )
+    top = cand.orderBy(
+        F.desc("pmi_micro"), F.asc("gram")
+    ).limit(PMI_TOPK)
+    w = Window.orderBy(F.desc("pmi_micro"), F.asc("gram"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "gram", "n_occurrences", "pmi_micro",
+    )
+
+
+def sql_pmi_pairs() -> str:
+    return f"""
+        WITH grams AS ({_grams_select_duck()}
+        ),
+        big AS (
+            SELECT gram, COUNT(*)::BIGINT AS c_ab
+            FROM grams GROUP BY gram
+        ),
+        m_tot AS (SELECT SUM(c_ab)::BIGINT AS m_tot FROM big),
+        uni AS (
+            SELECT tok, COUNT(*)::BIGINT AS c
+            FROM (SELECT unnest({TOKENS_DUCK}) AS tok FROM documents)
+            GROUP BY tok
+        ),
+        n_tot AS (SELECT SUM(c)::BIGINT AS n_tot FROM uni),
+        cand AS (
+            SELECT b.gram, b.c_ab AS n_occurrences,
+                   floor(ln((b.c_ab::DOUBLE * n_tot * n_tot)
+                            / (m_tot::DOUBLE * u1.c * u2.c))
+                         * 1000000)::BIGINT AS pmi_micro
+            FROM big b
+            JOIN uni u1 ON u1.tok = str_split(b.gram, ' ')[1]
+            JOIN uni u2 ON u2.tok = str_split(b.gram, ' ')[2]
+            CROSS JOIN m_tot CROSS JOIN n_tot
+            WHERE b.c_ab >= {PMI_MIN_COUNT}
+        )
+        SELECT row_number() OVER (
+                   ORDER BY pmi_micro DESC, gram ASC
+               )::BIGINT AS rank,
+               gram, n_occurrences, pmi_micro
+        FROM cand
+        ORDER BY pmi_micro DESC, gram ASC
+        LIMIT {PMI_TOPK}
+    """

@@ -58,6 +58,7 @@ def _pairs():
         fertility as CFE,
         filters as CF,
         heldout as CHO,
+        keywords as CK,
         lm2 as CL2,
         mining as CMI,
         multimodal as CM,
@@ -166,6 +167,7 @@ def _pairs():
         "tok_fertility": (
             CFE.q_tok_fertility, lambda: CFE.sql_tok_fertility(SF_DIR),
         ),
+        "pmi_pairs": (CK.q_pmi_pairs, CK.sql_pmi_pairs),
     }
 
 
@@ -1225,3 +1227,30 @@ def test_tok_fertility_counts_unk_and_fertility(spark, tmp_path):
         2 * n_tok_covered * 1_000_000 // 2
     )
     assert rows["zz"]["n_unk"] == 1
+
+
+def test_pmi_pairs_planted_collocation(spark, tmp_path):
+    """A planted always-adjacent pair must out-PMI a pair whose
+    components also occur apart."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.corpus import keywords as KW
+
+    # "los angeles": always together; "new" appears with "york" but
+    # also alone everywhere else -> lower PMI
+    doc = ("los angeles " * 6) + ("new york " * 6) + ("new day " * 20)
+    pq.write_table(
+        pa.table({
+            "doc_id": [1],
+            "text": [doc.strip()],
+            "lang": ["en"],
+            "source": ["t"],
+            "n_chars": [len(doc)],
+        }),
+        tmp_path / "documents.parquet",
+    )
+    rows = {r["gram"]: r for r in KW.q_pmi_pairs(
+        spark, str(tmp_path)).collect()}
+    assert "los angeles" in rows and "new york" in rows
+    assert rows["los angeles"]["pmi_micro"] > rows["new york"]["pmi_micro"]

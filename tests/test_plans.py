@@ -391,3 +391,14 @@ def test_events_funnel_pushes_type_predicates(spark):
     plan = _plan(E.queries()["events_funnel"](spark, SF))
     assert "NestedLoop" not in plan, plan
     assert "PushedFilters" in plan and "event_type" in plan, plan
+
+
+def test_pmi_pairs_takeordered_no_full_sort(spark):
+    """The top-k cut must be TakeOrdered on the already-joined
+    candidate table, never a global Sort of the full gram aggregate;
+    corpus scalars broadcast."""
+    from docling_core_spark.corpus.keywords import q_pmi_pairs
+
+    plan = _plan(q_pmi_pairs(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
