@@ -713,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         packing as CP,
         sampling as CSA,
         bm25 as CB,
+        budget as CBU,
         cohesion as CCO,
         domains as CDQ,
         drift as CDR,
@@ -791,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": CSA.q_dsir_weights,
         "dsir_select": CSA.q_dsir_select,
         "pack_sequences": CP.q_pack_sequences,
+        "token_budget_select": CBU.q_token_budget_select,
         "curation_funnel": CC.q_curation_funnel,
         # deduplication
         "dedup_exact": _q_dedup_exact,
@@ -898,6 +900,7 @@ def oracle_sql() -> dict[str, str]:
         packing as CP,
         sampling as CSA,
         bm25 as CB,
+        budget as CBU,
         cohesion as CCO,
         domains as CDQ,
         drift as CDR,
@@ -1031,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": CSA.sql_dsir_weights(),
         "dsir_select": CSA.sql_dsir_select(),
         "pack_sequences": CP.sql_pack_sequences(),
+        "token_budget_select": CBU.sql_token_budget_select(),
         "curation_funnel": CC.sql_curation_funnel(),
         "stream_dedup_replay": _stream_oracle("dedup"),
         "stream_windowed_replay": _stream_oracle("windowed"),

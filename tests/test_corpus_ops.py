@@ -51,6 +51,7 @@ def duck():
 def _pairs():
     from docling_core_spark.corpus import (
         bm25 as CB,
+        budget as CBU,
         cohesion as CCO,
         dedup as CD,
         domains as CDQ,
@@ -168,6 +169,9 @@ def _pairs():
             CFE.q_tok_fertility, lambda: CFE.sql_tok_fertility(SF_DIR),
         ),
         "pmi_pairs": (CK.q_pmi_pairs, CK.sql_pmi_pairs),
+        "token_budget_select": (
+            CBU.q_token_budget_select, CBU.sql_token_budget_select,
+        ),
     }
 
 
@@ -1254,3 +1258,35 @@ def test_pmi_pairs_planted_collocation(spark, tmp_path):
         spark, str(tmp_path)).collect()}
     assert "los angeles" in rows and "new york" in rows
     assert rows["los angeles"]["pmi_micro"] > rows["new york"]["pmi_micro"]
+
+
+def test_token_budget_select_is_greedy_prefix(spark, duck):
+    """The selected set must be exactly the quality-ordered prefix:
+    every selected doc's q_micro >= every rejected doc's (up to the
+    boundary tie broken by doc_id), and the kept token mass must be
+    the largest prefix within 40% of the corpus total."""
+    from docling_core_spark.corpus import budget as BU
+
+    rows = BU.q_token_budget_select(spark, SF_DIR).collect()
+    assert rows
+    total = duck.execute(
+        "SELECT sum(len(regexp_split_to_array(lower(trim(text)),"
+        " '\\s+')))::BIGINT FROM documents"
+    ).fetchone()[0]
+    budget_tokens = total * BU.TOKEN_BUDGET_PPM // 1_000_000
+    kept = sum(r["n_tokens"] for r in rows)
+    assert kept <= budget_tokens
+    # maximal prefix: adding the best rejected doc would bust the budget
+    max_cum = max(r["cum_tokens"] for r in rows)
+    assert kept == max_cum
+    sel_ids = {r["doc_id"] for r in rows}
+    from docling_core_spark.corpus.textstats import sql_quality
+
+    nxt = duck.execute(f"""
+        SELECT floor(quality_score * 1000000 + 0.5)::BIGINT AS q_micro,
+               doc_id
+        FROM ({sql_quality()})
+        ORDER BY q_micro DESC, doc_id ASC
+    """).fetchall()
+    ordered_ids = [d for _, d in nxt]
+    assert set(ordered_ids[:len(sel_ids)]) == sel_ids

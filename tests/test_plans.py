@@ -402,3 +402,19 @@ def test_pmi_pairs_takeordered_no_full_sort(spark):
     plan = _plan(q_pmi_pairs(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_token_budget_no_corpus_wide_window(spark):
+    """The only unpartitioned window must run over the <=64-row band
+    table; every corpus-sized window is partitioned by band, and the
+    band-prefix/budget scalars broadcast."""
+    import re
+
+    from docling_core_spark.corpus.budget import q_token_budget_select
+
+    plan = _plan(q_token_budget_select(spark, SF))
+    assert "BroadcastExchange" in plan, plan
+    # unpartitioned windows appear as SinglePartition exchanges; they
+    # must be fed by the tiny band-total aggregate, not a corpus scan
+    sp = re.findall(r"^\(\d+\) Exchange SinglePartition", plan, re.M)
+    assert len(sp) <= 1, plan
