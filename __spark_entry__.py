@@ -804,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_est_error": CD.q_minhash_est_error,
         "dedup_clusters": CD.q_dedup_clusters,
         "jaccard_pairs": CD.q_jaccard_pairs,
+        "containment_pairs": CD.q_containment_pairs,
         "dedup_savings": CD.q_dedup_savings,
         "simhash": CD.q_simhash,
         "simhash_neardup": CD.q_simhash_neardup,
@@ -955,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_buckets": CD.sql_lsh_buckets(),
         "neardup_pairs": CD.sql_neardup_pairs(),
         "jaccard_pairs": CD.sql_jaccard_pairs(),
+        "containment_pairs": CD.sql_containment_pairs(),
         "dedup_savings": CD.sql_dedup_savings(),
         "dedup_clusters": CD.sql_dedup_clusters(),
         "simhash": CD.sql_simhash(),

@@ -1925,3 +1925,112 @@ def sql_crossdedup_lsh() -> str:
           ON d.doc_id = b.new_id
         WHERE d.doc_id % {CROSS_NEW_MOD} = 0
     """
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric near-containment (the dups symmetric Jaccard misses)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment join: pairs where one document's
+    shingle set is >=80% contained in the other's while the symmetric
+    Jaccard stays BELOW the dedup threshold — a wire story embedded in
+    a long page, a quoted post inside a thread. Symmetric dedup
+    (jaccard >= t) never fires on these (the union is dominated by the
+    larger doc), so they need their own detector; C(A->B) = |A∩B|/|A|
+    (Broder '97's containment, the original resemblance companion).
+
+    Rides the exact inverted-index machinery of `q_jaccard_pairs`
+    (same posting table, same stop-shingle DF cap, same memoized
+    shingle artifact), so the incremental cost over a corpus that
+    already ran the exact join is one more projection of the
+    intersection table. Shuffle inventory identical to jaccard_pairs.
+    """
+    sh = _persisted_shingles(spark, sf_dir)
+    counts = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    posts = sh.select("doc_id", F.explode("sh").alias("g"))
+    hot = (
+        posts.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > C.JACCARD_MAX_DF)
+        .select("g")
+    )
+    posts = posts.join(F.broadcast(hot), "g", "left_anti")
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            counts.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            counts.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "n_a", "n_b", "inter",
+            F.expr("round(inter / cast(n_a as double), 6)").alias("c_a"),
+            F.expr("round(inter / cast(n_b as double), 6)").alias("c_b"),
+            F.expr(
+                "round(inter / cast(n_a + n_b - inter as double), 6)"
+            ).alias("jaccard"),
+        )
+        .filter(
+            (F.greatest("c_a", "c_b") >= CONTAINMENT_THRESHOLD)
+            & (F.col("jaccard") < C.JACCARD_THRESHOLD)
+        )
+    )
+
+
+def sql_containment_pairs() -> str:
+    jac = "round(i.inter / (ca.n_sh + cb.n_sh - i.inter)::DOUBLE, 6)"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+        ),
+        shs AS (SELECT doc_id, {_shingles_duck()} AS sh FROM toks),
+        cnts AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
+        posts0 AS (SELECT doc_id, unnest(sh) AS g FROM shs),
+        hot AS (
+            SELECT g FROM posts0 GROUP BY g
+            HAVING count(*) > {C.JACCARD_MAX_DF}
+        ),
+        posts AS (
+            SELECT * FROM posts0 WHERE g NOT IN (SELECT g FROM hot)
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS inter
+            FROM posts a JOIN posts b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.doc_a, i.doc_b, ca.n_sh AS n_a, cb.n_sh AS n_b,
+               i.inter,
+               round(i.inter / ca.n_sh::DOUBLE, 6) AS c_a,
+               round(i.inter / cb.n_sh::DOUBLE, 6) AS c_b,
+               {jac} AS jaccard
+        FROM inter i
+        JOIN cnts ca ON ca.doc_id = i.doc_a
+        JOIN cnts cb ON cb.doc_id = i.doc_b
+        WHERE greatest(round(i.inter / ca.n_sh::DOUBLE, 6),
+                       round(i.inter / cb.n_sh::DOUBLE, 6))
+              >= {CONTAINMENT_THRESHOLD}
+          AND {jac} < {C.JACCARD_THRESHOLD}
+    """

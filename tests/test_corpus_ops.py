@@ -83,6 +83,9 @@ def _pairs():
         "neardup_pairs": (CD.q_neardup_pairs, CD.sql_neardup_pairs),
         "dedup_clusters": (CD.q_dedup_clusters, CD.sql_dedup_clusters),
         "jaccard_pairs": (CD.q_jaccard_pairs, CD.sql_jaccard_pairs),
+        "containment_pairs": (
+            CD.q_containment_pairs, CD.sql_containment_pairs,
+        ),
         "dedup_savings": (CD.q_dedup_savings, CD.sql_dedup_savings),
         "simhash": (CD.q_simhash, CD.sql_simhash),
         "simhash_neardup": (CD.q_simhash_neardup, CD.sql_simhash_neardup),
@@ -1290,3 +1293,46 @@ def test_token_budget_select_is_greedy_prefix(spark, duck):
     """).fetchall()
     ordered_ids = [d for _, d in nxt]
     assert set(ordered_ids[:len(sel_ids)]) == sel_ids
+
+
+def test_containment_pairs_planted_embedded_doc(spark, tmp_path):
+    """A short doc fully embedded in a much longer one has containment
+    1.0 but Jaccard far below the dedup threshold: containment_pairs
+    must surface exactly that pair (and the symmetric join must not)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.corpus import constants as C
+    from docling_core_spark.corpus import dedup as CD
+
+    wire = " ".join(f"wire{i}" for i in range(20))
+    page = (
+        " ".join(f"pre{i}" for i in range(80))
+        + " " + wire + " "
+        + " ".join(f"post{i}" for i in range(80))
+    )
+    other = " ".join(f"zzz{i}" for i in range(40))
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2, 3],
+            "text": [wire, page, other],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(wire), len(page), len(other)],
+        }),
+        tmp_path / "documents.parquet",
+    )
+    CD.clear_caches()
+    try:
+        got = CD.q_containment_pairs(spark, str(tmp_path)).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["doc_a"], r["doc_b"]) == (1, 2)
+        assert r["c_a"] == 1.0          # wire fully inside page
+        assert r["jaccard"] < C.JACCARD_THRESHOLD
+        sym = CD.q_jaccard_pairs(spark, str(tmp_path)).collect()
+        assert not any(
+            {p["doc_a"], p["doc_b"]} == {1, 2} for p in sym
+        )
+    finally:
+        CD.clear_caches()
