@@ -793,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": CSA.q_dsir_select,
         "pack_sequences": CP.q_pack_sequences,
         "token_budget_select": CBU.q_token_budget_select,
+        "pack_efficiency": CP.q_pack_efficiency,
         "curation_funnel": CC.q_curation_funnel,
         # deduplication
         "dedup_exact": _q_dedup_exact,
@@ -1037,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": CSA.sql_dsir_select(),
         "pack_sequences": CP.sql_pack_sequences(),
         "token_budget_select": CBU.sql_token_budget_select(),
+        "pack_efficiency": CP.sql_pack_efficiency(),
         "curation_funnel": CC.sql_curation_funnel(),
         "stream_dedup_replay": _stream_oracle("dedup"),
         "stream_windowed_replay": _stream_oracle("windowed"),

@@ -49,7 +49,7 @@ GROUPS: dict[str, list[str]] = {
         "html_strip", "main_content", "top_ngrams", "pmi_pairs", "tfidf_topk",
         "bm25_topk", "text_normalize", "normalize_uplift",
         "stratified_sample", "weighted_sample", "pack_sequences",
-        "token_budget_select",
+        "token_budget_select", "pack_efficiency",
         "shard_manifest",
         "cms_heavy_hitters", "kmv_distinct", "hist_quantiles",
         "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score", "source_drift", "heldout_ppl",

@@ -221,3 +221,61 @@ def sql_shard_manifest() -> str:
                bit_xor({h})::BIGINT AS lineage_xor
         FROM per_seq GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# pack_efficiency: the waste dashboard over the packed layout
+# ---------------------------------------------------------------------------
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row packing-efficiency dashboard over the concat-then-chunk
+    layout: total tokens, sequence count, fill ppm of the final
+    (partial) sequence, and how many documents straddle a sequence
+    boundary (each straddle is a document a causal-attention trainer
+    truncates context for — the number the pack-vs-pad debate turns
+    on).
+
+    100 TB story: rides q_pack_sequences (same decomposed prefix sum);
+    the rollup is one whole-corpus agg with fixed-width state (sums,
+    conditional counts) — map-side combined, output exactly 1 row.
+    All integers; ppm by integer division identical in both engines."""
+    pack = q_pack_sequences(spark, sf_dir)
+    return pack.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr(
+            f"cast(case when sum(n_tokens) = 0 then 0 else"
+            f" (sum(n_tokens) + {SEQ_LEN} - 1) div {SEQ_LEN} end"
+            " as bigint)"
+        ).alias("n_sequences"),
+        F.expr(
+            f"cast(case when sum(n_tokens) % {SEQ_LEN} = 0"
+            f" then 1000000"
+            f" else (sum(n_tokens) % {SEQ_LEN}) * 1000000 div {SEQ_LEN}"
+            " end as bigint)"
+        ).alias("last_seq_fill_ppm"),
+        F.sum(
+            F.expr("cast(first_seq != last_seq as bigint)")
+        ).cast("bigint").alias("n_straddling_docs"),
+        F.sum(
+            F.expr(f"cast(n_tokens > {SEQ_LEN} as bigint)")
+        ).cast("bigint").alias("n_multi_seq_docs"),
+    )
+
+
+def sql_pack_efficiency() -> str:
+    return f"""
+        WITH pack AS ({sql_pack_sequences()})
+        SELECT SUM(n_tokens)::BIGINT AS total_tokens,
+               (CASE WHEN SUM(n_tokens) = 0 THEN 0 ELSE
+                   (SUM(n_tokens) + {SEQ_LEN} - 1) // {SEQ_LEN}
+                END)::BIGINT AS n_sequences,
+               (CASE WHEN SUM(n_tokens) % {SEQ_LEN} = 0 THEN 1000000
+                ELSE (SUM(n_tokens) % {SEQ_LEN}) * 1000000 // {SEQ_LEN}
+                END)::BIGINT AS last_seq_fill_ppm,
+               SUM(CASE WHEN first_seq != last_seq THEN 1 ELSE 0
+                   END)::BIGINT AS n_straddling_docs,
+               SUM(CASE WHEN n_tokens > {SEQ_LEN} THEN 1 ELSE 0
+                   END)::BIGINT AS n_multi_seq_docs
+        FROM pack
+    """

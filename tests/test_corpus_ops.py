@@ -64,6 +64,7 @@ def _pairs():
         mining as CMI,
         multimodal as CM,
         normalize as CN,
+        packing as CP2,
         similarity as CS,
         splits as CSP,
         textstats as CT,
@@ -175,6 +176,7 @@ def _pairs():
         "token_budget_select": (
             CBU.q_token_budget_select, CBU.sql_token_budget_select,
         ),
+        "pack_efficiency": (CP2.q_pack_efficiency, CP2.sql_pack_efficiency),
     }
 
 
@@ -1336,3 +1338,20 @@ def test_containment_pairs_planted_embedded_doc(spark, tmp_path):
         )
     finally:
         CD.clear_caches()
+
+
+def test_pack_efficiency_invariants(spark, duck):
+    """The dashboard must be consistent with the packed layout itself:
+    sequence count covers the token mass, straddle count matches the
+    per-doc first/last sequence table, and multi-seq docs straddle."""
+    from docling_core_spark.corpus import packing as PK
+
+    row = PK.q_pack_efficiency(spark, SF_DIR).collect()[0]
+    pack = PK.q_pack_sequences(spark, SF_DIR).collect()
+    total = sum(r["n_tokens"] for r in pack)
+    assert row["total_tokens"] == total
+    assert row["n_sequences"] == (total + PK.SEQ_LEN - 1) // PK.SEQ_LEN
+    straddle = sum(1 for r in pack if r["first_seq"] != r["last_seq"])
+    assert row["n_straddling_docs"] == straddle
+    assert row["n_multi_seq_docs"] <= straddle or straddle == 0
+    assert 0 < row["last_seq_fill_ppm"] <= 1_000_000
