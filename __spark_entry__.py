@@ -806,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": CD.q_dedup_clusters,
         "jaccard_pairs": CD.q_jaccard_pairs,
         "containment_pairs": CD.q_containment_pairs,
+        "shingle_novelty": CD.q_shingle_novelty,
         "dedup_savings": CD.q_dedup_savings,
         "simhash": CD.q_simhash,
         "simhash_neardup": CD.q_simhash_neardup,
@@ -958,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_pairs": CD.sql_neardup_pairs(),
         "jaccard_pairs": CD.sql_jaccard_pairs(),
         "containment_pairs": CD.sql_containment_pairs(),
+        "shingle_novelty": CD.sql_shingle_novelty(),
         "dedup_savings": CD.sql_dedup_savings(),
         "dedup_clusters": CD.sql_dedup_clusters(),
         "simhash": CD.sql_simhash(),

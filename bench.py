@@ -74,7 +74,7 @@ GROUPS: dict[str, list[str]] = {
         "lsh_buckets",
         "neardup_pairs", "crossdedup_lsh", "minhash_est_error",
         "dedup_clusters",
-        "jaccard_pairs", "containment_pairs", "dedup_savings", "split_leakage",
+        "jaccard_pairs", "containment_pairs", "shingle_novelty", "dedup_savings", "split_leakage",
         "curation_funnel",
     ],
     "sim": [

@@ -2034,3 +2034,57 @@ def sql_containment_pairs() -> str:
               >= {CONTAINMENT_THRESHOLD}
           AND {jac} < {C.JACCARD_THRESHOLD}
     """
+
+
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content novelty: the share of a document's distinct
+    shingles it is the FIRST to contribute (ownership = min doc_id over
+    the shingle's holders — the deterministic stand-in for ingest
+    order). The corpus-level novelty curve this induces is the crawl-
+    ROI dashboard: when marginal novelty_ppm collapses, another
+    snapshot buys boilerplate, not data.
+
+    Shuffle inventory: one groupBy on the uniform shingle key (min
+    doc_id — map-side combinable), one posting join back on the same
+    key, one per-doc rollup on uniform doc_id. Rides the memoized
+    shingle artifact shared with the minhash/jaccard family."""
+    sh = _persisted_shingles(spark, sf_dir)
+    posts = sh.select("doc_id", F.explode("sh").alias("g"))
+    owner = posts.groupBy("g").agg(
+        F.min("doc_id").alias("owner")
+    )
+    return (
+        posts.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sh"),
+            F.sum(
+                F.expr("cast(doc_id = owner as bigint)")
+            ).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_sh", "n_novel",
+            F.expr(
+                "cast(n_novel * 1000000 div n_sh as bigint)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+def sql_shingle_novelty() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+        ),
+        shs AS (SELECT doc_id, {_shingles_duck()} AS sh FROM toks),
+        posts AS (SELECT doc_id, unnest(sh) AS g FROM shs),
+        owner AS (SELECT g, MIN(doc_id) AS owner FROM posts GROUP BY g)
+        SELECT p.doc_id,
+               COUNT(*)::BIGINT AS n_sh,
+               SUM(CASE WHEN p.doc_id = o.owner THEN 1 ELSE 0
+                   END)::BIGINT AS n_novel,
+               (SUM(CASE WHEN p.doc_id = o.owner THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*))::BIGINT AS novelty_ppm
+        FROM posts p JOIN owner o USING (g)
+        GROUP BY p.doc_id
+    """

@@ -87,6 +87,7 @@ def _pairs():
         "containment_pairs": (
             CD.q_containment_pairs, CD.sql_containment_pairs,
         ),
+        "shingle_novelty": (CD.q_shingle_novelty, CD.sql_shingle_novelty),
         "dedup_savings": (CD.q_dedup_savings, CD.sql_dedup_savings),
         "simhash": (CD.q_simhash, CD.sql_simhash),
         "simhash_neardup": (CD.q_simhash_neardup, CD.sql_simhash_neardup),
@@ -1355,3 +1356,34 @@ def test_pack_efficiency_invariants(spark, duck):
     assert row["n_straddling_docs"] == straddle
     assert row["n_multi_seq_docs"] <= straddle or straddle == 0
     assert 0 < row["last_seq_fill_ppm"] <= 1_000_000
+
+
+def test_shingle_novelty_duplicate_contributes_nothing(spark, tmp_path):
+    """An exact duplicate of an earlier doc must have novelty 0; the
+    first doc owns everything it introduced."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.corpus import dedup as CD
+
+    a = " ".join(f"alpha{i}" for i in range(30))
+    b = " ".join(f"beta{i}" for i in range(30))
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2, 3],
+            "text": [a, a, b],  # doc 2 is an exact dup of doc 1
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(a), len(a), len(b)],
+        }),
+        tmp_path / "documents.parquet",
+    )
+    CD.clear_caches()
+    try:
+        rows = {r["doc_id"]: r for r in CD.q_shingle_novelty(
+            spark, str(tmp_path)).collect()}
+        assert rows[1]["novelty_ppm"] == 1_000_000
+        assert rows[2]["novelty_ppm"] == 0
+        assert rows[3]["novelty_ppm"] == 1_000_000
+    finally:
+        CD.clear_caches()
