@@ -52,7 +52,7 @@ GROUPS: dict[str, list[str]] = {
         "token_budget_select", "pack_efficiency",
         "shard_manifest",
         "cms_heavy_hitters", "kmv_distinct", "hist_quantiles",
-        "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score", "source_drift", "heldout_ppl",
+        "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score", "source_drift", "source_lang_entropy", "heldout_ppl",
         "tok_fertility",
         "extract_links", "link_pagerank", "anchor_text_agg",
         "link_cocitation",

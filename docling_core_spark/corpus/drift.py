@@ -124,3 +124,93 @@ def sql_source_drift() -> str:
             CROSS JOIN scalars
         ) GROUP BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-source language-mix entropy
+# ---------------------------------------------------------------------------
+
+
+def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (micro-nats) of each source's language mix plus
+    its dominant language and purity ppm — the monolinguality dashboard
+    an ingest feed is triaged with: a "news-en" source whose entropy
+    jumps has started shipping mixed-language pages.
+
+    Float discipline: p = cnt/total assembles in identical
+    left-to-right double ops in both dialects; each -p*ln(p) term is
+    floored to micro-nats BEFORE the per-source sum, so the aggregate
+    is an exact BIGINT in any partition order (same contract as
+    source_drift / lm_score).
+
+    100 TB story: one map-side-combined groupBy on the tiny
+    (source, lang) key; per-source totals join on the source key
+    (sources are a small dimension); output is source-table-sized.
+    Reference analog: none (SURVEY.md §2.8)."""
+    docs = read_spread(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = sl.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    p = "(cast(cnt as double) / cast(total as double))"
+    return (
+        sl.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("total").cast("bigint").alias("n_docs"),
+            F.max("n_langs").cast("bigint").alias("n_langs"),
+            F.sum(
+                F.expr(
+                    f"cast(floor(-({p}) * ln({p}) * 1000000) as bigint)"
+                )
+            ).cast("bigint").alias("entropy_micronat"),
+            # argmax as a sortable string (count zero-padded, then
+            # lang) — MAX of this string is identical in both engines,
+            # ties on count break toward the larger lang
+            F.max(
+                F.expr("concat(lpad(cast(cnt as string), 18, '0'),"
+                       " '|', lang)")
+            ).alias("top"),
+        )
+        .select(
+            "source", "n_docs", "n_langs", "entropy_micronat",
+            F.expr("element_at(split(top, '\\\\|'), 2)").alias("top_lang"),
+            F.expr(
+                "cast(cast(element_at(split(top, '\\\\|'), 1) as bigint)"
+                " * 1000000 div n_docs as bigint)"
+            ).alias("purity_ppm"),
+        )
+    )
+
+
+def sql_source_lang_entropy() -> str:
+    p = "(cnt::DOUBLE / total::DOUBLE)"
+    return f"""
+        WITH sl AS (
+            SELECT source, lang, COUNT(*)::BIGINT AS cnt
+            FROM documents GROUP BY source, lang
+        ),
+        tot AS (
+            SELECT source, SUM(cnt)::BIGINT AS total,
+                   COUNT(*)::BIGINT AS n_langs
+            FROM sl GROUP BY source
+        ),
+        joined AS (
+            SELECT sl.source, sl.lang, sl.cnt, tot.total, tot.n_langs
+            FROM sl JOIN tot USING (source)
+        )
+        SELECT source,
+               MAX(total)::BIGINT AS n_docs,
+               MAX(n_langs)::BIGINT AS n_langs,
+               SUM(floor(-({p}) * ln({p}) * 1000000)::BIGINT)::BIGINT
+                   AS entropy_micronat,
+               str_split(MAX(lpad(cnt::VARCHAR, 18, '0') || '|' || lang),
+                         '|')[2] AS top_lang,
+               (str_split(MAX(lpad(cnt::VARCHAR, 18, '0') || '|' || lang),
+                          '|')[1]::BIGINT * 1000000
+                // MAX(total))::BIGINT AS purity_ppm
+        FROM joined GROUP BY source
+    """

@@ -167,6 +167,9 @@ def _pairs():
         "split_leakage": (CSP.q_split_leakage, CSP.sql_split_leakage),
         "hard_negatives": (CMI.q_hard_negatives, CMI.sql_hard_negatives),
         "source_drift": (CDR.q_source_drift, CDR.sql_source_drift),
+        "source_lang_entropy": (
+            CDR.q_source_lang_entropy, CDR.sql_source_lang_entropy,
+        ),
         "heldout_ppl": (CHO.q_heldout_ppl, CHO.sql_heldout_ppl),
         "label_cohesion": (CCO.q_label_cohesion, CCO.sql_label_cohesion),
         "emb_dim_stats": (CCO.q_emb_dim_stats, CCO.sql_emb_dim_stats),
@@ -1387,3 +1390,39 @@ def test_shingle_novelty_duplicate_contributes_nothing(spark, tmp_path):
         assert rows[3]["novelty_ppm"] == 1_000_000
     finally:
         CD.clear_caches()
+
+
+def test_source_lang_entropy_monolingual_vs_mixed(spark, tmp_path):
+    """A monolingual source must have entropy 0 / purity 1e6; an even
+    two-language source must approach ln(2) micro-nats with purity
+    500000."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.corpus import drift as DR
+
+    rows = [("mono", "en")] * 10 + [("mixed", "en")] * 5 + [
+        ("mixed", "de")] * 5
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(rows))),
+            "text": ["hello world"] * len(rows),
+            "lang": [r[1] for r in rows],
+            "source": [r[0] for r in rows],
+            "n_chars": [11] * len(rows),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    out = {r["source"]: r for r in DR.q_source_lang_entropy(
+        spark, str(tmp_path)).collect()}
+    assert out["mono"]["entropy_micronat"] == 0
+    assert out["mono"]["purity_ppm"] == 1_000_000
+    assert out["mono"]["top_lang"] == "en"
+    import math
+    ln2_micro = math.floor(0.5 * math.log(2) * 1e6) * 2
+    assert abs(out["mixed"]["entropy_micronat"] - ln2_micro) <= 2
+    assert out["mixed"]["purity_ppm"] == 500_000
+    # equal counts 5/5: the string argmax breaks ties toward the
+    # lexicographically larger lang ('en' > 'de'), same in both engines
+    assert out["mixed"]["top_lang"] == "en"
+    assert out["mixed"]["n_langs"] == 2
