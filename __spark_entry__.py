@@ -796,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": CBU.q_token_budget_select,
         "pack_efficiency": CP.q_pack_efficiency,
         "curation_funnel": CC.q_curation_funnel,
+        "quality_calibration": CC.q_quality_calibration,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "seg_dedup": CD.q_seg_dedup,
@@ -1044,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_select": CBU.sql_token_budget_select(),
         "pack_efficiency": CP.sql_pack_efficiency(),
         "curation_funnel": CC.sql_curation_funnel(),
+        "quality_calibration": CC.sql_quality_calibration(),
         "stream_dedup_replay": _stream_oracle("dedup"),
         "stream_windowed_replay": _stream_oracle("windowed"),
         "stream_sessionize_replay": _stream_oracle("sessionize"),

@@ -75,7 +75,7 @@ GROUPS: dict[str, list[str]] = {
         "neardup_pairs", "crossdedup_lsh", "minhash_est_error",
         "dedup_clusters",
         "jaccard_pairs", "containment_pairs", "shingle_novelty", "dedup_savings", "split_leakage",
-        "curation_funnel",
+        "curation_funnel", "quality_calibration",
     ],
     "sim": [
         # multimodal first: they are cheap Arrow-stage queries and must

@@ -220,3 +220,86 @@ def sql_curation_funnel() -> str:
         LEFT JOIN dec USING (doc_id)
         LEFT JOIN cl USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Quality-score calibration against the near-dup ground truth
+# ---------------------------------------------------------------------------
+
+CALIB_BANDS = 10
+_CALIB_STEP = 1_000_000 // CALIB_BANDS
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the quality score predict redundancy? Per fixed quality
+    band (10 bands of q_micro), the share of documents that are
+    NON-CANONICAL members of a near-dup cluster (doc_id != cluster_id
+    under the min-label convention). A well-behaved corpus shows dup
+    mass concentrating in the low bands — if it doesn't, the quality
+    filter and the dedup stage are pruning independent populations and
+    the curation funnel's stage order is costing extra compute.
+
+    100 TB story: rides the memoized cluster table (dedup machinery)
+    and the zero-shuffle quality expressions; the join is on uniform
+    doc_id; the rollup key is a 10-value band — map-side combined,
+    output 10 rows."""
+    from .dedup import q_dedup_clusters
+    from .textstats import q_quality
+
+    q = q_quality(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "cast(floor(quality_score * 1000000 + 0.5) as bigint)"
+        ).alias("q_micro"),
+    ).withColumn(
+        "band",
+        F.expr(
+            f"least(cast({CALIB_BANDS - 1} as bigint),"
+            f" q_micro div {_CALIB_STEP})"
+        ),
+    )
+    cl = q_dedup_clusters(spark, sf_dir)
+    return (
+        q.join(cl, "doc_id")
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.expr("cast(doc_id != cluster_id as bigint)")
+            ).cast("bigint").alias("n_dup"),
+        )
+        .select(
+            "band", "n_docs", "n_dup",
+            F.expr(
+                "cast(n_dup * 1000000 div n_docs as bigint)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
+def sql_quality_calibration() -> str:
+    from .dedup import sql_dedup_clusters
+    from .textstats import sql_quality
+
+    return f"""
+        WITH clusters AS ({sql_dedup_clusters()}),
+        q AS (
+            SELECT doc_id,
+                   floor(quality_score * 1000000 + 0.5)::BIGINT
+                       AS q_micro
+            FROM ({sql_quality()})
+        ),
+        banded AS (
+            SELECT q.doc_id,
+                   least({CALIB_BANDS - 1},
+                         q_micro // {_CALIB_STEP})::BIGINT AS band,
+                   c.cluster_id
+            FROM q JOIN clusters c USING (doc_id)
+        )
+        SELECT band,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM((doc_id <> cluster_id)::BIGINT)::BIGINT AS n_dup,
+               (SUM((doc_id <> cluster_id)::BIGINT) * 1000000
+                // COUNT(*))::BIGINT AS dup_ppm
+        FROM banded GROUP BY band
+    """

@@ -53,6 +53,7 @@ def _pairs():
         bm25 as CB,
         budget as CBU,
         cohesion as CCO,
+        curation as CCU,
         dedup as CD,
         domains as CDQ,
         drift as CDR,
@@ -88,6 +89,9 @@ def _pairs():
             CD.q_containment_pairs, CD.sql_containment_pairs,
         ),
         "shingle_novelty": (CD.q_shingle_novelty, CD.sql_shingle_novelty),
+        "quality_calibration": (
+            CCU.q_quality_calibration, CCU.sql_quality_calibration,
+        ),
         "dedup_savings": (CD.q_dedup_savings, CD.sql_dedup_savings),
         "simhash": (CD.q_simhash, CD.sql_simhash),
         "simhash_neardup": (CD.q_simhash_neardup, CD.sql_simhash_neardup),
