@@ -284,6 +284,53 @@ _SQL_EVENTS_RETENTION = """
     GROUP BY c.cohort_wk, w.wk - c.cohort_wk
 """
 
+# Per-type hourly volume anomaly census: exact integer per-bucket
+# counts, then per type mean/std assembled from the integer sums in
+# IDENTICAL double order in both dialects; peak bucket via sortable
+# zero-padded string argmax; max_z NULL (not a crash) for a perfectly
+# flat type (std = 0). All division is // (Spark side replaces with
+# div); the {usdiff} placeholder binds each dialect's timestamp diff.
+_SQL_EVENTS_SPIKES = """
+    WITH b AS (
+        SELECT event_type,
+               CAST({usdiff} // 3600000000 AS BIGINT) AS bkt,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM {events}
+        GROUP BY event_type, CAST({usdiff} // 3600000000 AS BIGINT)
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(cnt) AS BIGINT) AS s1,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+        FROM b GROUP BY event_type
+    ),
+    z AS (
+        SELECT b.event_type, b.bkt, b.cnt, s.n_buckets,
+               (CAST(s.s1 AS DOUBLE) / CAST(s.n_buckets AS DOUBLE))
+                   AS mean,
+               sqrt(greatest(
+                   CAST(s.s2 AS DOUBLE) / CAST(s.n_buckets AS DOUBLE)
+                   - (CAST(s.s1 AS DOUBLE) / CAST(s.n_buckets AS DOUBLE))
+                     * (CAST(s.s1 AS DOUBLE)
+                        / CAST(s.n_buckets AS DOUBLE)),
+                   0.0)) AS sd
+        FROM b JOIN stats s ON b.event_type = s.event_type
+    )
+    SELECT event_type,
+           MAX(n_buckets) AS n_buckets,
+           round(MAX(mean), 6) AS mean_per_bucket,
+           CAST(CAST(substring(MAX(concat(lpad(CAST(cnt AS STRING),
+                18, '0'), '|', CAST(bkt AS STRING))), 1, 18) AS BIGINT)
+               AS BIGINT) AS peak_count,
+           CASE WHEN MAX(sd) = 0.0 THEN NULL
+                ELSE round(MAX(CASE WHEN sd = 0.0 THEN NULL
+                               ELSE (CAST(cnt AS DOUBLE) - mean) / sd
+                               END), 6)
+           END AS max_z
+    FROM z GROUP BY event_type
+"""
+
 _SQL_ORDERS_RUNNING_TOTAL = """
     SELECT o_custkey, o_orderkey,
            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
@@ -651,6 +698,26 @@ def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly census per event type: bucket counts ->
+    per-type mean/std from exact integer sums -> max z-score + peak
+    bucket count — the ingest-monitoring alarm ("purchases spiked 6
+    sigma at hour H") as one query.
+
+    100 TB story: the bucket groupBy key is (type, hour) — uniform and
+    map-side combinable; the stats rollup is type-sized; the z pass
+    joins bucket rows to the tiny per-type stats. No window, no
+    Python. Reference analog: none (SURVEY.md §2.8)."""
+    _spread_view(spark, sf_dir, "events", "events_spk_src")
+    return spark.sql(
+        _SQL_EVENTS_SPIKES.format(
+            events="events_spk_src",
+            usdiff="timestampdiff(MICROSECOND,"
+                   " TIMESTAMP '2024-01-01 00:00:00', ts)",
+        ).replace(" // ", " div ")
+    )
+
+
 def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup -> click -> purchase: users
     reaching each stage with the event STRICTLY AFTER their previous
@@ -809,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": CD.q_jaccard_pairs,
         "containment_pairs": CD.q_containment_pairs,
         "shingle_novelty": CD.q_shingle_novelty,
+        "source_overlap": CD.q_source_overlap,
         "dedup_savings": CD.q_dedup_savings,
         "simhash": CD.q_simhash,
         "simhash_neardup": CD.q_simhash_neardup,
@@ -861,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _q_events_range_join,
         "events_retention": _q_events_retention,
         "events_funnel": _q_events_funnel,
+        "events_spikes": _q_events_spikes,
         "orders_running_total": _q_orders_running_total,
         "supplier_rank": _q_supplier_rank,
     }
@@ -962,6 +1031,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": CD.sql_jaccard_pairs(),
         "containment_pairs": CD.sql_containment_pairs(),
         "shingle_novelty": CD.sql_shingle_novelty(),
+        "source_overlap": CD.sql_source_overlap(),
         "dedup_savings": CD.sql_dedup_savings(),
         "dedup_clusters": CD.sql_dedup_clusters(),
         "simhash": CD.sql_simhash(),
@@ -1066,6 +1136,11 @@ def oracle_sql() -> dict[str, str]:
             win=_RJ_WIN_US
         ),
         "events_funnel": _SQL_EVENTS_FUNNEL.format(events="events"),
+        "events_spikes": _SQL_EVENTS_SPIKES.format(
+            events="events",
+            usdiff="date_diff('microseconds',"
+                   " TIMESTAMP '2024-01-01 00:00:00', ts)",
+        ),
         "events_retention": _SQL_EVENTS_RETENTION.format(
             events="events",
             datediff="date_diff('day', DATE '2024-01-01', ts::DATE)",

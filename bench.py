@@ -74,7 +74,8 @@ GROUPS: dict[str, list[str]] = {
         "lsh_buckets",
         "neardup_pairs", "crossdedup_lsh", "minhash_est_error",
         "dedup_clusters",
-        "jaccard_pairs", "containment_pairs", "shingle_novelty", "dedup_savings", "split_leakage",
+        "jaccard_pairs", "containment_pairs", "shingle_novelty",
+        "source_overlap", "dedup_savings", "split_leakage",
         "curation_funnel", "quality_calibration",
     ],
     "sim": [
@@ -92,7 +93,7 @@ GROUPS: dict[str, list[str]] = {
         "page_textlines", "page_render_svg",
         "tpch_q1", "top_customers", "events_by_type",
         "events_sessionize", "events_asof", "events_range_join",
-        "events_retention", "events_funnel",
+        "events_retention", "events_funnel", "events_spikes",
         "orders_running_total",
         "supplier_rank",
     ],

@@ -2088,3 +2088,53 @@ def sql_shingle_novelty() -> str:
         FROM posts p JOIN owner o USING (g)
         GROUP BY p.doc_id
     """
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    near-dup clusters span both — the mirror/aggregator detector (a
+    pair sharing most of its clusters is one feed scraped twice; the
+    dedup keep-list then prefers the cheaper/cleaner side wholesale
+    instead of deciding per document).
+
+    100 TB story: the memoized cluster table joins documents on uniform
+    doc_id; the per-cluster source set is a distinct on (cluster_id,
+    source) — bounded by clusters x sources; the self-join is keyed by
+    cluster_id whose per-key width is the source count of that cluster
+    (<= #sources, a small dimension), so no quadratic blowup; output is
+    at most sources^2 rows."""
+    docs = read_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    cs = (
+        q_dedup_clusters(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("cluster_id", "source")
+        .distinct()
+    )
+    a = cs.alias("a")
+    b = cs.alias("b")
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_clusters"))
+    )
+
+
+def sql_source_overlap() -> str:
+    return f"""
+        WITH clusters AS ({sql_dedup_clusters()}),
+        cs AS (
+            SELECT DISTINCT c.cluster_id, d.source
+            FROM clusters c JOIN documents d USING (doc_id)
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*)::BIGINT AS n_shared_clusters
+        FROM cs a JOIN cs b
+          ON a.cluster_id = b.cluster_id AND a.source < b.source
+        GROUP BY a.source, b.source
+    """

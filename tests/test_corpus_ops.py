@@ -89,6 +89,7 @@ def _pairs():
             CD.q_containment_pairs, CD.sql_containment_pairs,
         ),
         "shingle_novelty": (CD.q_shingle_novelty, CD.sql_shingle_novelty),
+        "source_overlap": (CD.q_source_overlap, CD.sql_source_overlap),
         "quality_calibration": (
             CCU.q_quality_calibration, CCU.sql_quality_calibration,
         ),
@@ -1430,3 +1431,47 @@ def test_source_lang_entropy_monolingual_vs_mixed(spark, tmp_path):
     # lexicographically larger lang ('en' > 'de'), same in both engines
     assert out["mixed"]["top_lang"] == "en"
     assert out["mixed"]["n_langs"] == 2
+
+
+def test_events_spikes_planted_burst(spark, tmp_path):
+    """A type with one 10x burst hour must show a large positive max_z
+    and peak_count equal to the burst; a perfectly flat type reports
+    max_z NULL."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h in range(12):
+        n = 40 if h == 5 else 4
+        for i in range(n):
+            rows.append((eid, eid % 7, "bursty",
+                         t0 + dt.timedelta(hours=h, seconds=i), 1.0))
+            eid += 1
+        for i in range(3):
+            rows.append((eid, eid % 7, "flat",
+                         t0 + dt.timedelta(hours=h, seconds=30 + i), 1.0))
+            eid += 1
+    pq.write_table(
+        pa.table({
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "ts": pa.array([r[3] for r in rows],
+                           type=pa.timestamp("us")),
+            "value": [r[4] for r in rows],
+        }),
+        tmp_path / "events.parquet",
+    )
+    import __spark_entry__ as E
+
+    out = {r["event_type"]: r for r in E.queries()["events_spikes"](
+        spark, str(tmp_path)).collect()}
+    assert out["bursty"]["peak_count"] == 40
+    assert out["bursty"]["max_z"] > 3.0
+    assert out["flat"]["max_z"] is None
+    assert out["flat"]["peak_count"] == 3
+    assert out["bursty"]["n_buckets"] == 12
