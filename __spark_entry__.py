@@ -877,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": CD.q_containment_pairs,
         "shingle_novelty": CD.q_shingle_novelty,
         "source_overlap": CD.q_source_overlap,
+        "cluster_size_hist": CD.q_cluster_size_hist,
         "dedup_savings": CD.q_dedup_savings,
         "simhash": CD.q_simhash,
         "simhash_neardup": CD.q_simhash_neardup,
@@ -903,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": CMI.q_hard_negatives,
         "label_cohesion": CCO.q_label_cohesion,
         "emb_dim_stats": CCO.q_emb_dim_stats,
+        "emb_norm_hist": CCO.q_emb_norm_hist,
         # multimodal plumbing
         "decode_features": CM.q_decode_features,
         "media_resize": CM.q_media_resize,
@@ -1032,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": CD.sql_containment_pairs(),
         "shingle_novelty": CD.sql_shingle_novelty(),
         "source_overlap": CD.sql_source_overlap(),
+        "cluster_size_hist": CD.sql_cluster_size_hist(),
         "dedup_savings": CD.sql_dedup_savings(),
         "dedup_clusters": CD.sql_dedup_clusters(),
         "simhash": CD.sql_simhash(),
@@ -1062,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": CMI.sql_hard_negatives(),
         "label_cohesion": CCO.sql_label_cohesion(),
         "emb_dim_stats": CCO.sql_emb_dim_stats(),
+        "emb_norm_hist": CCO.sql_emb_norm_hist(),
         "decode_features": CM.sql_decode_features(),
         "media_resize": CM.sql_media_resize(),
         "frame_sample": CM.sql_frame_sample(),

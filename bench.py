@@ -75,7 +75,7 @@ GROUPS: dict[str, list[str]] = {
         "neardup_pairs", "crossdedup_lsh", "minhash_est_error",
         "dedup_clusters",
         "jaccard_pairs", "containment_pairs", "shingle_novelty",
-        "source_overlap", "dedup_savings", "split_leakage",
+        "source_overlap", "cluster_size_hist", "dedup_savings", "split_leakage",
         "curation_funnel", "quality_calibration",
     ],
     "sim": [
@@ -86,7 +86,7 @@ GROUPS: dict[str, list[str]] = {
         "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "pq_encode",
         "pq_search", "ivfpq_search", "pq_recall", "neardup_cosine",
         "semdedup_clusters", "hard_negatives", "label_cohesion",
-        "emb_dim_stats",
+        "emb_dim_stats", "emb_norm_hist",
     ],
     "rel": [
         "bbox_ops", "page_cells_in_bbox", "page_crop_text",

@@ -239,3 +239,66 @@ def sql_emb_dim_stats() -> str:
                    AS rms
         FROM aggd
     """
+
+
+NORM_BANDS = 16
+_NORM_BAND_MICRO = 250_000  # 0.25 L2 units per band, clamps at band 15
+
+
+def q_emb_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2-norm histogram in fixed 0.25-wide bands (clamped
+    at band 15 = norm >= 3.75) — the corrupt-vector detector: a
+    normalized embedding dump lives in one band; zero-norm rows are a
+    truncated export, heavy tails an encoder bug.
+
+    Float discipline: the squared norm folds IN-ROW over the fixed dim
+    order (deterministic left-to-right in both engines), the norm is
+    floored to micro units, banded by integer division — nothing
+    float crosses a row boundary.
+
+    100 TB story: zero-shuffle expression scan + one 16-key map-side-
+    combined groupBy; output <= 16 rows."""
+    emb = read_spread(spark, sf_dir, "embeddings")
+    norm = (
+        f"cast(floor(sqrt(aggregate(sequence(1, {C.EMB_DIM}),"
+        " cast(0.0 as double),"
+        " (acc, i) -> acc + cast(element_at(embedding, i) as double)"
+        " * cast(element_at(embedding, i) as double)))"
+        " * 1000000) as bigint)"
+    )
+    return (
+        emb.select(F.expr(norm).alias("norm_micro"))
+        .select(
+            F.expr(
+                f"least(cast({NORM_BANDS - 1} as bigint),"
+                f" norm_micro div {_NORM_BAND_MICRO})"
+            ).alias("band"),
+            "norm_micro",
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("norm_micro").cast("bigint").alias("min_norm_micro"),
+            F.max("norm_micro").cast("bigint").alias("max_norm_micro"),
+        )
+    )
+
+
+def sql_emb_norm_hist() -> str:
+    d = C.EMB_DIM
+    norm = (
+        f"floor(sqrt(list_sum(list_transform(generate_series(1, {d}),"
+        f" i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))"
+        f" * 1000000)::BIGINT"
+    )
+    return f"""
+        WITH norms AS (
+            SELECT {norm} AS norm_micro FROM embeddings
+        )
+        SELECT least({NORM_BANDS - 1},
+                     norm_micro // {_NORM_BAND_MICRO})::BIGINT AS band,
+               COUNT(*)::BIGINT AS n_vecs,
+               MIN(norm_micro)::BIGINT AS min_norm_micro,
+               MAX(norm_micro)::BIGINT AS max_norm_micro
+        FROM norms GROUP BY 1
+    """

@@ -2138,3 +2138,41 @@ def sql_source_overlap() -> str:
           ON a.cluster_id = b.cluster_id AND a.source < b.source
         GROUP BY a.source, b.source
     """
+
+
+def q_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution (size -> cluster count +
+    doc mass) — the mega-cluster detector: one boilerplate template
+    exploding into a 10^6-member cluster is the classic dedup failure
+    mode (it is what the hot-bucket caps and pointer-jumping bounds
+    defend against), and this histogram is where it shows first.
+
+    100 TB story: two map-side-combined groupBys over the memoized
+    cluster table (cluster_id is uniform min-label; size is a small
+    key space); output is distinct-size rows."""
+    sizes = (
+        q_dedup_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("size"))
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            "size", "n_clusters",
+            F.expr("cast(size * n_clusters as bigint)").alias("n_docs"),
+        )
+    )
+
+
+def sql_cluster_size_hist() -> str:
+    return f"""
+        WITH clusters AS ({sql_dedup_clusters()}),
+        sizes AS (
+            SELECT cluster_id, COUNT(*)::BIGINT AS size
+            FROM clusters GROUP BY cluster_id
+        )
+        SELECT size, COUNT(*)::BIGINT AS n_clusters,
+               (size * COUNT(*))::BIGINT AS n_docs
+        FROM sizes GROUP BY size
+    """

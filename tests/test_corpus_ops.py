@@ -90,6 +90,9 @@ def _pairs():
         ),
         "shingle_novelty": (CD.q_shingle_novelty, CD.sql_shingle_novelty),
         "source_overlap": (CD.q_source_overlap, CD.sql_source_overlap),
+        "cluster_size_hist": (
+            CD.q_cluster_size_hist, CD.sql_cluster_size_hist,
+        ),
         "quality_calibration": (
             CCU.q_quality_calibration, CCU.sql_quality_calibration,
         ),
@@ -178,6 +181,7 @@ def _pairs():
         "heldout_ppl": (CHO.q_heldout_ppl, CHO.sql_heldout_ppl),
         "label_cohesion": (CCO.q_label_cohesion, CCO.sql_label_cohesion),
         "emb_dim_stats": (CCO.q_emb_dim_stats, CCO.sql_emb_dim_stats),
+        "emb_norm_hist": (CCO.q_emb_norm_hist, CCO.sql_emb_norm_hist),
         "tok_fertility": (
             CFE.q_tok_fertility, lambda: CFE.sql_tok_fertility(SF_DIR),
         ),
