@@ -840,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus keywords
         "top_ngrams": CK.q_top_ngrams,
         "pmi_pairs": CK.q_pmi_pairs,
+        "zipf_fit": CK.q_zipf_fit,
         "tfidf_topk": CK.q_tfidf_topk,
         "bm25_topk": CB.q_bm25_topk,
         "cms_heavy_hitters": CK.q_cms_heavy_hitters,
@@ -878,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": CD.q_shingle_novelty,
         "source_overlap": CD.q_source_overlap,
         "cluster_size_hist": CD.q_cluster_size_hist,
+        "dedup_savings_by_source": CD.q_dedup_savings_by_source,
         "dedup_savings": CD.q_dedup_savings,
         "simhash": CD.q_simhash,
         "simhash_neardup": CD.q_simhash_neardup,
@@ -1035,6 +1037,7 @@ def oracle_sql() -> dict[str, str]:
         "shingle_novelty": CD.sql_shingle_novelty(),
         "source_overlap": CD.sql_source_overlap(),
         "cluster_size_hist": CD.sql_cluster_size_hist(),
+        "dedup_savings_by_source": CD.sql_dedup_savings_by_source(),
         "dedup_savings": CD.sql_dedup_savings(),
         "dedup_clusters": CD.sql_dedup_clusters(),
         "simhash": CD.sql_simhash(),
@@ -1097,6 +1100,7 @@ def oracle_sql() -> dict[str, str]:
         "link_cocitation": CW.sql_link_cocitation(),
         "top_ngrams": CK.sql_top_ngrams(),
         "pmi_pairs": CK.sql_pmi_pairs(),
+        "zipf_fit": CK.sql_zipf_fit(),
         "tfidf_topk": CK.sql_tfidf_topk(),
         "bm25_topk": CB.sql_bm25_topk(),
         "cms_heavy_hitters": CK.sql_cms_heavy_hitters(),

@@ -46,7 +46,7 @@ GROUPS: dict[str, list[str]] = {
         "lang_stats", "corpus_curation", "gopher_quality", "dup_ngrams",
         "repetition_ladder",
         "pii_scrub", "corpus_stats", "decontaminate",
-        "html_strip", "main_content", "top_ngrams", "pmi_pairs", "tfidf_topk",
+        "html_strip", "main_content", "top_ngrams", "pmi_pairs", "zipf_fit", "tfidf_topk",
         "bm25_topk", "text_normalize", "normalize_uplift",
         "stratified_sample", "weighted_sample", "pack_sequences",
         "token_budget_select", "pack_efficiency",
@@ -75,7 +75,8 @@ GROUPS: dict[str, list[str]] = {
         "neardup_pairs", "crossdedup_lsh", "minhash_est_error",
         "dedup_clusters",
         "jaccard_pairs", "containment_pairs", "shingle_novelty",
-        "source_overlap", "cluster_size_hist", "dedup_savings", "split_leakage",
+        "source_overlap", "cluster_size_hist", "dedup_savings",
+        "dedup_savings_by_source", "split_leakage",
         "curation_funnel", "quality_calibration",
     ],
     "sim": [

@@ -2176,3 +2176,72 @@ def sql_cluster_size_hist() -> str:
                (size * COUNT(*))::BIGINT AS n_docs
         FROM sizes GROUP BY size
     """
+
+
+def q_dedup_savings_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_savings broken out per source — which feed pays the dedup
+    bill: a source whose token_drop_ppm dominates is re-crawl of known
+    content and gets demoted in the frontier scheduler. Same plan
+    shape as the global report (memoized cluster table, one uniform
+    doc_id join), rollup key is the small source dimension."""
+    from .textstats import TOKENS_SPARK as _TOKS
+
+    clusters = q_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    docs = read_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.expr(f"size({_TOKS})").alias("n_toks"),
+    )
+    return (
+        docs.join(clusters, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0))
+            .cast("bigint").alias("docs_dropped"),
+            F.sum("n_toks").cast("bigint").alias("tokens_total"),
+            F.sum(
+                F.when(~F.col("is_canonical"), F.col("n_toks"))
+                .otherwise(0)
+            ).cast("bigint").alias("tokens_dropped"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "case when tokens_total = 0 then null else"
+                " cast(tokens_dropped * 1000000 div tokens_total"
+                " as bigint) end"
+            ).alias("token_drop_ppm"),
+        )
+    )
+
+
+def sql_dedup_savings_by_source() -> str:
+    from .textstats import TOKENS_DUCK as _TOKS
+
+    return f"""
+        WITH clusters AS ({sql_dedup_clusters()}),
+        toks AS (
+            SELECT doc_id, source, len({_TOKS}) AS n_toks
+            FROM documents
+        ),
+        j AS (
+            SELECT t.source, t.n_toks, c.is_canonical
+            FROM toks t JOIN clusters c USING (doc_id)
+        )
+        SELECT source,
+               count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END)::BIGINT
+                   AS docs_dropped,
+               sum(n_toks)::BIGINT AS tokens_total,
+               sum(CASE WHEN NOT is_canonical THEN n_toks ELSE 0
+                   END)::BIGINT AS tokens_dropped,
+               CASE WHEN sum(n_toks) = 0 THEN NULL ELSE
+                   (sum(CASE WHEN NOT is_canonical THEN n_toks ELSE 0
+                        END) * 1000000 // sum(n_toks))::BIGINT
+               END AS token_drop_ppm
+        FROM j GROUP BY source
+    """

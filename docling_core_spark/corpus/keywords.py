@@ -508,3 +508,92 @@ def sql_pmi_pairs() -> str:
         ORDER BY pmi_micro DESC, gram ASC
         LIMIT {PMI_TOPK}
     """
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit
+# ---------------------------------------------------------------------------
+
+ZIPF_TOPK = 1000
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least-squares Zipf fit over the top-1000 unigram
+    frequencies: slope of ln(freq) on ln(rank) (Zipf's law predicts
+    ~ -1; a corpus whose slope drifts far from it is template-heavy or
+    tokenizer-broken — a standard corpus-health scalar, Zipf 1949).
+
+    Float discipline: x = floor(ln(rank) * 1e6), y = floor(ln(freq)
+    * 1e6) are exact BIGINTs, their sums/products aggregate exactly;
+    the final slope assembles those exact integers in ONE identical
+    double expression per dialect, rounded to 6dp.
+
+    100 TB story: unigram counts are one map-side-combined groupBy;
+    the top-1000 cut is TakeOrdered; the rank window and the fit run
+    over 1000 rows. Output 1 row."""
+    docs = read_spread(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    top = uni.orderBy(F.desc("freq"), F.asc("tok")).limit(ZIPF_TOPK)
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    xy = top.select(
+        F.expr(
+            "cast(floor(ln(cast(row_number() over ("
+            "order by freq desc, tok asc) as double)) * 1000000)"
+            " as bigint)"
+        ).alias("x"),
+        F.expr(
+            "cast(floor(ln(cast(freq as double)) * 1000000) as bigint)"
+        ).alias("y"),
+    )
+    return xy.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+    ).select(
+        "n_terms",
+        F.expr(
+            "round((cast(n_terms as double) * sxy"
+            " - cast(sx as double) * sy)"
+            " / (cast(n_terms as double) * sxx"
+            "    - cast(sx as double) * sx) / 1.0, 6)"
+        ).alias("zipf_slope"),
+    )
+
+
+def sql_zipf_fit() -> str:
+    return f"""
+        WITH uni AS (
+            SELECT tok, COUNT(*)::BIGINT AS freq
+            FROM (SELECT unnest({TOKENS_DUCK}) AS tok FROM documents)
+            GROUP BY tok
+        ),
+        top AS (
+            SELECT freq, tok FROM uni
+            ORDER BY freq DESC, tok ASC LIMIT {ZIPF_TOPK}
+        ),
+        xy AS (
+            SELECT floor(ln((row_number() OVER (
+                       ORDER BY freq DESC, tok ASC))::DOUBLE)
+                   * 1000000)::BIGINT AS x,
+                   floor(ln(freq::DOUBLE) * 1000000)::BIGINT AS y
+            FROM top
+        ),
+        s AS (
+            SELECT COUNT(*)::BIGINT AS n_terms,
+                   SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+                   SUM(x * y)::BIGINT AS sxy,
+                   SUM(x * x)::BIGINT AS sxx
+            FROM xy
+        )
+        SELECT n_terms,
+               round((n_terms::DOUBLE * sxy - sx::DOUBLE * sy)
+                     / (n_terms::DOUBLE * sxx - sx::DOUBLE * sx)
+                     / 1.0, 6) AS zipf_slope
+        FROM s
+    """

@@ -93,6 +93,9 @@ def _pairs():
         "cluster_size_hist": (
             CD.q_cluster_size_hist, CD.sql_cluster_size_hist,
         ),
+        "dedup_savings_by_source": (
+            CD.q_dedup_savings_by_source, CD.sql_dedup_savings_by_source,
+        ),
         "quality_calibration": (
             CCU.q_quality_calibration, CCU.sql_quality_calibration,
         ),
@@ -186,6 +189,7 @@ def _pairs():
             CFE.q_tok_fertility, lambda: CFE.sql_tok_fertility(SF_DIR),
         ),
         "pmi_pairs": (CK.q_pmi_pairs, CK.sql_pmi_pairs),
+        "zipf_fit": (CK.q_zipf_fit, CK.sql_zipf_fit),
         "token_budget_select": (
             CBU.q_token_budget_select, CBU.sql_token_budget_select,
         ),
@@ -1479,3 +1483,32 @@ def test_events_spikes_planted_burst(spark, tmp_path):
     assert out["flat"]["max_z"] is None
     assert out["flat"]["peak_count"] == 3
     assert out["bursty"]["n_buckets"] == 12
+
+
+def test_zipf_fit_recovers_minus_one_on_zipfian_text(spark, tmp_path):
+    """A corpus built with freq(word_i) = floor(600/i) is Zipf with
+    exponent 1; the fitted slope must land near -1 (the synthetic gate
+    corpus itself is template-heavy and fits much flatter — which is
+    exactly what the scalar is for)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.corpus import keywords as KW
+
+    words = []
+    for i in range(1, 200):
+        words += [f"w{i:03d}"] * (600 // i)
+    text = " ".join(words)
+    pq.write_table(
+        pa.table({
+            "doc_id": [1],
+            "text": [text],
+            "lang": ["en"],
+            "source": ["t"],
+            "n_chars": [len(text)],
+        }),
+        tmp_path / "documents.parquet",
+    )
+    row = KW.q_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert row["n_terms"] == 199
+    assert -1.15 < row["zipf_slope"] < -0.85
