@@ -850,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm2_score": CL2.q_lm2_score,
         "source_drift": CDR.q_source_drift,
         "source_lang_entropy": CDR.q_source_lang_entropy,
+        "source_length_quantiles": CT.q_source_length_quantiles,
         "heldout_ppl": CHO.q_heldout_ppl,
         "tok_fertility": CFE.q_tok_fertility,
         "stratified_sample": CSA.q_stratified_sample,
@@ -1110,6 +1111,7 @@ def oracle_sql() -> dict[str, str]:
         "lm2_score": CL2.sql_lm2_score(),
         "source_drift": CDR.sql_source_drift(),
         "source_lang_entropy": CDR.sql_source_lang_entropy(),
+        "source_length_quantiles": CT.sql_source_length_quantiles(),
         "heldout_ppl": CHO.sql_heldout_ppl(),
         "stratified_sample": CSA.sql_stratified_sample(),
         "weighted_sample": CSA.sql_weighted_sample(),

@@ -52,6 +52,7 @@ GROUPS: dict[str, list[str]] = {
         "token_budget_select", "pack_efficiency",
         "shard_manifest",
         "cms_heavy_hitters", "kmv_distinct", "hist_quantiles",
+        "source_length_quantiles",
         "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score", "source_drift", "source_lang_entropy", "heldout_ppl",
         "tok_fertility",
         "extract_links", "link_pagerank", "anchor_text_agg",

@@ -10,7 +10,7 @@ quality filtering / token budgeting / fingerprint dedup prep).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import constants as C, read_spread
@@ -482,4 +482,95 @@ def sql_langid_confusion() -> str:
         SELECT true_lang, pred_lang, n, n_true,
                ((n * 1000000) // n_true)::BIGINT AS share_micro
         FROM cells JOIN totals USING (true_lang)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-source length quantiles (bucketed inversion — the per-group twin
+# of hist_quantiles' corpus-global sketch)
+# ---------------------------------------------------------------------------
+
+LEN_BUCKET_W = 64  # chars per bucket: quantile error <= one bucket
+
+
+def q_source_length_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """p50/p90/p99 of document length PER SOURCE, computed the
+    bounded-state way: fixed 64-char buckets -> per-(source, bucket)
+    counts -> cumulative inversion. Exact to one bucket width, and the
+    per-source cumulative window runs over bucket rows (len/64 of
+    them), never documents — the standard distributed per-group
+    quantile shape when exact per-group sorts would be a corpus-wide
+    skewed shuffle. Reported values are bucket UPPER bounds.
+
+    100 TB story: one map-side-combined groupBy on (source, bucket);
+    the window partitions by source over <= max_len/64 bucket rows per
+    source; output is source-table-sized."""
+    docs = read_spread(spark, sf_dir, "documents")
+    b = (
+        docs.select(
+            "source",
+            F.expr(f"cast(n_chars div {LEN_BUCKET_W} as bigint)")
+            .alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("source")
+    cum = b.select(
+        "source", "bucket", "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wt).cast("bigint").alias("total"),
+    )
+    def q_expr(pct: int, name: str):
+        return F.min(
+            F.expr(
+                f"case when cum >= (total * {pct} + 99) div 100"
+                f" then bucket * {LEN_BUCKET_W} + {LEN_BUCKET_W - 1}"
+                " end"
+            )
+        ).cast("bigint").alias(name)
+    return cum.groupBy("source").agg(
+        F.max("total").cast("bigint").alias("n_docs"),
+        q_expr(50, "p50_chars"),
+        q_expr(90, "p90_chars"),
+        q_expr(99, "p99_chars"),
+    )
+
+
+def sql_source_length_quantiles() -> str:
+    def q_sql(pct: int, name: str) -> str:
+        return (
+            f"MIN(CASE WHEN cum >= (total * {pct} + 99) // 100"
+            f" THEN bucket * {LEN_BUCKET_W} + {LEN_BUCKET_W - 1}"
+            f" END)::BIGINT AS {name}"
+        )
+    return f"""
+        WITH b AS (
+            SELECT source,
+                   (n_chars // {LEN_BUCKET_W})::BIGINT AS bucket,
+                   COUNT(*)::BIGINT AS cnt
+            FROM documents GROUP BY source, (n_chars // {LEN_BUCKET_W})
+        ),
+        cum AS (
+            SELECT source, bucket, cnt,
+                   SUM(cnt) OVER (
+                       PARTITION BY source ORDER BY bucket ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum,
+                   SUM(cnt) OVER (PARTITION BY source)::BIGINT AS total
+            FROM b
+        )
+        SELECT source,
+               MAX(total)::BIGINT AS n_docs,
+               {q_sql(50, "p50_chars")},
+               {q_sql(90, "p90_chars")},
+               {q_sql(99, "p99_chars")}
+        FROM cum GROUP BY source
     """

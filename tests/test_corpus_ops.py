@@ -181,6 +181,9 @@ def _pairs():
         "source_lang_entropy": (
             CDR.q_source_lang_entropy, CDR.sql_source_lang_entropy,
         ),
+        "source_length_quantiles": (
+            CT.q_source_length_quantiles, CT.sql_source_length_quantiles,
+        ),
         "heldout_ppl": (CHO.q_heldout_ppl, CHO.sql_heldout_ppl),
         "label_cohesion": (CCO.q_label_cohesion, CCO.sql_label_cohesion),
         "emb_dim_stats": (CCO.q_emb_dim_stats, CCO.sql_emb_dim_stats),
@@ -1512,3 +1515,30 @@ def test_zipf_fit_recovers_minus_one_on_zipfian_text(spark, tmp_path):
     row = KW.q_zipf_fit(spark, str(tmp_path)).collect()[0]
     assert row["n_terms"] == 199
     assert -1.15 < row["zipf_slope"] < -0.85
+
+
+def test_source_length_quantiles_bracket_exact(spark, duck):
+    """Bucketed quantiles must bracket DuckDB's exact per-source
+    percentiles within one bucket width."""
+    from docling_core_spark.corpus import textstats as TS
+
+    approx = {r["source"]: r for r in TS.q_source_length_quantiles(
+        spark, SF_DIR).collect()}
+    exact = {
+        s: (p50, p90, p99)
+        for s, p50, p90, p99 in duck.execute("""
+            SELECT source,
+                   quantile_disc(n_chars, 0.50),
+                   quantile_disc(n_chars, 0.90),
+                   quantile_disc(n_chars, 0.99)
+            FROM documents GROUP BY source
+        """).fetchall()
+    }
+    w = TS.LEN_BUCKET_W
+    for s, (e50, e90, e99) in exact.items():
+        a = approx[s]
+        for got, want in (
+            (a["p50_chars"], e50), (a["p90_chars"], e90),
+            (a["p99_chars"], e99),
+        ):
+            assert want <= got <= want + w, (s, got, want)
