@@ -35,6 +35,12 @@ CC_MAX_ROUNDS = 32
 # without the cap the posting self-join grows O(sum df^2) — the
 # standard stop-shingle guard of the AllPairs/PPJoin family.
 JACCARD_MAX_DF = 100_000
+# edit-distance second-stage verification of near-dup pairs runs on a
+# fixed text PREFIX: Levenshtein is O(len_a * len_b) per pair, so both
+# engines cap the operand length to keep the per-pair cost a constant
+# (256^2 cell ops) independent of document size — full-text edit
+# distance on a pathological 1 MB pair would be 10^12 cells.
+EDIT_PREFIX = 256
 # below this many edges the clustering finishes locally in ONE task
 # (union-find over the edge subgraph) instead of iterating shuffle
 # rounds — the standard last step of the MapReduce CC algorithms

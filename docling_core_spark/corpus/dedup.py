@@ -1079,6 +1079,72 @@ def sql_minhash_est_error() -> str:
     """
 
 
+def q_neardup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance SECOND-stage verification of the near-dup pairs:
+    for every Jaccard-verified pair, the Levenshtein distance and the
+    normalized edit similarity (1 - dist / max_len) over a fixed
+    EDIT_PREFIX-char text prefix. Shingle Jaccard is order-insensitive
+    (bag of 3-grams); edit distance is the orthogonal order-SENSITIVE
+    check — a pair with high Jaccard but low edit similarity is a
+    shuffled/templated rewrite, not a true near-duplicate. Standard
+    two-signal verify in production dedup (MinHash recall, edit-ratio
+    precision).
+
+    100 TB story: runs ONLY over the memoized verified-pair table
+    (candidate-set-sized, never corpus^2); the two text lookups are
+    uniform doc_id hash joins against a (doc_id, prefix) projection
+    of the scan; `levenshtein` is a JVM codegen expression whose cost
+    is bounded to EDIT_PREFIX^2 cells per pair by the prefix cap.
+    Zero new corpus-wide shuffles.
+    """
+    pairs = q_neardup_pairs(spark, sf_dir)
+    prefix = read_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"substring(text, 1, {C.EDIT_PREFIX})").alias("t"),
+    )
+    return (
+        pairs.join(prefix.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        .join(prefix.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.expr("levenshtein(da.t, db.t)")
+            .cast("bigint")
+            .alias("edit_dist"),
+            # both-empty prefixes => identical => similarity 1 (guards
+            # the ANSI divide-by-zero / NULL divergence class)
+            F.expr(
+                "case when greatest(length(da.t), length(db.t)) = 0"
+                " then cast(1.0 as double)"
+                " else round(1.0 - levenshtein(da.t, db.t) /"
+                " cast(greatest(length(da.t), length(db.t)) as double),"
+                " 6) end"
+            ).alias("edit_sim"),
+        )
+    )
+
+
+def sql_neardup_edit() -> str:
+    return f"""
+        WITH pairs AS ({sql_neardup_pairs()}),
+        pre AS (
+            SELECT doc_id, substr(text, 1, {C.EDIT_PREFIX}) AS t
+            FROM documents
+        )
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               levenshtein(da.t, db.t)::BIGINT AS edit_dist,
+               CASE WHEN greatest(len(da.t), len(db.t)) = 0
+                    THEN 1.0::DOUBLE
+                    ELSE round(1.0 - levenshtein(da.t, db.t)
+                         / greatest(len(da.t), len(db.t))::DOUBLE, 6)
+               END AS edit_sim
+        FROM pairs p
+        JOIN pre da ON p.doc_a = da.doc_id
+        JOIN pre db ON p.doc_b = db.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # duplicated-passage detection (exact-substring dedup at k-gram resolution)
 # ---------------------------------------------------------------------------
@@ -1382,12 +1448,23 @@ def q_dup_passages_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_spread(spark, sf_dir, "documents").select(
         "doc_id", F.expr(TOKENS_SPARK).alias("t")
     )
+    # The merged spans are disjoint and non-adjacent by construction
+    # (islands break on a > k gap), so the cut is a complement-slice
+    # scan: O(tokens + spans) per doc, vs the naive per-token
+    # filter-over-spans which is O(tokens * spans) AND allocates a
+    # (tok, pos) struct per token. aggregate() walks the sorted spans
+    # once, concatenating the kept gaps between them.
     kept = (
-        "case when spans is null then t else transform("
-        " filter(transform(t, (x, i) -> struct(x as tok, i + 1 as p)),"
-        "  s -> size(filter(spans, sp -> s.p >= sp.start_tok"
-        "   and s.p <= sp.end_tok)) = 0),"
-        " s -> s.tok) end"
+        "case when spans is null then t else aggregate("
+        " array_sort(spans),"
+        " struct(1 as cur, cast(array() as array<string>) as acc),"
+        " (st, sp) -> struct("
+        "   cast(sp.end_tok + 1 as int) as cur,"
+        "   concat(st.acc, slice(t, st.cur,"
+        "     cast(sp.start_tok - st.cur as int))) as acc),"
+        " st -> concat(st.acc,"
+        "   slice(t, st.cur, greatest(size(t) - st.cur + 1, 0)))"
+        ") end"
     )
     return (
         docs.join(spans, "doc_id", "left")

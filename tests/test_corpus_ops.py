@@ -83,6 +83,7 @@ def _pairs():
         ),
         "lsh_buckets": (CD.q_lsh_buckets, CD.sql_lsh_buckets),
         "neardup_pairs": (CD.q_neardup_pairs, CD.sql_neardup_pairs),
+        "neardup_edit": (CD.q_neardup_edit, CD.sql_neardup_edit),
         "dedup_clusters": (CD.q_dedup_clusters, CD.sql_dedup_clusters),
         "jaccard_pairs": (CD.q_jaccard_pairs, CD.sql_jaccard_pairs),
         "containment_pairs": (
@@ -227,6 +228,25 @@ def test_neardup_pairs_find_planted_duplicates(spark):
     assert len(rows) > 0
     assert all(r["jaccard"] >= C.JACCARD_THRESHOLD for r in rows)
     assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_neardup_edit_bounds_and_coverage(spark):
+    """Edit verification covers every verified pair exactly once, the
+    distance is within [0, EDIT_PREFIX], and similarity is a proper
+    [0, 1] normalization of it; identical prefixes score exactly 1."""
+    from docling_core_spark.corpus import constants as C
+    from docling_core_spark.corpus import dedup as CD
+
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in CD.q_neardup_pairs(spark, SF_DIR).collect()}
+    rows = CD.q_neardup_edit(spark, SF_DIR).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == pairs
+    assert len(rows) == len(pairs)
+    for r in rows:
+        assert 0 <= r["edit_dist"] <= C.EDIT_PREFIX
+        assert 0.0 <= r["edit_sim"] <= 1.0
+        if r["edit_dist"] == 0:
+            assert r["edit_sim"] == 1.0
 
 
 def test_lsh_pairs_subset_of_exact_jaccard(spark):
