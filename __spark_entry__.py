@@ -875,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pairs": CD.q_neardup_pairs,
         "minhash_est_error": CD.q_minhash_est_error,
         "neardup_edit": CD.q_neardup_edit,
+        "lsh_scurve": CD.q_lsh_scurve,
         "dedup_clusters": CD.q_dedup_clusters,
         "jaccard_pairs": CD.q_jaccard_pairs,
         "containment_pairs": CD.q_containment_pairs,
@@ -1089,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_passages": CD.sql_dup_passages(),
         "minhash_est_error": CD.sql_minhash_est_error(),
         "neardup_edit": CD.sql_neardup_edit(),
+        "lsh_scurve": CD.sql_lsh_scurve(),
         "html_strip": CW.sql_html_strip(),
         "main_content": CW.sql_main_content(),
         "extract_links": CW.sql_extract_links(),

@@ -74,7 +74,7 @@ GROUPS: dict[str, list[str]] = {
         "minhash_signatures",
         "lsh_buckets",
         "neardup_pairs", "crossdedup_lsh", "minhash_est_error",
-        "neardup_edit",
+        "neardup_edit", "lsh_scurve",
         "dedup_clusters",
         "jaccard_pairs", "containment_pairs", "shingle_novelty",
         "source_overlap", "cluster_size_hist", "dedup_savings",

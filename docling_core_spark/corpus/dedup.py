@@ -1125,6 +1125,163 @@ def q_neardup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve calibration: empirical candidate rate per
+    exact-Jaccard decile vs the theoretical collision probability
+    1 - (1 - s^r)^b for the configured (LSH_BANDS, ROWS_PER_BAND) —
+    the table you read to pick band parameters before a production
+    dedup run (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+    §3.4).
+
+    Per decile: pair count, LSH-candidate count, empirical candidate
+    rate in exact integer micro units, and the theoretical rate at the
+    decile midpoint. A healthy configuration shows emp tracking theo:
+    near-0 below the threshold deciles, near-10^6 above.
+
+    100 TB story: the exact all-pairs side is the AllPairs inverted
+    index (DF-capped postings) — at production scale you run the
+    calibration on a sampled stratum (compose with stratified_sample),
+    exactly how band parameters are tuned in practice; the candidate
+    side reuses the banded groupBy pair expansion; the final rollup is
+    a 10-row map-side-combinable groupBy.
+    """
+    sh = _persisted_shingles(spark, sf_dir)
+    counts = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    posts = sh.select("doc_id", F.explode("sh").alias("g"))
+    hot = (
+        posts.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > C.JACCARD_MAX_DF)
+        .select("g")
+    )
+    posts = posts.join(F.broadcast(hot), "g", "left_anti")
+    inter = (
+        posts.alias("a").join(posts.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    pairs = (
+        inter
+        .join(counts.select(F.col("doc_id").alias("doc_a"),
+                            F.col("n_sh").alias("n_a")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"),
+                            F.col("n_sh").alias("n_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.expr(
+                "round(inter / cast(n_a + n_b - inter as double), 6)"
+            ).alias("jaccard"),
+        )
+    )
+    bands = _bands_from_sig(_sig_from_shingles(sh))
+    cand = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)), y ->"
+                    " struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+        .withColumn("is_cand", F.lit(1))
+    )
+    b, r = C.LSH_BANDS, C.ROWS_PER_BAND
+    return (
+        pairs.join(cand, ["doc_a", "doc_b"], "left")
+        .select(
+            F.expr(
+                "cast(least(floor(jaccard * 10), 9) as bigint)"
+            ).alias("bucket"),
+            F.coalesce("is_cand", F.lit(0)).alias("c"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("c").cast("bigint").alias("n_cand"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            "n_cand",
+            F.expr("(n_cand * 1000000) div n_pairs").cast("bigint")
+            .alias("emp_micro"),
+            F.expr(
+                f"cast(floor((1.0 - power(1.0 - power("
+                f"(bucket * 2 + 1) / 20.0, {r}), {b})) * 1000000 + 0.5)"
+                " as bigint)"
+            ).alias("theo_micro"),
+        )
+    )
+
+
+def sql_lsh_scurve() -> str:
+    b, r = C.LSH_BANDS, C.ROWS_PER_BAND
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_id,"
+        f" {_band_key_duck(bi)} AS band_key FROM sig"
+        for bi in range(C.LSH_BANDS)
+    )
+    return f"""
+        WITH {_sig_cte_duck()},
+        counts AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
+        posts AS (
+            SELECT doc_id, unnest(sh) AS g FROM shs
+        ),
+        keep AS (
+            SELECT g FROM posts GROUP BY g
+            HAVING COUNT(*) <= {C.JACCARD_MAX_DF}
+        ),
+        kp AS (SELECT p.* FROM posts p JOIN keep USING (g)),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS inter
+            FROM kp a JOIN kp b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b,
+                   round(inter / (ca.n_sh + cb.n_sh - inter)::DOUBLE, 6)
+                       AS jaccard
+            FROM inter
+            JOIN counts ca ON inter.doc_a = ca.doc_id
+            JOIN counts cb ON inter.doc_b = cb.doc_id
+        ),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        marked AS (
+            SELECT least(floor(p.jaccard * 10), 9)::BIGINT AS bucket,
+                   CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS c
+            FROM pairs p
+            LEFT JOIN cand c
+              ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+        )
+        SELECT bucket,
+               COUNT(*)::BIGINT AS n_pairs,
+               SUM(c)::BIGINT AS n_cand,
+               ((SUM(c) * 1000000) // COUNT(*))::BIGINT AS emp_micro,
+               floor((1.0 - pow(1.0 - pow(
+                   (bucket * 2 + 1) / 20.0, {r}), {b})) * 1000000
+                   + 0.5)::BIGINT AS theo_micro
+        FROM marked GROUP BY bucket
+    """
+
+
 def sql_neardup_edit() -> str:
     return f"""
         WITH pairs AS ({sql_neardup_pairs()}),

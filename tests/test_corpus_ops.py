@@ -84,6 +84,7 @@ def _pairs():
         "lsh_buckets": (CD.q_lsh_buckets, CD.sql_lsh_buckets),
         "neardup_pairs": (CD.q_neardup_pairs, CD.sql_neardup_pairs),
         "neardup_edit": (CD.q_neardup_edit, CD.sql_neardup_edit),
+        "lsh_scurve": (CD.q_lsh_scurve, CD.sql_lsh_scurve),
         "dedup_clusters": (CD.q_dedup_clusters, CD.sql_dedup_clusters),
         "jaccard_pairs": (CD.q_jaccard_pairs, CD.sql_jaccard_pairs),
         "containment_pairs": (
@@ -228,6 +229,30 @@ def test_neardup_pairs_find_planted_duplicates(spark):
     assert len(rows) > 0
     assert all(r["jaccard"] >= C.JACCARD_THRESHOLD for r in rows)
     assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_lsh_scurve_monotone_and_consistent(spark):
+    """The S-curve table: candidate rate must be a probability in
+    [0, 10^6] micro units; the top decile (true near-dups) must show a
+    HIGHER empirical candidate rate than the bottom decile (banding is
+    doing its job); theo follows the closed form at decile midpoints."""
+    from docling_core_spark.corpus import constants as C
+    from docling_core_spark.corpus import dedup as CD
+
+    rows = {r["bucket"]: r for r in
+            CD.q_lsh_scurve(spark, SF_DIR).collect()}
+    assert rows
+    b, r_ = C.LSH_BANDS, C.ROWS_PER_BAND
+    for bk, r in rows.items():
+        assert 0 <= bk <= 9
+        assert 0 <= r["n_cand"] <= r["n_pairs"]
+        assert 0 <= r["emp_micro"] <= 1_000_000
+        mid = (bk * 2 + 1) / 20.0
+        theo = 1.0 - (1.0 - mid ** r_) ** b
+        assert r["theo_micro"] == int(theo * 1_000_000 + 0.5)
+    lo, hi = min(rows), max(rows)
+    if lo != hi:
+        assert rows[hi]["emp_micro"] >= rows[lo]["emp_micro"]
 
 
 def test_neardup_edit_bounds_and_coverage(spark):
