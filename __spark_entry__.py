@@ -835,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": CDQ.q_domain_quality,
         "data_split": CSP.q_data_split,
         "link_pagerank": CW.q_link_pagerank,
+        "link_hits": CW.q_link_hits,
         "anchor_text_agg": CW.q_anchor_text_agg,
         "link_cocitation": CW.q_link_cocitation,
         # corpus keywords
@@ -1101,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quality": CDQ.sql_domain_quality(),
         "data_split": CSP.sql_data_split(),
         "link_pagerank": CW.sql_link_pagerank(),
+        "link_hits": CW.sql_link_hits(),
         "anchor_text_agg": CW.sql_anchor_text_agg(),
         "link_cocitation": CW.sql_link_cocitation(),
         "top_ngrams": CK.sql_top_ngrams(),

@@ -55,7 +55,7 @@ GROUPS: dict[str, list[str]] = {
         "source_length_quantiles",
         "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score", "source_drift", "source_lang_entropy", "heldout_ppl",
         "tok_fertility",
-        "extract_links", "link_pagerank", "anchor_text_agg",
+        "extract_links", "link_pagerank", "link_hits", "anchor_text_agg",
         "link_cocitation",
         "url_normalize", "domain_stats", "robots_filter",
         "crawl_frontier", "domain_quality", "data_split",

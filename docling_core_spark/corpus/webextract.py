@@ -475,6 +475,148 @@ def sql_link_pagerank() -> str:
 
 
 # ---------------------------------------------------------------------------
+# link_hits: HITS hubs & authorities over the extracted outlink graph
+# ---------------------------------------------------------------------------
+# Kleinberg (JACM 1999) — the other classic link-graph ranking next to
+# PageRank: auth(v) = sum of hub(u) over in-edges, hub(u) = sum of
+# auth(v) over out-edges, renormalized each half-step. Same integer
+# discipline as link_pagerank: scores in parts-per-1e9 with floor
+# division, L1-renormalized to 1e9 total per half-step, so the
+# iteration is bit-exact across engines and partition orders. On this
+# fixture docs are pure hubs and hrefs pure authorities (bipartite),
+# which HITS handles natively — the hot "/" authority's in-edge SUM is
+# map-side combinable exactly like the PageRank aggregation.
+
+HITS_ITERS = 2
+
+
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (integer p9 units, HITS_ITERS iterations) over the
+    doc->href edge list from q_extract_links.
+
+    100 TB story: each half-step is (edges JOIN score) on the uniform
+    side followed by a map-side-combined integer SUM keyed by the
+    other side (hot authorities collapse per map task), then an L1
+    renormalization whose only driver-side values are two scalar
+    totals per iteration (audited collect sites, same class as
+    PageRank's node count). localCheckpoint truncates the iteration
+    lineage. No global window, no per-row Python."""
+    from pyspark.sql import functions as F
+
+    links = q_extract_links(spark, sf_dir)
+    edges = links.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+        .alias("src"),
+        F.col("href").alias("dst"),
+    ).distinct().localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # scalar metadata aggregate (audited collect site)
+    hub = nodes.select(
+        "node", F.lit(_PR_TOTAL // n).cast("bigint").alias("h")
+    )
+
+    def _norm(raw, col):
+        total = raw.agg(F.sum(col)).collect()[0][0] or 0
+        total = max(total, 1)  # edgeless-graph guard (ANSI div-by-0)
+        return raw.select(
+            "node",
+            F.expr(f"({col} * {_PR_TOTAL}) div {total}")
+            .cast("bigint").alias(col),
+        )
+
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            edges.join(hub, edges.src == hub.node)
+            .groupBy("dst").agg(F.sum("h").alias("a"))
+        )
+        auth = _norm(
+            nodes.join(a_raw, nodes.node == a_raw.dst, "left")
+            .select("node", F.coalesce("a", F.lit(0)).alias("a")),
+            "a",
+        ).localCheckpoint()
+        h_raw = (
+            edges.join(auth, edges.dst == auth.node)
+            .groupBy("src").agg(F.sum("a").alias("h"))
+        )
+        hub = _norm(
+            nodes.join(h_raw, nodes.node == h_raw.src, "left")
+            .select("node", F.coalesce("h", F.lit(0)).alias("h")),
+            "h",
+        ).localCheckpoint()
+    return (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_p9"),
+            F.col("a").alias("auth_p9"),
+        )
+    )
+
+
+def sql_link_hits() -> str:
+    step = """
+        a{k}_raw AS (
+            SELECT nd.node,
+                   COALESCE(SUM(p.h), 0)::BIGINT AS a
+            FROM nodes nd
+            LEFT JOIN edges e ON e.dst = nd.node
+            LEFT JOIN h{prev} p ON p.node = e.src
+            GROUP BY nd.node
+        ),
+        a{k} AS (
+            SELECT node,
+                   ((a * {total}) // greatest(
+                       (SELECT SUM(a) FROM a{k}_raw), 1))::BIGINT AS a
+            FROM a{k}_raw
+        ),
+        h{k}_raw AS (
+            SELECT nd.node,
+                   COALESCE(SUM(p.a), 0)::BIGINT AS h
+            FROM nodes nd
+            LEFT JOIN edges e ON e.src = nd.node
+            LEFT JOIN a{k} p ON p.node = e.dst
+            GROUP BY nd.node
+        ),
+        h{k} AS (
+            SELECT node,
+                   ((h * {total}) // greatest(
+                       (SELECT SUM(h) FROM h{k}_raw), 1))::BIGINT AS h
+            FROM h{k}_raw
+        )"""
+    steps = ",".join(
+        step.format(k=k, prev=k - 1, total=_PR_TOTAL)
+        for k in range(1, HITS_ITERS + 1)
+    )
+    return f"""
+        WITH links AS ({sql_extract_links()}),
+        edges AS (
+            SELECT DISTINCT 'doc:' || doc_id::VARCHAR AS src, href AS dst
+            FROM links
+        ),
+        nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+            UNION
+            SELECT DISTINCT dst FROM edges
+        ),
+        nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+        h0 AS (
+            SELECT node,
+                   ({_PR_TOTAL}::BIGINT // (SELECT n FROM nn))::BIGINT AS h
+            FROM nodes
+        ),
+        {steps}
+        SELECT h.node, h.h AS hub_p9, a.a AS auth_p9
+        FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a USING (node)
+    """
+
+
+# ---------------------------------------------------------------------------
 # anchor_text_agg: per-target anchor-text profile over the link table
 # ---------------------------------------------------------------------------
 # The other classic consumer of a crawler's link table (besides the

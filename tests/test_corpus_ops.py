@@ -117,6 +117,7 @@ def _pairs():
         "cdc_dup_chunks": (CD.q_cdc_dup_chunks, CD.sql_cdc_dup_chunks),
         "dup_passages": (CD.q_dup_passages, CD.sql_dup_passages),
         "link_pagerank": (CW.q_link_pagerank, CW.sql_link_pagerank),
+        "link_hits": (CW.q_link_hits, CW.sql_link_hits),
         "anchor_text_agg": (CW.q_anchor_text_agg, CW.sql_anchor_text_agg),
         "link_cocitation": (CW.q_link_cocitation, CW.sql_link_cocitation),
         "knn_bruteforce": (CS.q_knn_bruteforce, CS.sql_knn_bruteforce),
@@ -493,6 +494,29 @@ def test_link_pagerank_properties(spark):
     assert doc_scores == {base}
     assert all(v >= 0 for v in rows.values())
     assert sum(rows.values()) <= 1_000_000_000
+
+
+def test_link_hits_properties(spark):
+    """Structural HITS facts on the bipartite doc->hub fixture graph:
+    docs only point (pure hubs, auth_p9 = 0 after renormalization over
+    a graph where no doc has an in-edge); hrefs only receive (pure
+    authorities, hub_p9 = 0); the static all-doc hubs ("/", "/ad",
+    "/t", "/p") tie for top authority; L1 mass per side is <= 1e9
+    (floor division only ever loses mass)."""
+    from docling_core_spark.corpus.webextract import q_link_hits
+
+    rows = {r["node"]: (r["hub_p9"], r["auth_p9"])
+            for r in q_link_hits(spark, "/root/testdata/sf0.001").collect()}
+    docs = {k for k in rows if k.startswith("doc:")}
+    hrefs = set(rows) - docs
+    assert docs and hrefs
+    assert all(rows[d][1] == 0 for d in docs)
+    assert all(rows[h][0] == 0 for h in hrefs)
+    top_auth = max(v[1] for v in rows.values())
+    assert {k for k, v in rows.items() if v[1] == top_auth} == {
+        "/", "/ad", "/t", "/p"}
+    assert sum(v[0] for v in rows.values()) <= 1_000_000_000
+    assert sum(v[1] for v in rows.values()) <= 1_000_000_000
 
 
 def test_anchor_text_agg_properties(spark):
