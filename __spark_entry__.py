@@ -877,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_est_error": CD.q_minhash_est_error,
         "neardup_edit": CD.q_neardup_edit,
         "lsh_scurve": CD.q_lsh_scurve,
+        "cluster_density": CD.q_cluster_density,
         "dedup_clusters": CD.q_dedup_clusters,
         "jaccard_pairs": CD.q_jaccard_pairs,
         "containment_pairs": CD.q_containment_pairs,
@@ -1092,6 +1093,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_est_error": CD.sql_minhash_est_error(),
         "neardup_edit": CD.sql_neardup_edit(),
         "lsh_scurve": CD.sql_lsh_scurve(),
+        "cluster_density": CD.sql_cluster_density(),
         "html_strip": CW.sql_html_strip(),
         "main_content": CW.sql_main_content(),
         "extract_links": CW.sql_extract_links(),

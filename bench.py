@@ -77,7 +77,7 @@ GROUPS: dict[str, list[str]] = {
         "neardup_edit", "lsh_scurve",
         "dedup_clusters",
         "jaccard_pairs", "containment_pairs", "shingle_novelty",
-        "source_overlap", "cluster_size_hist", "dedup_savings",
+        "source_overlap", "cluster_size_hist", "cluster_density", "dedup_savings",
         "dedup_savings_by_source", "split_leakage",
         "curation_funnel", "quality_calibration",
     ],

@@ -2412,6 +2412,85 @@ def sql_cluster_size_hist() -> str:
     """
 
 
+def q_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster edge density: verified-pair edges vs possible pairs
+    C(size, 2), in exact integer micro units. Connected components
+    merge by TRANSITIVITY — A~B and B~C put A and C in one cluster
+    without ever verifying A~C — so a low-density big cluster is the
+    transitive-chaining failure mode (boilerplate bridging unrelated
+    docs); density 10^6 means a clique where every pair was verified.
+    The per-cluster companion to cluster_size_hist: that one finds the
+    mega-cluster, this one says whether to trust it.
+
+    100 TB story: both inputs are already-materialized artifacts (the
+    memoized cluster + verified-pair tables); the edge rollup joins
+    pairs to clusters on uniform doc_id and aggregates map-side by
+    cluster_id; output is one row per multi-doc cluster.
+    """
+    clusters = q_dedup_clusters(spark, sf_dir).filter(
+        "cluster_size >= 2"
+    )
+    # every verified pair is intra-cluster by construction (clusters
+    # are the components OF the pair graph), so one endpoint suffices
+    edges = (
+        q_neardup_pairs(spark, sf_dir)
+        .select("doc_a")
+        .join(
+            clusters.select(
+                F.col("doc_id").alias("doc_a"), "cluster_id"
+            ),
+            "doc_a",
+        )
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.max("cluster_size").cast("bigint").alias("size")
+    )
+    return (
+        sizes.join(edges, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "size",
+            F.coalesce("n_edges", F.lit(0)).cast("bigint")
+            .alias("n_edges"),
+            F.expr("(size * (size - 1)) div 2").cast("bigint")
+            .alias("possible_pairs"),
+            F.expr(
+                "(coalesce(n_edges, 0) * 1000000)"
+                " div ((size * (size - 1)) div 2)"
+            ).cast("bigint").alias("density_micro"),
+        )
+    )
+
+
+def sql_cluster_density() -> str:
+    return f"""
+        WITH clusters AS ({sql_dedup_clusters()}),
+        pairs AS ({sql_neardup_pairs()}),
+        multi AS (
+            SELECT doc_id, cluster_id, cluster_size
+            FROM clusters WHERE cluster_size >= 2
+        ),
+        edges AS (
+            SELECT m.cluster_id, COUNT(*)::BIGINT AS n_edges
+            FROM pairs p JOIN multi m ON p.doc_a = m.doc_id
+            GROUP BY m.cluster_id
+        ),
+        sizes AS (
+            SELECT cluster_id, MAX(cluster_size)::BIGINT AS size
+            FROM multi GROUP BY cluster_id
+        )
+        SELECT s.cluster_id, s.size,
+               COALESCE(e.n_edges, 0)::BIGINT AS n_edges,
+               ((s.size * (s.size - 1)) // 2)::BIGINT AS possible_pairs,
+               ((COALESCE(e.n_edges, 0) * 1000000)
+                // ((s.size * (s.size - 1)) // 2))::BIGINT
+                   AS density_micro
+        FROM sizes s LEFT JOIN edges e USING (cluster_id)
+    """
+
+
 def q_dedup_savings_by_source(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

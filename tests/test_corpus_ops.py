@@ -85,6 +85,7 @@ def _pairs():
         "neardup_pairs": (CD.q_neardup_pairs, CD.sql_neardup_pairs),
         "neardup_edit": (CD.q_neardup_edit, CD.sql_neardup_edit),
         "lsh_scurve": (CD.q_lsh_scurve, CD.sql_lsh_scurve),
+        "cluster_density": (CD.q_cluster_density, CD.sql_cluster_density),
         "dedup_clusters": (CD.q_dedup_clusters, CD.sql_dedup_clusters),
         "jaccard_pairs": (CD.q_jaccard_pairs, CD.sql_jaccard_pairs),
         "containment_pairs": (
