@@ -810,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_externalize": _q_media_externalize,
         # text analysis
         "token_stats": CT.q_token_stats,
+        "token_entropy": CT.q_token_entropy,
         "lang_id": CT.q_lang_id,
         "quality_score": CT.q_quality,
         "fingerprint": CT.q_fingerprint,
@@ -1031,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "token_stats": CT.sql_token_stats(),
+        "token_entropy": CT.sql_token_entropy(),
         "lang_id": CT.sql_lang_id(),
         "quality_score": CT.sql_quality(),
         "fingerprint": CT.sql_fingerprint(),

@@ -42,7 +42,7 @@ if _REPO not in sys.path:
 # appear in exactly one group; checked at runtime in main()).
 GROUPS: dict[str, list[str]] = {
     "text": [
-        "token_stats", "lang_id", "quality_score", "fingerprint",
+        "token_stats", "token_entropy", "lang_id", "quality_score", "fingerprint",
         "lang_stats", "corpus_curation", "gopher_quality", "dup_ngrams",
         "repetition_ladder",
         "pii_scrub", "corpus_stats", "decontaminate",

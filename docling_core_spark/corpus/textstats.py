@@ -293,6 +293,79 @@ def sql_fingerprint() -> str:
 # corpus rollup stats (the curation dashboard query)
 # ---------------------------------------------------------------------------
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram token entropy H = -sum(p ln p) in exact
+    integer micro-nats — the templated/spam-text detector orthogonal to
+    the repetition-fraction signals (dup_ngrams counts repeated mass;
+    entropy catches low-diversity text even when no single n-gram
+    repeats). Each per-type term c/n * ln(n/c) is integerised to
+    micro-nats BEFORE the rollup exchange (the lm_score float
+    discipline), so the sum is exact in any partition order.
+
+    100 TB story: one map-side-combinable groupBy on the uniform
+    (doc_id, token) key — a 10^9-fold repeated token collapses per map
+    task; the total-join is a pruned (doc_id, n) projection on the
+    same uniform doc key; the rollup is a second map-side-combinable
+    groupBy on doc_id. No windows, no per-row Python, docs with zero
+    tokens are excluded identically in both engines.
+    """
+    docs = read_spread(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = docs.select(
+        "doc_id", F.expr(f"size({TOKENS_SPARK})").alias("n")
+    ).filter("n > 0")
+    return (
+        counts.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n",
+            F.expr(
+                "cast(floor((c * ln(n / cast(c as double)) / n)"
+                " * 1000000 + 0.5) as bigint)"
+            ).alias("term_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum("term_micro").cast("bigint").alias("ent_micro"),
+        )
+    )
+
+
+def sql_token_entropy() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({TOKENS_DUCK}) AS tok FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM toks GROUP BY doc_id, tok
+        ),
+        totals AS (
+            SELECT doc_id, len({TOKENS_DUCK}) AS n FROM documents
+            WHERE len({TOKENS_DUCK}) > 0
+        ),
+        terms AS (
+            SELECT c.doc_id, t.n,
+                   floor((c.c * ln(t.n / c.c::DOUBLE) / t.n)
+                         * 1000000 + 0.5)::BIGINT AS term_micro
+            FROM counts c JOIN totals t USING (doc_id)
+        )
+        SELECT doc_id,
+               MAX(n)::BIGINT AS n_tokens,
+               COUNT(*)::BIGINT AS n_types,
+               SUM(term_micro)::BIGINT AS ent_micro
+        FROM terms GROUP BY doc_id
+    """
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus rollup: document counts, token mass,
     and EXACT token-count percentiles (p50/p90/p99, linear

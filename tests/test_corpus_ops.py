@@ -75,6 +75,7 @@ def _pairs():
 
     return {
         "token_stats": (CT.q_token_stats, CT.sql_token_stats),
+        "token_entropy": (CT.q_token_entropy, CT.sql_token_entropy),
         "lang_id": (CT.q_lang_id, CT.sql_lang_id),
         "quality": (CT.q_quality, CT.sql_quality),
         "fingerprint": (CT.q_fingerprint, CT.sql_fingerprint),
