@@ -818,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "corpus_stats": CT.q_corpus_stats,
         "gopher_quality": CF.q_gopher_quality,
+        "code_detect": CF.q_code_detect,
         "dup_ngrams": CF.q_dup_ngrams,
         "repetition_ladder": CF.q_repetition_ladder,
         "text_normalize": CN.q_text_normalize,
@@ -1083,6 +1084,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": CC.sql_corpus_curation(),
         "corpus_stats": CT.sql_corpus_stats(),
         "gopher_quality": CF.sql_gopher_quality(),
+        "code_detect": CF.sql_code_detect(),
         "dup_ngrams": CF.sql_dup_ngrams(),
         "repetition_ladder": CF.sql_repetition_ladder(),
         "text_normalize": CN.sql_text_normalize(),

@@ -41,6 +41,19 @@ JACCARD_MAX_DF = 100_000
 # (256^2 cell ops) independent of document size — full-text edit
 # distance on a pathological 1 MB pair would be 10^12 cells.
 EDIT_PREFIX = 256
+# code-vs-prose detection (corpus/filters.py q_code_detect): a fixed
+# keyword vocabulary plus integer ppm thresholds. The rule is the
+# standard cheap pre-filter that routes documents to a code pipeline
+# (tokenizer, dedup granularity and quality rules all differ for
+# code); thresholds are corpus-tunable constants, and both engines
+# evaluate the identical rule.
+CODE_KEYWORDS = (
+    "def", "class", "return", "import", "function", "var", "const",
+    "if", "else", "for", "while", "int", "void", "public", "static",
+)
+CODE_SYM_PPM_MIN = 20_000      # >= 2% code punctuation density
+CODE_KW_HITS_MIN = 2           # plus at least 2 keyword tokens
+CODE_INDENT_PPM_MIN = 300_000  # or >= 30% structurally indented lines
 # below this many edges the clustering finishes locally in ONE task
 # (union-find over the edge subgraph) instead of iterating shuffle
 # rounds — the standard last step of the MapReduce CC algorithms

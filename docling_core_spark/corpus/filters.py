@@ -271,6 +271,94 @@ def scrub_expr_duck(col: str) -> str:
     return e
 
 
+_CODE_PUNCT_RE = r"[{}();=\[\]<>]"
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document code-vs-prose signals and the routing decision —
+    the cheap pre-filter every mixed web corpus runs before tokenizer
+    / dedup-granularity / quality rules diverge for code: code
+    punctuation density (ppm), code-keyword token hits, structurally
+    indented line fraction (ppm), and the AND/OR routing rule from
+    constants.py. The synthetic corpus is prose, so is_code is false
+    throughout at gate scale; the signals and rule are exercised on
+    crafted code fixtures in tests/test_filters.py.
+
+    100 TB story: zero shuffles — every signal is a narrow per-row
+    regex/array expression over a pruned (doc_id, text) scan, exactly
+    the gopher_quality shape."""
+    docs = read_spread(spark, sf_dir, "documents")
+    kw = "array(" + ", ".join(f"'{w}'" for w in C.CODE_KEYWORDS) + ")"
+    base = docs.select(
+        "doc_id",
+        F.expr("greatest(length(text), 1)").alias("n_chars"),
+        F.expr(
+            f"size(regexp_extract_all(text,"
+            f" '{_spark_re(_CODE_PUNCT_RE)}', 0))"
+        ).alias("n_code_punct"),
+        F.expr(
+            f"size(filter({TOKENS_SPARK},"
+            f" t -> array_contains({kw}, t)))"
+        ).alias("kw_hits"),
+        F.expr(r"greatest(size(split(text, '\n')), 1)").alias(
+            "n_lines"
+        ),
+        F.expr(
+            r"size(filter(split(text, '\n'),"
+            r" l -> l rlike '^(\\s\\s|\\t)'))"
+        ).alias("n_indent_lines"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_code_punct").cast("bigint").alias("n_code_punct"),
+        F.col("kw_hits").cast("bigint").alias("kw_hits"),
+        F.expr("cast((n_code_punct * 1000000) div n_chars as bigint)")
+        .alias("sym_ppm"),
+        F.expr(
+            "cast((n_indent_lines * 1000000) div n_lines as bigint)"
+        ).alias("indent_ppm"),
+        F.expr(
+            f"((n_code_punct * 1000000) div n_chars"
+            f" >= {C.CODE_SYM_PPM_MIN}"
+            f" AND kw_hits >= {C.CODE_KW_HITS_MIN})"
+            f" OR (n_indent_lines * 1000000) div n_lines"
+            f" >= {C.CODE_INDENT_PPM_MIN}"
+        ).alias("is_code"),
+    )
+
+
+def sql_code_detect() -> str:
+    kw = "[" + ", ".join(f"'{w}'" for w in C.CODE_KEYWORDS) + "]"
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   greatest(len(text), 1) AS n_chars,
+                   len(regexp_extract_all(text, '{_CODE_PUNCT_RE}'))
+                       AS n_code_punct,
+                   len(list_filter({TOKENS_DUCK},
+                       t -> list_contains({kw}, t))) AS kw_hits,
+                   greatest(len(string_split(text, chr(10))), 1)
+                       AS n_lines,
+                   len(list_filter(string_split(text, chr(10)),
+                       l -> regexp_matches(l, '^(\\s\\s|\\t)')))
+                       AS n_indent_lines
+            FROM documents
+        )
+        SELECT doc_id,
+               n_code_punct::BIGINT AS n_code_punct,
+               kw_hits::BIGINT AS kw_hits,
+               ((n_code_punct * 1000000) // n_chars)::BIGINT AS sym_ppm,
+               ((n_indent_lines * 1000000) // n_lines)::BIGINT
+                   AS indent_ppm,
+               (((n_code_punct * 1000000) // n_chars
+                     >= {C.CODE_SYM_PPM_MIN}
+                 AND kw_hits >= {C.CODE_KW_HITS_MIN})
+                OR (n_indent_lines * 1000000) // n_lines
+                     >= {C.CODE_INDENT_PPM_MIN}) AS is_code
+        FROM base
+    """
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redaction counts per category plus the md5 of the scrubbed text —
     the gate proves the two engines' regex stacks redact identically.

@@ -100,6 +100,7 @@ def _pairs():
         "dedup_savings_by_source": (
             CD.q_dedup_savings_by_source, CD.sql_dedup_savings_by_source,
         ),
+        "code_detect": (CF.q_code_detect, CF.sql_code_detect),
         "quality_calibration": (
             CCU.q_quality_calibration, CCU.sql_quality_calibration,
         ),

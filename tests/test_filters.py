@@ -220,3 +220,62 @@ def test_decontaminate_plan_broadcasts_eval_grams(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+CODE_TEXT = (
+    "def main(argv):\n"
+    "  x = compute(argv[0]);\n"
+    "  if x > 0:\n"
+    "    return x\n"
+    "  else:\n"
+    "    return -x\n"
+)
+PROSE_TEXT = (
+    "the quick brown fox jumps over the lazy dog and keeps running "
+    "through the quiet field until the evening light fades away"
+)
+
+
+def test_code_detect_routes_crafted_fixtures(spark):
+    """The routing rule fires on obvious code (dense punctuation +
+    keywords + indented block) and stays off for plain prose; both
+    engines produce identical signal rows on the same fixtures."""
+    import duckdb
+
+    from docling_core_spark.corpus import filters as CFI
+
+    df = spark.createDataFrame(
+        [(1, CODE_TEXT), (2, PROSE_TEXT)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in _code_detect_local(spark, df).collect()}
+    assert out[1]["is_code"] is True
+    assert out[2]["is_code"] is False
+    assert out[1]["kw_hits"] >= 3
+    assert out[1]["indent_ppm"] >= 300_000
+    assert out[2]["sym_ppm"] < 20_000
+    # DuckDB oracle on the same two rows
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+    )
+    con.execute(
+        "INSERT INTO documents VALUES (?, ?), (?, ?)",
+        [1, CODE_TEXT, 2, PROSE_TEXT],
+    )
+    orc = {r[0]: r for r in con.execute(CFI.sql_code_detect()).fetchall()}
+    eng = {k: tuple(v) for k, v in out.items()}
+    assert eng[1] == orc[1] and eng[2] == orc[2]
+    con.close()
+
+
+def _code_detect_local(spark, docs):
+    """Run q_code_detect's expression body over a local docs frame
+    (bypasses read_spread, same expressions)."""
+    from unittest import mock
+
+    from docling_core_spark.corpus import filters as CFI
+
+    with mock.patch.object(
+        CFI, "read_spread", lambda _s, _d, _t: docs
+    ):
+        return CFI.q_code_detect(spark, "unused")
