@@ -549,6 +549,15 @@ def _q_media_externalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_manifest(_synth(spark, sf_dir))
 
 
+def _q_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text caption pairs mined from the span stream (positional
+    caption rule, zero shuffle; ops/media.py caption_pairs_sql — golden
+    is the independent pure-Python twin via tools/gen_goldens.py)."""
+    from docling_core_spark.ops.media import media_captions
+
+    return media_captions(_synth(spark, sf_dir))
+
+
 def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed keep/drop curation decision (dedup-canonical + lang-ID
     + quality gate in one pass; corpus/curation.py)."""
@@ -808,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_json_roundtrip": _q_pipeline_json_roundtrip,
         "pipeline_export_variants": _q_pipeline_export_variants,
         "media_externalize": _q_media_externalize,
+        "media_captions": _q_media_captions,
         # text analysis
         "token_stats": CT.q_token_stats,
         "token_entropy": CT.q_token_entropy,
@@ -1018,7 +1028,8 @@ def oracle_sql() -> dict[str, str]:
             "pipeline_json_roundtrip",
             "pipeline_chunks", "pipeline_chunks_hybrid",
             "pipeline_chunks_hybrid_ref",
-            "media_externalize", "pipeline_export_variants",
+            "media_externalize", "media_captions",
+            "pipeline_export_variants",
             "tok_fertility",
         )
         if os.path.exists(f"{g}/{name}.parquet")

@@ -112,7 +112,7 @@ GROUPS: dict[str, list[str]] = {
 # Runs inside the pipeline subprocess (it is the only suite query that
 # executes the `_synth` mapInPandas stage; isolating it keeps its Arrow
 # python-worker pressure away from the JVM-side suite groups).
-PIPELINE_SUITE = ["media_externalize"]
+PIPELINE_SUITE = ["media_externalize", "media_captions"]
 
 
 def build_spark(cpus: int):

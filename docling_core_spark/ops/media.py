@@ -154,3 +154,96 @@ def with_externalized_media(
             h = hashlib.md5(ref.encode()).hexdigest()
             pic["media_ref"] = f"{image_dir}/image_{i:06d}_{h}.png"
     return doc
+
+
+# --- media-caption pairing (image-text pair mining) ------------------------
+# The corpus-level extraction a multimodal training run consumes: one
+# row per picture/chart span paired with its caption text. The pairing
+# rule is positional and deterministic in BOTH implementations: the
+# span immediately AFTER the media span wins if it is a `caption` kind
+# (figures are captioned below), else the span immediately BEFORE,
+# else no caption. This mirrors the document model's caption wiring
+# (serialize/common.captions_of_some_item) at span granularity,
+# without building the tree — the cheap distributed path for mining
+# (image, text) contrastive pairs out of 10^12 interleaved documents.
+
+
+def caption_pairs_sql(spans_col: str = "spans") -> str:
+    """Array of struct(pic_idx, kind, media_ref, caption, cap_src) as
+    one JVM transform/filter expression (zero shuffle, zero Python).
+    Uses try_element_at so the boundary probes are NULL under ANSI."""
+    kinds = " OR ".join(f"s.kind = '{k}'" for k in MEDIA_KINDS)
+    nxt = f"try_element_at({spans_col}, i + 2)"
+    prv = f"try_element_at({spans_col}, i)"
+    cap_next = f"CASE WHEN {nxt}.kind = 'caption' THEN {nxt}.text END"
+    cap_prev = (
+        f"CASE WHEN i >= 1 AND {prv}.kind = 'caption'"
+        f" THEN {prv}.text END"
+    )
+    ordinal = _ordinal_sql(spans_col, "i")
+    return (
+        f"filter(transform({spans_col}, (s, i) -> CASE WHEN ({kinds})"
+        f" THEN named_struct("
+        # _ordinal_sql counts media spans BEFORE index i (0-based);
+        # +1 makes pic_idx the 1-based count including this one,
+        # matching caption_pairs_py
+        f"'pic_idx', {ordinal} + 1,"
+        f" 'kind', s.kind,"
+        f" 'media_ref', s.media_ref,"
+        f" 'caption', coalesce({cap_next}, {cap_prev}, ''),"
+        f" 'cap_src', CASE WHEN {cap_next} IS NOT NULL THEN 'after'"
+        f" WHEN {cap_prev} IS NOT NULL THEN 'before'"
+        f" ELSE 'none' END)"
+        f" END), x -> x IS NOT NULL)"
+    )
+
+
+def media_captions(docs: DataFrame) -> DataFrame:
+    """Exploded (doc_id, pic_idx, kind, media_ref, caption, cap_src) —
+    one row per media span. pic_idx counts media spans in span order
+    (1-based ordinal from the slice-filter, matching media_manifest's
+    0-based + 1 semantics is avoided: here it is the COUNT of media
+    spans up to and including this one, i.e. 1-based)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(caption_pairs_sql())).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.pic_idx").cast("long").alias("pic_idx"),
+            "c.kind",
+            "c.media_ref",
+            "c.caption",
+            "c.cap_src",
+        )
+    )
+
+
+def caption_pairs_py(spans: List[dict]) -> List[dict]:
+    """Independent pure-Python twin of caption_pairs_sql (golden
+    generator side of the dual-implementation oracle)."""
+    out = []
+    ordinal = 0
+    for i, s in enumerate(spans):
+        if s.get("kind") not in MEDIA_KINDS:
+            continue
+        ordinal += 1
+        nxt = spans[i + 1] if i + 1 < len(spans) else None
+        prv = spans[i - 1] if i >= 1 else None
+        if nxt is not None and nxt.get("kind") == "caption":
+            caption, src = nxt.get("text") or "", "after"
+        elif prv is not None and prv.get("kind") == "caption":
+            caption, src = prv.get("text") or "", "before"
+        else:
+            caption, src = "", "none"
+        out.append(
+            {
+                "pic_idx": ordinal,
+                "kind": s.get("kind"),
+                "media_ref": s.get("media_ref") or "",
+                "caption": caption,
+                "cap_src": src,
+            }
+        )
+    return out

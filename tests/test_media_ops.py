@@ -88,3 +88,48 @@ def test_doc_level_rewrite_naming():
     for a, b in zip(doc["pictures"], out["pictures"]):
         if not (a["media_ref"] or "").startswith("data:"):
             assert a["media_ref"] == b["media_ref"]
+
+
+def test_caption_pairs_sql_matches_python_twin(spans_df):
+    from docling_core_spark.ops.media import (
+        caption_pairs_py,
+        media_captions,
+    )
+
+    got = {
+        (r["doc_id"], r["pic_idx"]):
+            (r["kind"], r["media_ref"], r["caption"], r["cap_src"])
+        for r in media_captions(spans_df).collect()
+    }
+    want = {}
+    srcs = set()
+    for d in DOC_IDS:
+        for c in caption_pairs_py(gen_spans(d)):
+            want[(d, c["pic_idx"])] = (
+                c["kind"], c["media_ref"], c["caption"], c["cap_src"]
+            )
+            srcs.add(c["cap_src"])
+    assert got == want
+    assert want, "fixtures must contain media spans"
+    # the fixture corpus must exercise both captioned and uncaptioned
+    assert "after" in srcs and "none" in srcs
+
+
+def test_caption_pairs_positional_rule():
+    from docling_core_spark.ops.media import caption_pairs_py
+
+    spans = [
+        {"kind": "caption", "text": "before-cap", "media_ref": ""},
+        {"kind": "picture", "text": "", "media_ref": "u1"},
+        {"kind": "caption", "text": "after-cap", "media_ref": ""},
+        {"kind": "chart", "text": "", "media_ref": "u2"},
+        {"kind": "text", "text": "prose", "media_ref": ""},
+        {"kind": "picture", "text": "", "media_ref": "u3"},
+    ]
+    rows = {c["pic_idx"]: c for c in caption_pairs_py(spans)}
+    # picture 1: caption after wins over caption before
+    assert rows[1]["caption"] == "after-cap" and rows[1]["cap_src"] == "after"
+    # chart 2: only the preceding caption matches
+    assert rows[2]["caption"] == "after-cap" and rows[2]["cap_src"] == "before"
+    # picture 3 (terminal, prose neighbor): no caption
+    assert rows[3]["caption"] == "" and rows[3]["cap_src"] == "none"

@@ -286,10 +286,15 @@ def gold_for_doc(did: str) -> dict:
 
     # --- media externalization (independent pure-Python twin of the
     # Spark transform() expression — dual-implementation oracle) ---
-    from docling_core_spark.ops.media import externalize_spans_py
+    from docling_core_spark.ops.media import (
+        caption_pairs_py,
+        externalize_spans_py,
+    )
 
     _, manifest = externalize_spans_py(spans)
     media_rows = [{"doc_id": did, **m} for m in manifest]
+    # media-caption pairs (pure-Python twin of caption_pairs_sql)
+    caption_rows = [{"doc_id": did, **c} for c in caption_pairs_py(spans)]
 
     # --- doctags roundtrip ---
     rt = roundtrip_doc(did, spans)
@@ -356,6 +361,7 @@ def gold_for_doc(did: str) -> dict:
         "ref_hybrid_rows": ref_hybrid_rows,
         "variant_row": variant_row,
         "media_rows": media_rows,
+        "caption_rows": caption_rows,
         "rt_row": {k: rt[k] for k in ("doc_id", "reload_md5", "stable")},
         "ref_rt_row": ref_rt_row,
         "jrt_row": jrt,
@@ -418,6 +424,7 @@ def generate(sf: str, pool=None) -> dict:
         [], [], [], [], [], []
     )
     media_rows = []
+    caption_rows = []
     variant_rows = []
     ref_rt_rows = []
     ref_hybrid_rows = []
@@ -437,6 +444,7 @@ def generate(sf: str, pool=None) -> dict:
             ref_hybrid_docs += 1
             ref_hybrid_rows.extend(_scalarize(r["ref_hybrid_rows"]))
         media_rows.extend(r["media_rows"])
+        caption_rows.extend(r["caption_rows"])
         variant_rows.append(r["variant_row"])
         rt_rows.append(r["rt_row"])
         if r["ref_rt_row"] is not None:
@@ -470,6 +478,7 @@ def generate(sf: str, pool=None) -> dict:
     _write(outdir, "pipeline_chunks_hybrid_ref", ref_hybrid_rows,
            int_cols=("chunk_idx", "n_tokens", "context_tokens"))
     _write(outdir, "media_externalize", media_rows, int_cols=("pic_idx",))
+    _write(outdir, "media_captions", caption_rows, int_cols=("pic_idx",))
     _write(outdir, "pipeline_export_variants", variant_rows)
     _write(outdir, "pipeline_doctags_roundtrip", rt_rows)
     _write(outdir, "pipeline_doctags_roundtrip_ref", ref_rt_rows)
@@ -482,6 +491,7 @@ def generate(sf: str, pool=None) -> dict:
         "chunk_rows": len(chunk_rows),
         "hybrid_rows": len(hybrid_rows),
         "media_rows": len(media_rows),
+        "caption_rows": len(caption_rows),
         "doctags_rt_ref_derived": f"{len(ref_rt_rows)}/{len(ids)}",
         "hybrid_ref_derived": f"{ref_hybrid_docs}/{len(ids)}",
         "hybrid_ref_rows": len(ref_hybrid_rows),
