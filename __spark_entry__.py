@@ -923,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": CMI.q_hard_negatives,
         "label_cohesion": CCO.q_label_cohesion,
         "emb_dim_stats": CCO.q_emb_dim_stats,
+        "emb_covariance": CCO.q_emb_covariance,
         "emb_norm_hist": CCO.q_emb_norm_hist,
         # multimodal plumbing
         "decode_features": CM.q_decode_features,
@@ -1087,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": CMI.sql_hard_negatives(),
         "label_cohesion": CCO.sql_label_cohesion(),
         "emb_dim_stats": CCO.sql_emb_dim_stats(),
+        "emb_covariance": CCO.sql_emb_covariance(),
         "emb_norm_hist": CCO.sql_emb_norm_hist(),
         "decode_features": CM.sql_decode_features(),
         "media_resize": CM.sql_media_resize(),

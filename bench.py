@@ -89,7 +89,7 @@ GROUPS: dict[str, list[str]] = {
         "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "pq_encode",
         "pq_search", "ivfpq_search", "pq_recall", "neardup_cosine",
         "semdedup_clusters", "hard_negatives", "label_cohesion",
-        "emb_dim_stats", "emb_norm_hist",
+        "emb_dim_stats", "emb_covariance", "emb_norm_hist",
     ],
     "rel": [
         "bbox_ops", "page_cells_in_bbox", "page_crop_text",

@@ -302,3 +302,102 @@ def sql_emb_norm_hist() -> str:
                MAX(norm_micro)::BIGINT AS max_norm_micro
         FROM norms GROUP BY 1
     """
+
+
+def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular covariance matrix of the embedding corpus —
+    the input to PCA/whitening/anisotropy checks (a dominant
+    off-diagonal block means the embedding space is rank-deficient and
+    cosine retrieval degrades). One row per dim pair (i <= j) with
+    exact integer sufficient statistics and the derived covariance.
+
+    Float discipline: components integerise in-row to milli
+    (floor(x*1e3), the emb_dim_stats squared-term scale) BEFORE the
+    pairwise products, so Σxy, Σx, Σy are exact BIGINTs in any
+    partition order; covariance derives from them at the end
+    (cov_micro = the exact milli² sums combined in one double step,
+    rounded — bit-deterministic from identical integers). BIGINT bound:
+    |x|<=~6 → |pxy| <= 3.6e7, safe to ~2.5e11 vectors per sum; a
+    10^12-vector run widens the partials to DECIMAL(38) or sums per
+    shard first — noted, not needed at any test sf.
+
+    100 TB story: the per-row expansion emits DIM*(DIM+1)/2 = 2080
+    product terms per vector, but the groupBy key is the (i, j) pair —
+    a CONSTANT 2080-key space — so map-side partial aggregation
+    collapses every partition to <=2080 rows before the single
+    exchange; output is 2080 rows at any corpus size. No window, no
+    Python, no un-integerised float crosses the exchange.
+    Reference analog: none (SURVEY.md §2.8)."""
+    d = C.EMB_DIM
+    emb = read_spread(spark, sf_dir, "embeddings")
+    # bind the milli-quantized vector ONCE per row, then expand the
+    # upper triangle from it (subscripts are 0-based in Spark SQL)
+    xm = emb.select(
+        F.expr(
+            "transform(embedding, v ->"
+            " cast(floor(cast(v as double) * 1000) as bigint))"
+        ).alias("xm")
+    )
+    pairs = xm.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {d - 1}), i ->"
+                f" transform(sequence(i, {d - 1}), j -> struct("
+                " i, j,"
+                " xm[i] * xm[j] as pxy, xm[i] as px, xm[j] as py))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.i").cast("bigint").alias("i"),
+        F.col("p.j").cast("bigint").alias("j"),
+        "p.pxy", "p.px", "p.py",
+    )
+    return (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("pxy").cast("bigint").alias("sum_pxy_milli2"),
+            F.sum("px").cast("bigint").alias("sum_px_milli"),
+            F.sum("py").cast("bigint").alias("sum_py_milli"),
+        )
+        .select(
+            "i", "j", "n_vecs",
+            "sum_pxy_milli2", "sum_px_milli", "sum_py_milli",
+            F.expr(
+                "cast(round((sum_pxy_milli2 - sum_px_milli *"
+                " sum_py_milli / cast(n_vecs as double))"
+                " / (n_vecs - 1)) as bigint)"
+            ).alias("cov_micro"),
+        )
+    )
+
+
+def sql_emb_covariance() -> str:
+    d = C.EMB_DIM
+    xm = (
+        "list_transform(embedding,"
+        " v -> floor(v::DOUBLE * 1000)::BIGINT)"
+    )
+    return f"""
+        WITH xm AS (
+            SELECT vec_id, {xm} AS m FROM embeddings
+        ),
+        pairs AS (
+            SELECT unnest(flatten(list_transform(range(0, {d}), i ->
+                       list_transform(range(i, {d}), j -> {{
+                           'i': i, 'j': j,
+                           'pxy': m[i + 1] * m[j + 1],
+                           'px': m[i + 1], 'py': m[j + 1]}}))))
+                   AS p
+            FROM xm
+        )
+        SELECT (p.i)::BIGINT AS i, (p.j)::BIGINT AS j,
+               COUNT(*)::BIGINT AS n_vecs,
+               SUM(p.pxy)::BIGINT AS sum_pxy_milli2,
+               SUM(p.px)::BIGINT AS sum_px_milli,
+               SUM(p.py)::BIGINT AS sum_py_milli,
+               round((SUM(p.pxy)::BIGINT - SUM(p.px)::BIGINT *
+                      SUM(p.py)::BIGINT / COUNT(*)::DOUBLE)
+                     / (COUNT(*) - 1))::BIGINT AS cov_micro
+        FROM pairs GROUP BY p.i, p.j
+    """

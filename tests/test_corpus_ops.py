@@ -192,6 +192,7 @@ def _pairs():
         ),
         "heldout_ppl": (CHO.q_heldout_ppl, CHO.sql_heldout_ppl),
         "label_cohesion": (CCO.q_label_cohesion, CCO.sql_label_cohesion),
+        "emb_covariance": (CCO.q_emb_covariance, CCO.sql_emb_covariance),
         "emb_dim_stats": (CCO.q_emb_dim_stats, CCO.sql_emb_dim_stats),
         "emb_norm_hist": (CCO.q_emb_norm_hist, CCO.sql_emb_norm_hist),
         "tok_fertility": (
@@ -1614,3 +1615,31 @@ def test_source_length_quantiles_bracket_exact(spark, duck):
             (a["p99_chars"], e99),
         ):
             assert want <= got <= want + w, (s, got, want)
+
+
+def test_emb_covariance_matches_numpy(spark):
+    """The distributed integer-sufficient-statistics covariance equals
+    numpy's covariance of the same milli-quantized vectors (to the
+    1-micro rounding the query performs), and every diagonal entry is
+    a positive variance."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.corpus import cohesion as CCO
+
+    rows = {(r["i"], r["j"]): r for r in
+            CCO.q_emb_covariance(spark, SF_DIR).collect()}
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    x = np.array([list(v) for v in emb["embedding"].to_pylist()],
+                 dtype=np.float64)
+    xm = np.floor(x * 1000.0)  # the query's milli quantization
+    cov = np.cov(xm, rowvar=False)  # ddof=1, in milli^2 = micro units
+    assert len(rows) == xm.shape[1] * (xm.shape[1] + 1) // 2
+    for (i, j), r in rows.items():
+        assert i <= j
+        want = cov[int(i), int(j)]
+        assert math.isclose(r["cov_micro"], want, abs_tol=1.0), (i, j)
+        if i == j:
+            assert r["cov_micro"] > 0
