@@ -401,3 +401,52 @@ def sql_emb_covariance() -> str:
                      / (COUNT(*) - 1))::BIGINT AS cov_micro
         FROM pairs GROUP BY p.i, p.j
     """
+
+
+def emb_pca(spark: SparkSession, sf_dir: str, top_k: int = 8):
+    """PCA over the distributed covariance: eigendecomposition of the
+    64x64 matrix assembled from q_emb_covariance's exact integer
+    statistics. The matrix is DIM^2 doubles — metadata scale, so the
+    eigensolve runs driver-side on the collected 2080 rows (the same
+    audited-collect class as the k-means centroid step,
+    similarity.py); everything corpus-sized stayed distributed in the
+    covariance pass.
+
+    Returns (eigvals_desc, components, explained_ppm): eigenvalues in
+    micro units descending, the top_k eigenvectors (rows), and the
+    per-component explained-variance fraction in ppm (integerised so
+    downstream checks are exact). Non-SQL-expressible (eigensolve) —
+    verified against numpy in pytest rather than the DuckDB gate.
+    """
+    import numpy as np
+
+    rows = q_emb_covariance(spark, sf_dir).collect()  # 2080 rows
+    d = C.EMB_DIM
+    cov = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        i, j = int(r["i"]), int(r["j"])
+        cov[i, j] = cov[j, i] = float(r["cov_micro"])
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1]
+    vals = vals[order]
+    vecs = vecs[:, order]
+    total = float(vals.sum()) or 1.0
+    explained_ppm = [int(v / total * 1_000_000) for v in vals[:top_k]]
+    return vals, vecs[:, :top_k].T, explained_ppm
+
+
+def whiten_expr(components, eigvals_micro, top_k: int = 8) -> str:
+    """Spark expression projecting `embedding` onto the top_k PCA
+    components and scaling by 1/sqrt(eigval) (whitening) — a per-row
+    zero-shuffle array expression built from the BROADCAST (driver-
+    literal) component matrix, the standard serving-side transform
+    once PCA has been fit."""
+    terms = []
+    for k in range(top_k):
+        dot = " + ".join(
+            f"cast(embedding[{i}] as double) * {components[k][i]!r}"
+            for i in range(len(components[k]))
+        )
+        scale = 1.0 / (float(eigvals_micro[k]) ** 0.5 or 1.0)
+        terms.append(f"({dot}) * {scale!r}")
+    return "array(" + ", ".join(terms) + ")"

@@ -1643,3 +1643,34 @@ def test_emb_covariance_matches_numpy(spark):
         assert math.isclose(r["cov_micro"], want, abs_tol=1.0), (i, j)
         if i == j:
             assert r["cov_micro"] > 0
+
+
+def test_emb_pca_matches_numpy_and_whitens(spark):
+    """Driver-side eigensolve over the distributed covariance matches
+    numpy PCA on the quantized data; the whitening expression projects
+    to top-k with (approximately) unit variance per component."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.corpus import cohesion as CCO
+
+    vals, comps, expl = CCO.emb_pca(spark, SF_DIR, top_k=4)
+    assert list(vals) == sorted(vals, reverse=True)
+    assert 0 < sum(expl) <= 1_000_000
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    x = np.floor(np.array(
+        [list(v) for v in emb["embedding"].to_pylist()], np.float64
+    ) * 1000.0)
+    ref_vals = np.sort(np.linalg.eigvalsh(np.cov(x, rowvar=False)))[::-1]
+    assert np.allclose(vals[:4], ref_vals[:4], atol=2.0)
+    # whitening: project on Spark, variance per component ~= 1e6
+    # (eigvals are micro units, scale = 1/sqrt(val_micro) => var of the
+    # milli-quantized projection / 1e6 ~ 1) up to quantization slack
+    expr = CCO.whiten_expr(comps, vals, top_k=4)
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.expr(expr).alias("w")
+    )
+    w = np.array([r["w"] for r in df.collect()])
+    var = w.var(axis=0, ddof=1) * 1e6  # embedding vs milli-quantized
+    assert np.all(var > 0.5) and np.all(var < 2.0)
