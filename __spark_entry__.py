@@ -858,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": CB.q_bm25_topk,
         "cms_heavy_hitters": CK.q_cms_heavy_hitters,
         "kmv_distinct": CK.q_kmv_distinct,
+        "hll_distinct": CK.q_hll_distinct,
         "lm_score": CL.q_lm_score,
         "ccnet_buckets": CL.q_ccnet_buckets,
         "lm2_score": CL2.q_lm2_score,
@@ -1131,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": CB.sql_bm25_topk(),
         "cms_heavy_hitters": CK.sql_cms_heavy_hitters(),
         "kmv_distinct": CK.sql_kmv_distinct(),
+        "hll_distinct": CK.sql_hll_distinct(),
         "lm_score": CL.sql_lm_score(),
         "ccnet_buckets": CL.sql_ccnet_buckets(),
         "lm2_score": CL2.sql_lm2_score(),

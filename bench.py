@@ -51,7 +51,7 @@ GROUPS: dict[str, list[str]] = {
         "stratified_sample", "weighted_sample", "pack_sequences",
         "token_budget_select", "pack_efficiency",
         "shard_manifest",
-        "cms_heavy_hitters", "kmv_distinct", "hist_quantiles",
+        "cms_heavy_hitters", "kmv_distinct", "hll_distinct", "hist_quantiles",
         "source_length_quantiles",
         "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score", "source_drift", "source_lang_entropy", "heldout_ppl",
         "tok_fertility",

@@ -597,3 +597,135 @@ def sql_zipf_fit() -> str:
                      / 1.0, 6) AS zipf_slope
         FROM s
     """
+
+
+# HyperLogLog over the same bigram stream: 2^HLL_P registers, each
+# holding the max leading-zero rank of the non-register hash bits —
+# the OTHER classic bounded-state distinct sketch next to KMV (Flajolet
+# et al. 2007). Register state is exact integers, so the sketch merges
+# associatively across partitions (max is order-free) and the estimate
+# derives from exact integer register values in one double step.
+HLL_P = 8
+HLL_M = 1 << HLL_P           # 256 registers
+_HLL_WBITS = 30 - HLL_P      # rank range: 1 .. _HLL_WBITS + 1
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row report: exact distinct-bigram count next to the HLL
+    estimate (with the standard small-range linear-counting
+    correction), plus register-health columns. Pairs with
+    kmv_distinct: same stream, the two standard sketches side by side.
+
+    100 TB story: register assignment and rank are per-row integer
+    expressions; the ONLY exchange is groupBy(register) max — a
+    CONSTANT 256-key space with map-side combine (each partition emits
+    <= 256 rows no matter how many grams it holds); the estimate folds
+    256 exact integers. Σ2^-M integerises as Σ(1 << (W+1-M)) / 2^(W+1)
+    so no float is ever summed across rows. The exact count rides
+    along only as the report's ground truth."""
+    w1 = _HLL_WBITS + 1
+    grams = _bigram_rows(spark, sf_dir)
+    regs = (
+        grams.select(F.expr(_h30_spark("gram")).alias("h"))
+        .select(
+            F.expr(f"h % {HLL_M}").alias("reg"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .select(
+            "reg",
+            F.expr(
+                f"case when w = 0 then {w1}"
+                f" else cast({w1} - length(bin(w)) as int) end"
+            ).alias("rho"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    full = (
+        spark.range(HLL_M).select(F.col("id").alias("reg"))
+        .join(regs, "reg", "left")
+        .select(F.coalesce("mx", F.lit(0)).alias("m"))
+    )
+    folded = full.agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {w1} - m)"))
+        .cast("bigint").alias("s_scaled"),
+        F.sum(F.expr("cast(m = 0 as bigint)")).cast("bigint")
+        .alias("n_zero_regs"),
+    )
+    exact = (
+        grams.select(F.expr(_h30_spark("gram")).alias("h"))
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("exact_distinct"))
+    )
+    # D suffixes force DOUBLE literals: Spark parses bare decimal
+    # literals as DECIMAL and the decimal-arithmetic alpha diverges
+    # from DuckDB's double in the 6th decimal of the estimate
+    alpha = f"(0.7213D / (1.0D + 1.079D / {HLL_M}.0D))"
+    e_raw = (
+        f"{alpha} * {HLL_M}.0D * {HLL_M}.0D"
+        f" / (s_scaled / cast(shiftleft(cast(1 as bigint), {w1})"
+        f" as double))"
+    )
+    est = (
+        f"case when {e_raw} <= 2.5D * {HLL_M} and n_zero_regs > 0"
+        f" then {HLL_M}.0D * ln({HLL_M}.0D / n_zero_regs)"
+        f" else {e_raw} end"
+    )
+    return folded.crossJoin(F.broadcast(exact)).select(
+        "exact_distinct",
+        "n_zero_regs",
+        F.expr(f"round({est}, 6)").alias("hll_estimate"),
+        F.expr(
+            "case when exact_distinct = 0 then 0.0 else"
+            f" round(({est} - exact_distinct)"
+            " / cast(exact_distinct as double), 6) end"
+        ).alias("rel_error"),
+    )
+
+
+def sql_hll_distinct() -> str:
+    h = _h30_duck("gram")
+    w1 = _HLL_WBITS + 1
+    alpha = f"(0.7213 / (1.0 + 1.079 / {HLL_M}.0))"
+    e_raw = (
+        f"{alpha} * {HLL_M}.0 * {HLL_M}.0"
+        f" / (s_scaled / (1::BIGINT << {w1})::DOUBLE)"
+    )
+    est = (
+        f"CASE WHEN {e_raw} <= 2.5 * {HLL_M} AND n_zero_regs > 0"
+        f" THEN {HLL_M}.0 * ln({HLL_M}.0 / n_zero_regs)"
+        f" ELSE {e_raw} END"
+    )
+    return f"""
+        WITH grams AS ({_grams_select_duck()}
+        ),
+        hs AS (SELECT {h} AS h FROM grams),
+        regs AS (
+            SELECT h % {HLL_M} AS reg,
+                   MAX(CASE WHEN h // {HLL_M} = 0 THEN {w1}
+                       ELSE {w1} - length(bin((h // {HLL_M})::BIGINT))
+                       END) AS mx
+            FROM hs GROUP BY h % {HLL_M}
+        ),
+        allregs AS (
+            SELECT r.reg, COALESCE(regs.mx, 0) AS m
+            FROM range(0, {HLL_M}) AS r(reg)
+            LEFT JOIN regs ON regs.reg = r.reg
+        ),
+        folded AS (
+            SELECT SUM(1::BIGINT << ({w1} - m))::BIGINT AS s_scaled,
+                   SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_zero_regs
+            FROM allregs
+        ),
+        exact AS (
+            SELECT COUNT(DISTINCT {h})::BIGINT AS exact_distinct
+            FROM grams
+        )
+        SELECT exact_distinct, n_zero_regs,
+               round({est}, 6) AS hll_estimate,
+               CASE WHEN exact_distinct = 0 THEN 0.0 ELSE
+                    round(({est} - exact_distinct)
+                          / exact_distinct::DOUBLE, 6) END AS rel_error
+        FROM folded CROSS JOIN exact
+    """

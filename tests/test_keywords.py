@@ -141,3 +141,33 @@ def test_kmv_distinct_estimate_and_parity(spark, tmp_path):
     small = K.q_kmv_distinct(spark, str(tmp_path)).collect()[0]
     assert small["k_held"] == small["exact_distinct"] == 3
     assert small["kmv_estimate"] == 3.0 and small["rel_error"] == 0.0
+
+
+def test_hll_distinct_estimate_and_parity(spark, tmp_path):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    )
+    got = K.q_hll_distinct(spark, SF).toPandas()
+    want = con.execute(K.sql_hll_distinct()).df()
+    assert len(got) == 1
+    for c in sorted(got.columns):
+        assert str(got[c][0]) == str(want[c][0]), c
+    r = got.iloc[0]
+    # HLL with 256 registers: ~1.04/sqrt(256) = 6.5% std error; allow 3x
+    assert abs(r["rel_error"]) < 0.20
+    assert 0 <= r["n_zero_regs"] <= K.HLL_M
+
+    # tiny stream: the linear-counting branch fires and stays close
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "s", 22)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    small = K.q_hll_distinct(spark, str(tmp_path)).collect()[0]
+    assert small["exact_distinct"] == 3
+    assert small["n_zero_regs"] >= K.HLL_M - 3
+    assert abs(small["hll_estimate"] - 3.0) < 0.2
