@@ -418,3 +418,65 @@ def test_token_budget_no_corpus_wide_window(spark):
     # must be fed by the tiny band-total aggregate, not a corpus scan
     sp = re.findall(r"^\(\d+\) Exchange SinglePartition", plan, re.M)
     assert len(sp) <= 1, plan
+
+
+def test_emb_covariance_constant_key_partial_agg(spark):
+    """The 2080-key covariance rollup must combine map-side (partial_
+    HashAggregate before the single exchange + read_spread fan-out);
+    no window, no Python, no cartesian."""
+    import re
+
+    from docling_core_spark.corpus.cohesion import q_emb_covariance
+
+    plan = _plan(q_emb_covariance(spark, SF))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 2, plan
+    assert "partial_" in plan.lower(), plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_token_entropy_uniform_keys_no_window(spark):
+    """(doc_id, token) count and the doc rollup are both partial-agg
+    groupBys; the totals join keys on uniform doc_id; no window."""
+    from docling_core_spark.corpus.textstats import q_token_entropy
+
+    plan = _plan(q_token_entropy(spark, SF))
+    assert "partial_" in plan.lower(), plan
+    assert "Window" not in plan, plan
+
+
+def test_code_detect_zero_shuffle_pruned(spark):
+    from docling_core_spark.corpus.filters import q_code_detect
+
+    import re
+
+    plan = _plan(q_code_detect(spark, SF))
+    # the only exchange allowed is read_spread's RoundRobin fan-out
+    # for single-file parquet; no hash/shuffle exchange
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 1, plan
+    assert "hashpartitioning" not in plan, plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "text" in scan[0] and "lang" not in scan[0], plan
+
+
+def test_media_captions_zero_shuffle(spark):
+    """The caption pairing must stay a per-row HOF: no Exchange, no
+    Window, no Python in the plan."""
+    from docling_core_spark.ops.media import media_captions
+    from docling_core_spark.pipeline import synth_docs
+
+    plan = _plan(media_captions(synth_docs(spark, 20, partitions=2)))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_hll_register_build_partial_agg(spark):
+    """The 256-register build must combine map-side before its single
+    exchange; the estimate side must not introduce a window."""
+    from docling_core_spark.corpus.keywords import q_hll_distinct
+
+    plan = _plan(q_hll_distinct(spark, SF))
+    assert "partial_" in plan.lower(), plan
+    assert "Window" not in plan, plan
