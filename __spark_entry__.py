@@ -880,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_efficiency": CP.q_pack_efficiency,
         "curation_funnel": CC.q_curation_funnel,
         "quality_calibration": CC.q_quality_calibration,
+        "cluster_keeper_quality": CC.q_cluster_keeper_quality,
+        "bpe_pair_counts": CK.q_bpe_pair_counts,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "seg_dedup": CD.q_seg_dedup,
@@ -926,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dim_stats": CCO.q_emb_dim_stats,
         "emb_covariance": CCO.q_emb_covariance,
         "emb_norm_hist": CCO.q_emb_norm_hist,
+        "emb_pca_var": CCO.q_emb_pca_var,
         # multimodal plumbing
         "decode_features": CM.q_decode_features,
         "media_resize": CM.q_media_resize,
@@ -1091,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_dim_stats": CCO.sql_emb_dim_stats(),
         "emb_covariance": CCO.sql_emb_covariance(),
         "emb_norm_hist": CCO.sql_emb_norm_hist(),
+        "emb_pca_var": CCO.sql_emb_pca_var(f"/root/testdata/sf{gate_sf}"),
         "decode_features": CM.sql_decode_features(),
         "media_resize": CM.sql_media_resize(),
         "frame_sample": CM.sql_frame_sample(),
@@ -1153,6 +1157,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_efficiency": CP.sql_pack_efficiency(),
         "curation_funnel": CC.sql_curation_funnel(),
         "quality_calibration": CC.sql_quality_calibration(),
+        "cluster_keeper_quality": CC.sql_cluster_keeper_quality(),
+        "bpe_pair_counts": CK.sql_bpe_pair_counts(),
         "stream_dedup_replay": _stream_oracle("dedup"),
         "stream_windowed_replay": _stream_oracle("windowed"),
         "stream_sessionize_replay": _stream_oracle("sessionize"),

@@ -52,6 +52,7 @@ GROUPS: dict[str, list[str]] = {
         "token_budget_select", "pack_efficiency",
         "shard_manifest",
         "cms_heavy_hitters", "kmv_distinct", "hll_distinct", "hist_quantiles",
+        "bpe_pair_counts",
         "source_length_quantiles",
         "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score", "source_drift", "source_lang_entropy", "heldout_ppl",
         "tok_fertility",
@@ -79,7 +80,7 @@ GROUPS: dict[str, list[str]] = {
         "jaccard_pairs", "containment_pairs", "shingle_novelty",
         "source_overlap", "cluster_size_hist", "cluster_density", "dedup_savings",
         "dedup_savings_by_source", "split_leakage",
-        "curation_funnel", "quality_calibration",
+        "curation_funnel", "quality_calibration", "cluster_keeper_quality",
     ],
     "sim": [
         # multimodal first: they are cheap Arrow-stage queries and must
@@ -89,7 +90,7 @@ GROUPS: dict[str, list[str]] = {
         "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "pq_encode",
         "pq_search", "ivfpq_search", "pq_recall", "neardup_cosine",
         "semdedup_clusters", "hard_negatives", "label_cohesion",
-        "emb_dim_stats", "emb_covariance", "emb_norm_hist",
+        "emb_dim_stats", "emb_covariance", "emb_norm_hist", "emb_pca_var",
     ],
     "rel": [
         "bbox_ops", "page_cells_in_bbox", "page_crop_text",

@@ -450,3 +450,134 @@ def whiten_expr(components, eigvals_micro, top_k: int = 8) -> str:
         scale = 1.0 / (float(eigvals_micro[k]) ** 0.5 or 1.0)
         terms.append(f"({dot}) * {scale!r}")
     return "array(" + ", ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Gate-verified PCA variance check: c^T Sigma c vs the committed eigenvalue
+# ---------------------------------------------------------------------------
+
+def _pca_path(sf_dir: str) -> str:
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    return os.path.join(repo, "goldens", f"pca_sf{sf}.json")
+
+
+def _pca_artifact(sf_dir: str) -> dict:
+    import json
+    import os
+
+    path = _pca_path(sf_dir)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"{path} missing — run tools/gen_pca.py")
+    with open(path) as f:
+        return json.load(f)
+
+
+def q_emb_pca_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA verification INSIDE the gate: for each committed principal
+    component c_k (tools/gen_pca.py artifact, milli-quantized), the
+    corpus variance along that direction via the quadratic-form
+    identity var_k = c_k^T Sigma c_k over the exact-integer covariance
+    table — which must reproduce the committed eigenvalue up to the
+    milli quantization of the components. One row per component:
+    identity-derived variance, artifact eigenvalue, their difference,
+    and the explained-variance fraction.
+
+    Float discipline: contributions are exact BIGINTs (milli component
+    weights x milli component weights x micro covariance <= ~4e13 per
+    term, ~8.6e16 summed over the 2080 pairs); the single double step
+    is the final /1e6 rescale, identical in both engines. The
+    eigensolve itself never runs in the gate — only its committed
+    artifact does, so the check is SQL-expressible end to end.
+
+    100 TB story: rides q_emb_covariance (2080-row output at ANY corpus
+    size — the only corpus-sized pass, map-side combined onto the
+    constant (i, j) key space); the per-component expansion and rollup
+    run over 2080 x top_k rows — metadata scale.
+    Reference analog: none (SURVEY.md §2.8)."""
+    art = _pca_artifact(sf_dir)
+    comps = art["components_milli"]
+    eig = art["eigvals_micro"]
+    ppm = art["explained_ppm"]
+    k = len(comps)
+    comp_lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{v}L" for v in row) + ")" for row in comps
+    ) + ")"
+    eig_lit = "array(" + ", ".join(f"{v}L" for v in eig) + ")"
+    ppm_lit = "array(" + ", ".join(f"{v}L" for v in ppm) + ")"
+    cov = q_emb_covariance(spark, sf_dir).select("i", "j", "cov_micro")
+    contrib = cov.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {k - 1}), k -> struct("
+                " k as comp,"
+                f" (case when i = j then 1 else 2 end)"
+                f" * element_at(element_at({comp_lit}, cast(k as int) + 1),"
+                "               cast(i as int) + 1)"
+                f" * element_at(element_at({comp_lit}, cast(k as int) + 1),"
+                "               cast(j as int) + 1)"
+                " * cov_micro as raw))"
+            )
+        ).alias("p")
+    ).select(F.col("p.comp").cast("bigint").alias("comp"), "p.raw")
+    agg = contrib.groupBy("comp").agg(
+        F.sum("raw").cast("bigint").alias("raw_sum")
+    )
+    return agg.select(
+        "comp",
+        F.expr("cast(round(raw_sum / 1000000.0) as bigint)").alias(
+            "var_micro"
+        ),
+        F.expr(
+            f"element_at({eig_lit}, cast(comp as int) + 1)"
+        ).alias("eigval_micro"),
+        F.expr(
+            f"cast(round(raw_sum / 1000000.0) as bigint)"
+            f" - element_at({eig_lit}, cast(comp as int) + 1)"
+        ).alias("diff_micro"),
+        F.expr(
+            f"element_at({ppm_lit}, cast(comp as int) + 1)"
+        ).alias("explained_ppm"),
+    )
+
+
+def sql_emb_pca_var(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    art = _pca_artifact(sf_dir)
+    comps = art["components_milli"]
+    eig = art["eigvals_micro"]
+    ppm = art["explained_ppm"]
+    k = len(comps)
+    comp_lit = "[" + ", ".join(
+        "[" + ", ".join(f"{v}::BIGINT" for v in row) + "]" for row in comps
+    ) + "]"
+    eig_lit = "[" + ", ".join(f"{v}::BIGINT" for v in eig) + "]"
+    ppm_lit = "[" + ", ".join(f"{v}::BIGINT" for v in ppm) + "]"
+    return f"""
+        WITH cov AS (
+            SELECT i, j, cov_micro FROM ({sql_emb_covariance()})
+        ),
+        contrib AS (
+            SELECT unnest(list_transform(range(0, {k}), k -> {{
+                       'comp': k,
+                       'raw': (CASE WHEN i = j THEN 1 ELSE 2 END)
+                              * {comp_lit}[k + 1][i::INT + 1]
+                              * {comp_lit}[k + 1][j::INT + 1]
+                              * cov_micro}})) AS p
+            FROM cov
+        ),
+        agg AS (
+            SELECT (p.comp)::BIGINT AS comp,
+                   SUM(p.raw)::BIGINT AS raw_sum
+            FROM contrib GROUP BY 1
+        )
+        SELECT comp,
+               round(raw_sum / 1000000.0)::BIGINT AS var_micro,
+               {eig_lit}[comp::INT + 1] AS eigval_micro,
+               round(raw_sum / 1000000.0)::BIGINT
+                   - {eig_lit}[comp::INT + 1] AS diff_micro,
+               {ppm_lit}[comp::INT + 1] AS explained_ppm
+        FROM agg
+    """

@@ -303,3 +303,109 @@ def sql_quality_calibration() -> str:
                 // COUNT(*))::BIGINT AS dup_ppm
         FROM banded GROUP BY band
     """
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware keeper election per near-dup cluster
+# ---------------------------------------------------------------------------
+
+def q_cluster_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical election: for every near-dup cluster with
+    more than one member, elect the HIGHEST-QUALITY member (ties to the
+    smallest doc_id) instead of the min-doc_id convention, and report
+    the quality uplift that policy buys — the CCNet/RefinedWeb-style
+    "keep the best copy" decision (Wenzek et al. 2020 keep the
+    lowest-perplexity copy; here the corpus-calibrated quality score
+    stands in for the LM). Quality is compared in exact micro integers
+    (floor(q * 1e6 + 0.5)) so Spark and DuckDB elect identical keepers.
+
+    100 TB story: NO window over cluster members (a boilerplate
+    mega-cluster would make that partition the straggler) — argmax is
+    two map-side-combinable groupBys on the uniform cluster_id key
+    (max(q_micro), then min(doc_id) among members at the max) plus a
+    cluster-count-sized join back; the baseline-quality lookup joins the
+    cluster table to the quality table on unique doc_id = cluster_id.
+    Rides the memoized cluster table, so an incremental run pays only
+    the quality joins. Reference analog: none (SURVEY.md §2.8).
+    """
+    from .dedup import q_dedup_clusters
+    from .textstats import q_quality
+
+    q = q_quality(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "cast(floor(quality_score * 1000000 + 0.5) as bigint)"
+        ).alias("q_micro"),
+    )
+    cl = (
+        q_dedup_clusters(spark, sf_dir)
+        .where(F.col("cluster_size") > 1)
+        .select("doc_id", "cluster_id", "cluster_size")
+    )
+    j = cl.join(q, "doc_id")
+    m = j.groupBy("cluster_id", "cluster_size").agg(
+        F.max("q_micro").alias("keeper_q_micro")
+    )
+    k = (
+        j.join(m, "cluster_id")
+        .where(F.col("q_micro") == F.col("keeper_q_micro"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+    )
+    return (
+        m.join(k, "cluster_id")
+        .join(
+            q.select(
+                F.col("doc_id").alias("cluster_id"),
+                F.col("q_micro").alias("minid_q_micro"),
+            ),
+            "cluster_id",
+        )
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "keeper_doc_id",
+            "keeper_q_micro",
+            "minid_q_micro",
+            (F.col("keeper_q_micro") - F.col("minid_q_micro"))
+            .cast("bigint")
+            .alias("uplift_micro"),
+        )
+    )
+
+
+def sql_cluster_keeper_quality() -> str:
+    from .dedup import sql_dedup_clusters
+    from .textstats import sql_quality
+
+    return f"""
+        WITH clusters AS ({sql_dedup_clusters()}),
+        q AS (
+            SELECT doc_id,
+                   floor(quality_score * 1000000 + 0.5)::BIGINT
+                       AS q_micro
+            FROM ({sql_quality()})
+        ),
+        cl AS (
+            SELECT doc_id, cluster_id, cluster_size
+            FROM clusters WHERE cluster_size > 1
+        ),
+        j AS (SELECT * FROM cl JOIN q USING (doc_id)),
+        m AS (
+            SELECT cluster_id, cluster_size,
+                   MAX(q_micro) AS keeper_q_micro
+            FROM j GROUP BY cluster_id, cluster_size
+        ),
+        k AS (
+            SELECT j.cluster_id, MIN(j.doc_id) AS keeper_doc_id
+            FROM j JOIN m ON j.cluster_id = m.cluster_id
+                         AND j.q_micro = m.keeper_q_micro
+            GROUP BY j.cluster_id
+        )
+        SELECT m.cluster_id, m.cluster_size, k.keeper_doc_id,
+               m.keeper_q_micro, q2.q_micro AS minid_q_micro,
+               (m.keeper_q_micro - q2.q_micro)::BIGINT AS uplift_micro
+        FROM m
+        JOIN k USING (cluster_id)
+        JOIN q q2 ON q2.doc_id = m.cluster_id
+    """

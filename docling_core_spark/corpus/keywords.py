@@ -729,3 +729,92 @@ def sql_hll_distinct() -> str:
                           / exact_distinct::DOUBLE, 6) END AS rel_error
         FROM folded CROSS JOIN exact
     """
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge learning (first iteration pair statistics)
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 64  # merge candidates reported per iteration
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed iteration of BPE tokenizer training (Sennrich et
+    al. 2016): corpus word counts, then adjacent in-word symbol pairs
+    (characters at iteration 1) weighted by word frequency, ranked by
+    total count with a lexical tie-break — the top row IS the next
+    merge. Production loops this exact groupBy K times with the symbol
+    sequences re-segmented after each merge (the engine's vendored
+    WordPiece vocab was trained by the same offline loop,
+    tools/gen_vocab.py); the gate verifies the iteration itself.
+
+    100 TB story: the corpus collapses to the WORD-count table first
+    (one map-side-combined groupBy on the uniform word key — vocabulary
+    cardinality, not corpus rows), so pair expansion and every later
+    iteration run over the vocabulary, never the corpus; the pair
+    rollup is a second map-side-combined groupBy onto the tiny
+    symbol-pair key space, then TakeOrdered top-K. Hot words ("the")
+    cost one vocabulary row each regardless of corpus frequency.
+    Reference analog: none (SURVEY.md §2.8)."""
+    docs = read_spread(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.expr(TOKENS_SPARK)).alias("word")
+    ).where(F.col("word") != "")
+    wc = words.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("wcount")
+    )
+    pairs = wc.where(F.expr("char_length(word) >= 2")).select(
+        "word",
+        "wcount",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(word) - 1),"
+                " i -> concat(substr(word, i, 1), ' ',"
+                "             substr(word, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("wcount").cast("bigint").alias("pair_count"),
+        F.countDistinct("word").cast("bigint").alias("n_word_types"),
+    )
+    top = agg.orderBy(F.desc("pair_count"), F.asc("pair")).limit(BPE_TOPK)
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "pair",
+        "pair_count",
+        "n_word_types",
+    )
+
+
+def sql_bpe_pair_counts() -> str:
+    return f"""
+        WITH words AS (
+            SELECT unnest({TOKENS_DUCK}) AS word FROM documents
+        ),
+        wc AS (
+            SELECT word, COUNT(*)::BIGINT AS wcount
+            FROM words WHERE word != '' GROUP BY word
+        ),
+        p AS (
+            SELECT word, wcount,
+                   unnest(list_transform(range(1, length(word)),
+                       i -> substr(word, i, 1) || ' '
+                            || substr(word, i + 1, 1))) AS pair
+            FROM wc WHERE length(word) >= 2
+        ),
+        agg AS (
+            SELECT pair,
+                   SUM(wcount)::BIGINT AS pair_count,
+                   COUNT(DISTINCT word)::BIGINT AS n_word_types
+            FROM p GROUP BY pair
+        )
+        SELECT row_number() OVER (
+                   ORDER BY pair_count DESC, pair ASC
+               )::BIGINT AS rank,
+               pair, pair_count, n_word_types
+        FROM agg
+        ORDER BY pair_count DESC, pair ASC
+        LIMIT {BPE_TOPK}
+    """

@@ -1674,3 +1674,20 @@ def test_emb_pca_matches_numpy_and_whitens(spark):
     w = np.array([r["w"] for r in df.collect()])
     var = w.var(axis=0, ddof=1) * 1e6  # embedding vs milli-quantized
     assert np.all(var > 0.5) and np.all(var < 2.0)
+
+
+def test_emb_pca_var_identity_holds(spark):
+    """The gate row's quadratic-form variance (c^T Sigma c over the
+    exact-integer covariance) must reproduce the committed eigenvalue
+    within the milli quantization of the component artifact, and
+    explained fractions must be positive and descending-ish sane."""
+    from docling_core_spark.corpus.cohesion import q_emb_pca_var
+
+    rows = q_emb_pca_var(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["eigval_micro"] > 0
+        # milli-quantized components perturb c^T Sigma c by O(|c|/1000)
+        assert abs(r["diff_micro"]) <= max(100, r["eigval_micro"] // 100), (
+            r["comp"], r["diff_micro"], r["eigval_micro"])
+        assert 0 < r["explained_ppm"] < 1_000_000

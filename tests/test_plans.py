@@ -480,3 +480,41 @@ def test_hll_register_build_partial_agg(spark):
     plan = _plan(q_hll_distinct(spark, SF))
     assert "partial_" in plan.lower(), plan
     assert "Window" not in plan, plan
+
+
+def test_cluster_keeper_no_window_over_members(spark):
+    """Quality-aware keeper election must be groupBy-argmax (map-side
+    combinable), never a window partitioned by cluster_id — a
+    boilerplate mega-cluster would make that partition the straggler."""
+    from docling_core_spark.corpus.curation import q_cluster_keeper_quality
+
+    plan = _plan(q_cluster_keeper_quality(spark, SF))
+    assert "Window" not in plan, plan
+    assert "partial_" in plan.lower(), plan
+
+
+def test_bpe_pairs_vocab_first_partial_agg(spark):
+    """BPE pair counting must collapse the corpus to the word-count
+    table BEFORE pair expansion (two partial-agg groupBys), and the
+    only window runs over the already-cut top-K rows."""
+    from docling_core_spark.corpus.keywords import q_bpe_pair_counts
+
+    plan = _plan(q_bpe_pair_counts(spark, SF))
+    assert "partial_count" in plan or "partial_" in plan.lower(), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "text" in scan[0] and "doc_id" not in scan[0], plan
+
+
+def test_emb_pca_var_constant_key_partial_agg(spark):
+    """The PCA quadratic-form check must ride the covariance pass: the
+    only corpus-sized work is the 2080-key constant groupBy (map-side
+    combined); the per-component rollup is an 8-key partial agg; no
+    window, no join back to the corpus."""
+    from docling_core_spark.corpus.cohesion import q_emb_pca_var
+
+    plan = _plan(q_emb_pca_var(spark, SF))
+    assert "partial_" in plan.lower(), plan
+    assert "Window" not in plan, plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "embedding" in scan[0] and "vec_id" not in scan[0], plan
