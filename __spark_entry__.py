@@ -777,6 +777,16 @@ def _q_stream_sessionize_replay(
     return q_stream_sessionize_replay(spark, sf_dir)
 
 
+def _q_stream_enrich_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from docling_core_spark.streaming.replay import (
+        q_stream_enrich_replay,
+    )
+
+    return q_stream_enrich_replay(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_core_spark.corpus import (
         curation as CC,
@@ -939,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_replay": _q_stream_dedup_replay,
         "stream_windowed_replay": _q_stream_windowed_replay,
         "stream_sessionize_replay": _q_stream_sessionize_replay,
+        "stream_enrich_replay": _q_stream_enrich_replay,
         # layout geometry (bbox interval algebra, SURVEY.md §1.3)
         "bbox_ops": _q_bbox_ops,
         # page-parse layer (SURVEY.md §1.6): cells-table ops
@@ -985,6 +996,7 @@ def _stream_oracle(which: str) -> str:
         "dedup": R.sql_stream_dedup_replay,
         "windowed": R.sql_stream_windowed_replay,
         "sessionize": R.sql_stream_sessionize_replay,
+        "enrich": R.sql_stream_enrich_replay,
     }[which]()
 
 
@@ -1162,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_replay": _stream_oracle("dedup"),
         "stream_windowed_replay": _stream_oracle("windowed"),
         "stream_sessionize_replay": _stream_oracle("sessionize"),
+        "stream_enrich_replay": _stream_oracle("enrich"),
         "bbox_ops": _bbox_oracle(),
         "page_cells_in_bbox": _pages_oracle("cells_in_bbox"),
         "page_crop_text": _pages_oracle("crop_text"),

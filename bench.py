@@ -107,7 +107,7 @@ GROUPS: dict[str, list[str]] = {
         # shared checkpoint, so wall time is dominated by per-drain
         # stream startup, not data volume
         "stream_dedup_replay", "stream_windowed_replay",
-        "stream_sessionize_replay",
+        "stream_sessionize_replay", "stream_enrich_replay",
     ],
 }
 # Runs inside the pipeline subprocess (it is the only suite query that

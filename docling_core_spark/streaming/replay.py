@@ -337,3 +337,80 @@ def sql_stream_windowed_replay() -> str:
         WHERE ws_us + {w_us} <= final_wm_us
         GROUP BY 1, 2, 3
     """
+
+
+def q_stream_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the orders table through the stream-static broadcast-join
+    enrichment (enrich.py) in N_BATCHES deterministic micro-batches
+    (batch = o_orderkey % N_BATCHES), the static side being the pinned
+    customer -> nation dimension snapshot, and return the final sink
+    rolled up per nation: order count, distinct buying customers, and
+    total order value in exact cents. Each drain is a restart against
+    the shared checkpoint, so the rollup also certifies the file sink's
+    exactly-once commit log (a replayed batch would double the
+    counts)."""
+    from .enrich import enrich_stream
+
+    base = tempfile.mkdtemp(prefix="enrich-replay-")
+    input_dir, output_dir, ckpt = (
+        f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    )
+    try:
+        os.makedirs(input_dir)
+        orders = read_spread(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            (F.col("o_orderkey") % N_BATCHES).alias("b"),
+        )
+        dim = (
+            read_spread(spark, sf_dir, "customer")
+            .join(
+                read_spread(spark, sf_dir, "nation"),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .select(
+                F.col("c_custkey").alias("o_custkey"), "n_name"
+            )
+        )
+        batch_schema = orders.drop("b").schema
+        with _stream_width(spark):
+            for k in range(N_BATCHES):
+                _stage_batch(
+                    orders.filter(F.col("b") == k).drop("b"),
+                    input_dir, k,
+                )
+                q = enrich_stream(
+                    spark, input_dir, output_dir, ckpt,
+                    schema=batch_schema, dim=dim, join_key="o_custkey",
+                )
+                _drain(q, "stream_enrich_replay")
+        return (
+            spark.read.parquet(output_dir)
+            .groupBy("n_name")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.countDistinct("o_custkey").cast("bigint")
+                .alias("n_customers"),
+                F.sum(
+                    F.expr(
+                        "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                    )
+                ).cast("bigint").alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def sql_stream_enrich_replay() -> str:
+    return """
+        SELECT n.n_name,
+               COUNT(*)::BIGINT AS n_orders,
+               COUNT(DISTINCT o.o_custkey)::BIGINT AS n_customers,
+               SUM(floor(o.o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+                   AS total_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """

@@ -60,3 +60,21 @@ def test_foreach_batch_commits_metrics(spark, tmp_path):
     assert all(m["n_spans"] > 0 for m in metrics)
     written = spark.read.parquet(f"{output_dir}/data")
     assert written.count() == n
+
+
+def test_stream_enrich_exactly_once_and_broadcast(spark):
+    """The stream-static enrichment replay must land every order
+    exactly once (4 restarts against one checkpoint) and the rollup
+    must equal the batch join — certified row-for-row by the gate
+    oracle; here we assert the mass invariants directly."""
+    from docling_core_spark.corpus import read_spread
+    from docling_core_spark.streaming.replay import q_stream_enrich_replay
+
+    sf = "/root/testdata/sf0.001"
+    out = q_stream_enrich_replay(spark, sf)
+    rows = out.collect()
+    orders = read_spread(spark, sf, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == orders
+    assert all(r["total_cents"] > 0 for r in rows)
+    nations = read_spread(spark, sf, "nation").count()
+    assert 0 < len(rows) <= nations
