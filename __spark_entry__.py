@@ -793,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup as CD,
         filters as CF,
         multimodal as CM,
+        maintenance as CMA,
         similarity as CS,
         keywords as CK,
         lm as CL,
@@ -892,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": CC.q_quality_calibration,
         "cluster_keeper_quality": CC.q_cluster_keeper_quality,
         "bpe_pair_counts": CK.q_bpe_pair_counts,
+        "compaction_plan": CMA.q_compaction_plan,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "seg_dedup": CD.q_seg_dedup,
@@ -1006,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         dedup as CD,
         filters as CF,
         multimodal as CM,
+        maintenance as CMA,
         similarity as CS,
         keywords as CK,
         lm as CL,
@@ -1171,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_calibration": CC.sql_quality_calibration(),
         "cluster_keeper_quality": CC.sql_cluster_keeper_quality(),
         "bpe_pair_counts": CK.sql_bpe_pair_counts(),
+        "compaction_plan": CMA.sql_compaction_plan(),
         "stream_dedup_replay": _stream_oracle("dedup"),
         "stream_windowed_replay": _stream_oracle("windowed"),
         "stream_sessionize_replay": _stream_oracle("sessionize"),

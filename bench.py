@@ -81,6 +81,7 @@ GROUPS: dict[str, list[str]] = {
         "source_overlap", "cluster_size_hist", "cluster_density", "dedup_savings",
         "dedup_savings_by_source", "split_leakage",
         "curation_funnel", "quality_calibration", "cluster_keeper_quality",
+        "compaction_plan",
     ],
     "sim": [
         # multimodal first: they are cheap Arrow-stage queries and must

@@ -518,3 +518,17 @@ def test_emb_pca_var_constant_key_partial_agg(spark):
     assert "Window" not in plan, plan
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "embedding" in scan[0] and "vec_id" not in scan[0], plan
+
+
+def test_compaction_plan_partition_window_only(spark):
+    """The compaction planner's window must partition by (source, lang)
+    — never a global SinglePartition ordering — and the manifest rollup
+    must partial-aggregate before its exchange."""
+    from docling_core_spark.corpus.maintenance import q_compaction_plan
+
+    plan = _plan(q_compaction_plan(spark, SF))
+    assert "partial_" in plan.lower(), plan
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "n_chars" in scan[0] and "text" not in scan[0], plan
