@@ -432,6 +432,13 @@ def test_ann_recall_report_consistent(spark):
         assert 0 <= r["n_hits"] <= r["n_truth"]
         assert r["recall_micro"] == r["n_hits"] * 1_000_000 // r["n_truth"]
     assert rows["lsh"]["n_truth"] == rows["ivf"]["n_truth"]
+    # Operating-point FLOORS, not just a report (round-3 VERDICT ask):
+    # IVF at NPROBE=8 must clear recall 0.5 even on the near-uniform
+    # synthetic embeddings (measured 0.708 at sf0.001 and sf0.01);
+    # banded LSH on uniform vectors is the documented worst case —
+    # floor it at the never-regress level (measured 0.208-0.292).
+    assert rows["ivf"]["recall_micro"] >= 500_000, rows["ivf"]
+    assert rows["lsh"]["recall_micro"] >= 150_000, rows["lsh"]
 
 
 def test_dup_passages_merges_planted_islands(spark, tmp_path):
