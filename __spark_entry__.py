@@ -894,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keeper_quality": CC.q_cluster_keeper_quality,
         "bpe_pair_counts": CK.q_bpe_pair_counts,
         "compaction_plan": CMA.q_compaction_plan,
+        "zorder_layout": CMA.q_zorder_layout,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "seg_dedup": CD.q_seg_dedup,
@@ -1175,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_keeper_quality": CC.sql_cluster_keeper_quality(),
         "bpe_pair_counts": CK.sql_bpe_pair_counts(),
         "compaction_plan": CMA.sql_compaction_plan(),
+        "zorder_layout": CMA.sql_zorder_layout(),
         "stream_dedup_replay": _stream_oracle("dedup"),
         "stream_windowed_replay": _stream_oracle("windowed"),
         "stream_sessionize_replay": _stream_oracle("sessionize"),

@@ -102,3 +102,144 @@ def sql_compaction_plan() -> str:
                MAX(chunk)::BIGINT AS last_chunk
         FROM binned GROUP BY 1, 2, 3
     """
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout planning (OPTIMIZE ZORDER BY (user_id, ts) analog)
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8        # per-dimension rank resolution (8 bits -> 0..255)
+ZORDER_FILES = 64      # target data files per rewrite
+
+
+def _rank_expr(col: str, mn: str, mx: str) -> str:
+    """Exact integer 0..255 rank of `col` within [mn, mx] — identical
+    text in both dialects (all-BIGINT, truncating div on non-negative
+    operands)."""
+    span = f"({mx} - {mn} + 1)"
+    return f"(({col} - {mn}) * {1 << ZORDER_BITS} {{div}} {span})"
+
+
+def _interleave_expr(u: str, t: str, div: str) -> str:
+    """16-bit Morton code from two 8-bit ranks via pure integer
+    arithmetic (no engine bit builtins — `x {div} 2^b % 2` extracts bit
+    b identically in Spark and DuckDB for non-negative x)."""
+    terms = []
+    for b in range(ZORDER_BITS):
+        terms.append(f"(({u}) {div} {1 << b} % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"(({t}) {div} {1 << b} % 2) * {1 << (2 * b)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout planning for multi-dimensional data skipping (Delta
+    OPTIMIZE ZORDER / Iceberg sort-order rewrite): assign each event a
+    16-bit Morton code over (user_id rank, event-time rank) and bin the
+    code range into ZORDER_FILES contiguous files; report each file's
+    ZONE MAP (min/max rank per dimension) for BOTH the z-order layout
+    and the naive time-ordered baseline. The z-order zone maps are
+    narrow on *both* dimensions, so a predicate on either column skips
+    most files — the baseline's user_id zone maps span the whole domain
+    (every time slice contains every user), which is the measurable
+    reason z-ordering exists.
+
+    100 TB story: zero global sort — ranks come from 4 broadcast
+    min/max scalars, the Morton code is a per-row integer expression,
+    file assignment is a fixed-range integer division, and the zone-map
+    rollup is a map-side-combined groupBy on the (layout, file_id) key
+    (<= 2 x ZORDER_FILES groups). A production rewrite then shuffles
+    once ON file_id to co-locate each file's rows — exactly one
+    corpus-sized exchange, the rewrite itself. All arithmetic is BIGINT
+    (truncating div == floor on the non-negative ranks), so both
+    engines bin identically."""
+    events = read_spread(spark, sf_dir, "events")
+    base = events.select(
+        F.col("user_id").cast("bigint").alias("u"),
+        F.expr(
+            "cast(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) as bigint)"
+        ).alias("t_us"),
+    )
+    scal = base.agg(
+        F.min("u").alias("mn_u"), F.max("u").alias("mx_u"),
+        F.min("t_us").alias("mn_t"), F.max("t_us").alias("mx_t"),
+    )
+    j = base.crossJoin(F.broadcast(scal))
+    u8 = _rank_expr("u", "mn_u", "mx_u").format(div="div")
+    t8 = _rank_expr("t_us", "mn_t", "mx_t").format(div="div")
+    z = _interleave_expr(u8, t8, "div")
+    n_bins = 1 << (2 * ZORDER_BITS)
+    ranked = j.select(
+        F.expr(u8).cast("bigint").alias("u8"),
+        F.expr(t8).cast("bigint").alias("t8"),
+        F.expr(
+            f"{z} div {n_bins // ZORDER_FILES}"
+        ).cast("bigint").alias("z_file"),
+        F.expr(
+            f"{t8} div {(1 << ZORDER_BITS) // ZORDER_FILES}"
+            if ZORDER_FILES <= (1 << ZORDER_BITS)
+            else t8
+        ).cast("bigint").alias("t_file"),
+    )
+    both = ranked.select(
+        F.lit("zorder").alias("layout"),
+        F.col("z_file").alias("file_id"), "u8", "t8",
+    ).unionAll(
+        ranked.select(
+            F.lit("time").alias("layout"),
+            F.col("t_file").alias("file_id"), "u8", "t8",
+        )
+    )
+    return both.groupBy("layout", "file_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("u8").cast("bigint").alias("min_u8"),
+        F.max("u8").cast("bigint").alias("max_u8"),
+        F.min("t8").cast("bigint").alias("min_t8"),
+        F.max("t8").cast("bigint").alias("max_t8"),
+        # zone-map area this file's stats admit, in 1/65536 units of
+        # the full domain — the fraction of arbitrary point predicates
+        # that CANNOT skip this file
+        F.expr(
+            "cast((max(u8) - min(u8) + 1) * (max(t8) - min(t8) + 1)"
+            " as bigint)"
+        ).alias("zone_area"),
+    )
+
+
+def sql_zorder_layout() -> str:
+    u8 = _rank_expr("u", "mn_u", "mx_u").format(div="//")
+    t8 = _rank_expr("t_us", "mn_t", "mx_t").format(div="//")
+    z = _interleave_expr(u8, t8, "//")
+    n_bins = 1 << (2 * ZORDER_BITS)
+    return f"""
+        WITH base AS (
+            SELECT user_id::BIGINT AS u, epoch_us(ts)::BIGINT AS t_us
+            FROM events
+        ),
+        scal AS (
+            SELECT MIN(u) AS mn_u, MAX(u) AS mx_u,
+                   MIN(t_us) AS mn_t, MAX(t_us) AS mx_t
+            FROM base
+        ),
+        ranked AS (
+            SELECT {u8}::BIGINT AS u8, {t8}::BIGINT AS t8,
+                   ({z} // {n_bins // ZORDER_FILES})::BIGINT AS z_file,
+                   ({t8} // {(1 << ZORDER_BITS) // ZORDER_FILES})::BIGINT
+                       AS t_file
+            FROM base CROSS JOIN scal
+        ),
+        layouts AS (
+            SELECT 'zorder' AS layout, z_file AS file_id, u8, t8
+            FROM ranked
+            UNION ALL
+            SELECT 'time' AS layout, t_file AS file_id, u8, t8
+            FROM ranked
+        )
+        SELECT layout, file_id,
+               COUNT(*)::BIGINT AS n_rows,
+               MIN(u8)::BIGINT AS min_u8, MAX(u8)::BIGINT AS max_u8,
+               MIN(t8)::BIGINT AS min_t8, MAX(t8)::BIGINT AS max_t8,
+               ((MAX(u8) - MIN(u8) + 1)
+                * (MAX(t8) - MIN(t8) + 1))::BIGINT AS zone_area
+        FROM layouts GROUP BY 1, 2
+    """

@@ -1698,3 +1698,31 @@ def test_emb_pca_var_identity_holds(spark):
         assert abs(r["diff_micro"]) <= max(100, r["eigval_micro"] // 100), (
             r["comp"], r["diff_micro"], r["eigval_micro"])
         assert 0 < r["explained_ppm"] < 1_000_000
+
+
+def test_zorder_layout_narrows_user_zone_maps(spark):
+    """The measurable reason z-ordering exists: the time-ordered
+    baseline's per-file user_id zone maps span ~the whole domain (no
+    skipping for user predicates), while the z-order layout bounds
+    BOTH dimensions — a user_id point predicate must skip most
+    z-ordered files."""
+    from docling_core_spark.corpus.maintenance import (
+        ZORDER_FILES, q_zorder_layout,
+    )
+
+    rows = q_zorder_layout(spark, SF_DIR).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["layout"], []).append(r)
+    assert set(by) == {"time", "zorder"}
+    n_rows = {k: sum(r["n_rows"] for r in v) for k, v in by.items()}
+    assert n_rows["time"] == n_rows["zorder"]  # both place every row
+    mean_u = {
+        k: sum(r["max_u8"] - r["min_u8"] + 1 for r in v) / len(v)
+        for k, v in by.items()
+    }
+    # z-order user spans must be at least 4x tighter than time-ordered
+    assert mean_u["zorder"] * 4 <= mean_u["time"], mean_u
+    for r in by["zorder"]:
+        assert 0 <= r["file_id"] < ZORDER_FILES
+        assert r["zone_area"] >= r["n_rows"] // 64  # sane stats
