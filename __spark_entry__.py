@@ -660,6 +660,143 @@ def _q_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_SUPPLIER_RANK.format(lineitem="li_rank_src"))
 
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): segment-filtered customers join
+    orders, orders join lineitem, top-10 open orders by accrued
+    revenue. Revenue integerizes PER LINE ITEM (floor(extprice *
+    (1 - disc) * 100 + 0.5) — one IEEE product, identical both
+    engines) so the integer sum is partition-order-free.
+
+    100 TB story: the 1/5-segment customer dimension BROADCASTS into
+    the orders scan (plan-asserted); the only corpus-sized exchange is
+    the orders-lineitem hash join on the uniform orderkey; both date
+    predicates push to the parquet scans; top-10 is
+    TakeOrderedAndProject (never a global sort) with a deterministic
+    (revenue desc, orderkey) cut."""
+    from docling_core_spark.corpus import read_spread
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = read_spread(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = read_spread(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    ).select(
+        "l_orderkey",
+        F.expr(
+            "cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " as bigint)"
+        ).alias("rev_cents"),
+    )
+    j = (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+    )
+    agg = j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum("rev_cents").cast("bigint").alias("revenue_cents")
+    )
+    return agg.orderBy(
+        F.desc("revenue_cents"), F.asc("o_orderkey")
+    ).limit(10)
+
+
+_SQL_TPCH_Q3_ORACLE = """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           SUM(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                     + 0.5)::BIGINT)::BIGINT AS revenue_cents
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_cents DESC, o.o_orderkey ASC
+    LIMIT 10
+"""
+
+
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): six-way join — region-filtered
+    nations, their customers, 1998 orders, line items, and suppliers
+    constrained to the CUSTOMER's nation — rolled up to revenue per
+    nation.
+
+    100 TB story: region/nation/supplier/customer are dimensions and
+    all BROADCAST (plan-asserted: >= 3 BroadcastHashJoins); the only
+    corpus-sized exchange is the orders-lineitem hash join on the
+    uniform orderkey; the nation rollup key space is <= 25 so the final
+    agg map-side combines to nothing."""
+    from docling_core_spark.corpus import read_spread
+
+    nat = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/region.parquet").where(
+                F.col("r_name") == "ASIA"
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(nat),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = read_spread(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = read_spread(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.expr(
+            "cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " as bigint)"
+        ).alias("rev_cents"),
+    )
+    j = (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+        F.count("*").cast("bigint").alias("n_lineitems"),
+    )
+
+
+_SQL_TPCH_Q5_ORACLE = """
+    SELECT n.n_name,
+           SUM(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                     + 0.5)::BIGINT)::BIGINT AS revenue_cents,
+           COUNT(*)::BIGINT AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1
+"""
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (purchase -> latest prior view per user), the classic
     operator Spark lacks natively, realized the canonical Spark way:
@@ -962,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_render_svg": _q_page_render_svg,
         # relational sanity (scan/filter/agg/join/window/sessionize)
         "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
         "events_sessionize": _q_events_sessionize,
@@ -1188,6 +1327,8 @@ def oracle_sql() -> dict[str, str]:
         "page_render_svg": _pages_oracle("render_svg"),
         "lang_stats": _SQL_LANG_STATS.format(documents="documents"),
         "tpch_q1": _SQL_TPCH_Q1.format(lineitem="lineitem"),
+        "tpch_q3": _SQL_TPCH_Q3_ORACLE,
+        "tpch_q5": _SQL_TPCH_Q5_ORACLE,
         "top_customers": _SQL_TOP_CUSTOMERS.format(
             orders="orders", customer="customer"
         ),

@@ -532,3 +532,25 @@ def test_compaction_plan_partition_window_only(spark):
     assert "SinglePartition" not in plan, plan
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "n_chars" in scan[0] and "text" not in scan[0], plan
+
+
+def test_tpch_q3_broadcast_dim_takeordered(spark):
+    """Q3: the segment-filtered customer dimension must broadcast, the
+    top-10 must be TakeOrderedAndProject (never a global sort), and
+    both date predicates must push to the scans."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["tpch_q3"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "o_orderdate" in plan and "l_shipdate" in plan, plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    """Q5: every dimension (nation+region, customer, supplier) must
+    broadcast — the only corpus-sized exchange is the orders-lineitem
+    hash join."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["tpch_q5"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
