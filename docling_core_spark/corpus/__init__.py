@@ -15,6 +15,20 @@ driver's correctness gate can verify values bit-for-bit.
 from pyspark.sql import DataFrame, SparkSession
 
 
+def artifact_path(sf_dir: str, prefix: str) -> str:
+    """Committed per-sf artifact under goldens/ (`<prefix>_sf<sf>.json`)
+    — the ONE place that derives the scale token from an sf dir, shared
+    by the IVF centroid and PCA component loaders so the Spark query
+    and its DuckDB oracle can never resolve different artifacts."""
+    import os
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)
+    )))
+    return os.path.join(repo, "goldens", f"{prefix}_sf{sf}.json")
+
+
 def read_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a parquet table and make sure the scan's parallelism covers
     the cluster. A production-scale table has thousands of row-group

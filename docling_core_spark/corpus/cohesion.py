@@ -457,12 +457,9 @@ def whiten_expr(components, eigvals_micro, top_k: int = 8) -> str:
 # ---------------------------------------------------------------------------
 
 def _pca_path(sf_dir: str) -> str:
-    import os
+    from . import artifact_path
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    return os.path.join(repo, "goldens", f"pca_sf{sf}.json")
+    return artifact_path(sf_dir, "pca")
 
 
 def _pca_artifact(sf_dir: str) -> dict:

@@ -111,6 +111,13 @@ def sql_compaction_plan() -> str:
 ZORDER_BITS = 8        # per-dimension rank resolution (8 bits -> 0..255)
 ZORDER_FILES = 64      # target data files per rewrite
 
+# Both dialects bake these constants into arithmetic that assumes the
+# file count divides both the per-dim and the Morton code range — a
+# non-divisor would emit file_id == ZORDER_FILES, and > 2^BITS would
+# divide by zero in the oracle. Fail at import, not at gate time.
+assert (1 << ZORDER_BITS) % ZORDER_FILES == 0, "files must divide 2^bits"
+assert (1 << (2 * ZORDER_BITS)) % ZORDER_FILES == 0
+
 
 def _rank_expr(col: str, mn: str, mx: str) -> str:
     """Exact integer 0..255 rank of `col` within [mn, mx] — identical
@@ -177,18 +184,27 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("z_file"),
         F.expr(
             f"{t8} div {(1 << ZORDER_BITS) // ZORDER_FILES}"
-            if ZORDER_FILES <= (1 << ZORDER_BITS)
-            else t8
         ).cast("bigint").alias("t_file"),
     )
+    # ONE pass emits both layout rows per event (a unionAll of two
+    # projections would re-execute the corpus-sized scan + rank
+    # expressions once per branch — Spark does not share the subplan)
     both = ranked.select(
-        F.lit("zorder").alias("layout"),
-        F.col("z_file").alias("file_id"), "u8", "t8",
-    ).unionAll(
-        ranked.select(
-            F.lit("time").alias("layout"),
-            F.col("t_file").alias("file_id"), "u8", "t8",
-        )
+        F.explode(
+            F.expr(
+                "array(named_struct('layout', 'zorder',"
+                "                   'file_id', z_file),"
+                "      named_struct('layout', 'time',"
+                "                   'file_id', t_file))"
+            )
+        ).alias("lf"),
+        "u8",
+        "t8",
+    ).select(
+        F.col("lf.layout").alias("layout"),
+        F.col("lf.file_id").alias("file_id"),
+        "u8",
+        "t8",
     )
     return both.groupBy("layout", "file_id").agg(
         F.count("*").cast("bigint").alias("n_rows"),

@@ -446,13 +446,9 @@ def compute_ivf_centroids(
 
 
 def _centroids_path(sf_dir: str) -> str:
-    import os
+    from . import artifact_path
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)
-    )))
-    return os.path.join(repo, "goldens", f"ivf_centroids_sf{sf}.json")
+    return artifact_path(sf_dir, "ivf_centroids")
 
 
 def ivf_centroids(spark: SparkSession, sf_dir: str) -> list:

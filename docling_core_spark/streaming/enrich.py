@@ -26,6 +26,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def enrich(facts: DataFrame, dim: DataFrame, join_key: str) -> DataFrame:
+    """The enrichment transform itself — shared by the streaming sink
+    below and the batch plan audit (tests/test_plans.py asserts this
+    exact expression tree plans as a BroadcastHashJoin, so the
+    zero-stream-side-shuffle property cannot silently regress). Inner
+    join: facts without a dimension row are quarantined upstream in a
+    real pipeline."""
+    return facts.join(F.broadcast(dim), join_key)
+
+
 def enrich_stream(
     spark: SparkSession,
     input_dir: str,
@@ -36,17 +46,15 @@ def enrich_stream(
     join_key: str,
 ):
     """Append-mode stream-static enrichment: each arriving batch of
-    facts joins the broadcast `dim` snapshot on `join_key` (inner —
-    facts without a dimension row are quarantined upstream in a real
-    pipeline) and lands enriched in the parquet sink exactly once."""
+    facts joins the broadcast `dim` snapshot on `join_key` and lands
+    enriched in the parquet sink exactly once."""
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
         .parquet(input_dir)
     )
-    enriched = src.join(F.broadcast(dim), join_key)
     return (
-        enriched.writeStream.format("parquet")
+        enrich(src, dim, join_key).writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

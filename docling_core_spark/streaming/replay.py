@@ -361,10 +361,12 @@ def q_stream_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", "o_totalprice",
             (F.col("o_orderkey") % N_BATCHES).alias("b"),
         )
+        # plain reads for the dimensions: read_spread's single-split
+        # fan-out repartition is pure waste on tables that broadcast
         dim = (
-            read_spread(spark, sf_dir, "customer")
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
             .join(
-                read_spread(spark, sf_dir, "nation"),
+                spark.read.parquet(f"{sf_dir}/nation.parquet"),
                 F.col("c_nationkey") == F.col("n_nationkey"),
             )
             .select(

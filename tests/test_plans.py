@@ -554,3 +554,22 @@ def test_tpch_q5_broadcasts_all_dims(spark):
 
     plan = _plan(E.queries()["tpch_q5"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_stream_enrich_join_is_broadcast(spark):
+    """The enrichment transform (the exact expression tree the stream
+    runs per micro-batch) must plan as a BroadcastHashJoin — the
+    zero-stream-side-shuffle claim, asserted on the batch twin."""
+    from docling_core_spark.streaming.enrich import enrich
+
+    from pyspark.sql import functions as F
+
+    facts = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    plan = _plan(enrich(facts, dim, "o_custkey"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
