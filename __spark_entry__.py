@@ -914,6 +914,18 @@ def _q_stream_sessionize_replay(
     return q_stream_sessionize_replay(spark, sf_dir)
 
 
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.sources.jsonl import q_jsonl_roundtrip
+
+    return q_jsonl_roundtrip(spark, sf_dir)
+
+
+def _sql_jsonl_roundtrip() -> str:
+    from docling_core_spark.sources.jsonl import sql_jsonl_roundtrip
+
+    return sql_jsonl_roundtrip()
+
+
 def _q_stream_enrich_replay(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1032,6 +1044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": CK.q_bpe_pair_counts,
         "compaction_plan": CMA.q_compaction_plan,
         "zorder_layout": CMA.q_zorder_layout,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "table_stats": CMA.q_table_stats,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "seg_dedup": CD.q_seg_dedup,
@@ -1316,6 +1330,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": CK.sql_bpe_pair_counts(),
         "compaction_plan": CMA.sql_compaction_plan(),
         "zorder_layout": CMA.sql_zorder_layout(),
+        "jsonl_roundtrip": _sql_jsonl_roundtrip(),
+        "table_stats": CMA.sql_table_stats(),
         "stream_dedup_replay": _stream_oracle("dedup"),
         "stream_windowed_replay": _stream_oracle("windowed"),
         "stream_sessionize_replay": _stream_oracle("sessionize"),

@@ -100,7 +100,7 @@ GROUPS: dict[str, list[str]] = {
         "events_sessionize", "events_asof", "events_range_join",
         "events_retention", "events_funnel", "events_spikes",
         "orders_running_total",
-        "supplier_rank", "zorder_layout",
+        "supplier_rank", "zorder_layout", "table_stats", "jsonl_roundtrip",
     ],
     "stream": [
         # deterministic micro-batch replays of the streaming surface:

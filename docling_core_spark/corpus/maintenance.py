@@ -259,3 +259,76 @@ def sql_zorder_layout() -> str:
                 * (MAX(t8) - MIN(t8) + 1))::BIGINT AS zone_area
         FROM layouts GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE TABLE analog: one-pass column statistics for the CBO / zone maps
+# ---------------------------------------------------------------------------
+
+_STATS_COLS = [
+    ("doc_id", "bigint"),
+    ("text", "string"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "bigint"),
+]
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level statistics over the documents table — what ANALYZE
+    TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS feeds the cost-based
+    optimizer (null counts, exact NDV, min/max, byte mass per column).
+    One row per column, every stat exact and integer/string typed so
+    both engines agree bit-for-bit (min/max rendered as strings AFTER
+    being computed in the column's native type — lexicographic min of
+    a numeric column would be wrong).
+
+    100 TB story: ONE corpus pass computes every column's aggregates
+    simultaneously (Spark evaluates the agg expressions in the same
+    scan, map-side partial for all of them — count_distinct widens the
+    partials but stays keyed by the constant group, i.e. a single
+    reduce); the per-column unpivot happens on the 1-row aggregate.
+    Production swaps exact NDV for HLL (the engine's hll_distinct
+    operator) beyond memory bounds — noted, exact here to keep the
+    oracle exact."""
+    docs = read_spread(spark, sf_dir, "documents")
+    aggs = []
+    for c, _t in _STATS_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__ndv"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            F.sum(F.length(F.col(c).cast("string")))
+            .cast("bigint").alias(f"{c}__len"),
+        ]
+    one = docs.agg(F.count("*").cast("bigint").alias("n_rows"), *aggs)
+    arms = ", ".join(
+        f"named_struct('col_name', '{c}',"
+        f" 'n_nulls', {c}__nulls, 'ndv', {c}__ndv,"
+        f" 'min_val', {c}__min, 'max_val', {c}__max,"
+        f" 'total_len', {c}__len)"
+        for c, _t in _STATS_COLS
+    )
+    return one.select(
+        "n_rows", F.explode(F.expr(f"array({arms})")).alias("s")
+    ).select(
+        "s.col_name", "n_rows", "s.n_nulls", "s.ndv",
+        "s.min_val", "s.max_val", "s.total_len",
+    )
+
+
+def sql_table_stats() -> str:
+    arms = []
+    for c, _t in _STATS_COLS:
+        arms.append(f"""
+        SELECT '{c}' AS col_name,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(({c} IS NULL)::BIGINT)::BIGINT AS n_nulls,
+               COUNT(DISTINCT {c})::BIGINT AS ndv,
+               MIN({c})::VARCHAR AS min_val,
+               MAX({c})::VARCHAR AS max_val,
+               SUM(length({c}::VARCHAR))::BIGINT AS total_len
+        FROM documents""")
+    return " UNION ALL ".join(arms)

@@ -71,3 +71,26 @@ def test_table_branch_reads_catalog(spark):
         "/root/testdata/sf0.001/documents.parquet"
     ).createOrReplaceTempView("tio_docs")
     assert load_docs(spark, "table:tio_docs").count() == 500
+
+
+def test_jsonl_declared_schema_quarantines_corrupt_lines(spark, tmp_path):
+    """The JSONL source must parse valid lines under the DECLARED
+    schema and quarantine malformed ones into _corrupt_record instead
+    of aborting or silently re-inferring types."""
+    from docling_core_spark.sources.jsonl import read_documents_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello", "lang": "en",'
+        ' "source": "s", "n_chars": 5}\n'
+        "{this is not json at all\n"
+        '{"doc_id": 2, "text": "world", "lang": "fr",'
+        ' "source": "s", "n_chars": 5}\n'
+    )
+    df = read_documents_jsonl(spark, str(p))
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert sorted(r["doc_id"] for r in good) == [1, 2]
+    assert len(bad) == 1 and bad[0]["doc_id"] is None
+    assert df.schema["doc_id"].dataType.typeName() == "long"
