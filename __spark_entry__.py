@@ -1046,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": CMA.q_zorder_layout,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "table_stats": CMA.q_table_stats,
+        "merge_plan": CMA.q_merge_plan,
         # deduplication
         "dedup_exact": _q_dedup_exact,
         "seg_dedup": CD.q_seg_dedup,
@@ -1332,6 +1333,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": CMA.sql_zorder_layout(),
         "jsonl_roundtrip": _sql_jsonl_roundtrip(),
         "table_stats": CMA.sql_table_stats(),
+        "merge_plan": CMA.sql_merge_plan(),
         "stream_dedup_replay": _stream_oracle("dedup"),
         "stream_windowed_replay": _stream_oracle("windowed"),
         "stream_sessionize_replay": _stream_oracle("sessionize"),

@@ -101,6 +101,7 @@ GROUPS: dict[str, list[str]] = {
         "events_retention", "events_funnel", "events_spikes",
         "orders_running_total",
         "supplier_rank", "zorder_layout", "table_stats", "jsonl_roundtrip",
+        "merge_plan",
     ],
     "stream": [
         # deterministic micro-batch replays of the streaming surface:

@@ -332,3 +332,84 @@ def sql_table_stats() -> str:
                SUM(length({c}::VARCHAR))::BIGINT AS total_len
         FROM documents""")
     return " UNION ALL ".join(arms)
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert planning (MERGE INTO analog over a change batch)
+# ---------------------------------------------------------------------------
+
+CDC_BATCH_MOD = 7  # doc_id % 7 == 0 simulates the incoming change batch
+
+
+def q_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO planning: given the current table and an incoming
+    change batch (CDC upserts — here the deterministic doc_id % 7
+    slice re-keyed so ~half collide with existing rows and half are
+    inserts), report per (source, lang) partition what the merge will
+    do: rows matched (update), rows not matched (insert), and how many
+    target FILES the rewrite touches (copy-on-write amplification —
+    the number a production merge uses to decide copy-on-write vs
+    merge-on-read).
+
+    100 TB story: the change batch joins the target on the unique
+    doc_id key — batch-sized probe against the target scan (at
+    production scale the join prunes to the batch's partitions first);
+    file touch counts reuse the compaction planner's manifest chunking
+    (256-doc_id files), counted per DISTINCT touched chunk — a
+    metadata-scale rollup. All counts exact BIGINTs."""
+    docs = read_spread(spark, sf_dir, "documents")
+    target = docs.select("doc_id", "source", "lang")
+    batch = docs.where(
+        F.expr(f"doc_id % {CDC_BATCH_MOD} = 0")
+    ).select(
+        # half the batch collides with existing keys (even multiples),
+        # half lands beyond the current key range (inserts)
+        F.expr(
+            f"case when doc_id % {2 * CDC_BATCH_MOD} = 0 then doc_id"
+            " else doc_id + 1000000000 end"
+        ).alias("doc_id"),
+        "source",
+        "lang",
+    )
+    j = batch.alias("b").join(
+        target.alias("t"),
+        F.col("b.doc_id") == F.col("t.doc_id"),
+        "left",
+    )
+    return j.groupBy(
+        F.col("b.source").alias("source"), F.col("b.lang").alias("lang")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_batch"),
+        F.sum(
+            F.col("t.doc_id").isNotNull().cast("long")
+        ).cast("bigint").alias("n_matched"),
+        F.sum(
+            F.col("t.doc_id").isNull().cast("long")
+        ).cast("bigint").alias("n_inserted"),
+        F.expr(
+            "cast(count(distinct case when t.doc_id is not null"
+            f" then t.doc_id div {_FILE_CHUNK} end) as bigint)"
+        ).alias("n_files_touched"),
+    )
+
+
+def sql_merge_plan() -> str:
+    return f"""
+        WITH batch AS (
+            SELECT CASE WHEN doc_id % {2 * CDC_BATCH_MOD} = 0
+                        THEN doc_id ELSE doc_id + 1000000000 END
+                       AS doc_id,
+                   source, lang
+            FROM documents WHERE doc_id % {CDC_BATCH_MOD} = 0
+        )
+        SELECT b.source, b.lang,
+               COUNT(*)::BIGINT AS n_batch,
+               SUM((t.doc_id IS NOT NULL)::BIGINT)::BIGINT AS n_matched,
+               SUM((t.doc_id IS NULL)::BIGINT)::BIGINT AS n_inserted,
+               COUNT(DISTINCT CASE WHEN t.doc_id IS NOT NULL
+                     THEN t.doc_id // {_FILE_CHUNK} END)::BIGINT
+                   AS n_files_touched
+        FROM batch b
+        LEFT JOIN documents t ON b.doc_id = t.doc_id
+        GROUP BY 1, 2
+    """

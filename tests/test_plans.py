@@ -573,3 +573,17 @@ def test_stream_enrich_join_is_broadcast(spark):
     plan = _plan(enrich(facts, dim, "o_custkey"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_merge_plan_key_join_partial_agg(spark):
+    """MERGE planning: the change batch joins the target on the unique
+    doc_id key and the per-partition rollup partial-aggregates; no
+    window, no cartesian."""
+    from docling_core_spark.corpus.maintenance import q_merge_plan
+
+    plan = _plan(q_merge_plan(spark, SF))
+    assert "partial_" in plan.lower(), plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "text" not in scan[0], plan
