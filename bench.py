@@ -92,6 +92,7 @@ GROUPS: dict[str, list[str]] = {
         "pq_search", "ivfpq_search", "pq_recall", "neardup_cosine",
         "semdedup_clusters", "hard_negatives", "label_cohesion",
         "emb_dim_stats", "emb_covariance", "emb_norm_hist", "emb_pca_var",
+        "emb_outliers",
     ],
     "rel": [
         "bbox_ops", "page_cells_in_bbox", "page_crop_text",

@@ -24,7 +24,7 @@ Reference analog: none (SURVEY.md §2.8).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import constants as C, read_spread
@@ -577,4 +577,105 @@ def sql_emb_pca_var(sf_dir: str = "/root/testdata/sf0.01") -> str:
                    - {eig_lit}[comp::INT + 1] AS diff_micro,
                {ppm_lit}[comp::INT + 1] AS explained_ppm
         FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier census: exact distance-from-centroid in scaled integers
+# ---------------------------------------------------------------------------
+
+EMB_OUTLIER_TOPK = 16
+
+
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K embedding outliers by squared Euclidean distance from the
+    corpus mean — the vectors a curation run inspects first (encoder
+    failures, truncated inputs, off-distribution content; SemDeDup-style
+    pipelines prune extreme outliers before clustering).
+
+    Exactness without a float mean: with x quantized to milli ints and
+    S_d = sum over the corpus of x_d, the scaled squared distance
+    sum_d (x_d * n - S_d)^2 is an exact BIGINT identical in any
+    partition order and any engine — n^2 * ||x - mean||^2 without ever
+    materializing the non-integer mean. Bound: |x_d*n - S_d| <=
+    ~2*6e3*n, squared and summed over 64 dims stays in BIGINT to
+    n ~= 2.8e5 vectors per stats group; beyond that production drops
+    to centi quantization or per-shard means (same discipline as
+    emb_covariance's documented widening).
+
+    100 TB story: TWO passes — a 65-value constant-key agg for (n, S_d)
+    broadcast back, then a per-row fold + TakeOrdered top-K; no window,
+    no corpus-sized shuffle."""
+    d = C.EMB_DIM
+    emb = read_spread(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v ->"
+            " cast(floor(cast(v as double) * 1000) as bigint))"
+        ).alias("xm"),
+    )
+    sums = emb.select(
+        F.posexplode("xm").alias("d", "x")
+    ).groupBy("d").agg(F.sum("x").cast("bigint").alias("s"))
+    svec = sums.groupBy().agg(
+        F.expr("transform(array_sort(collect_list(struct(d, s))),"
+               " p -> p.s)").alias("sv"),
+        F.count("*").cast("bigint").alias("n_dims"),
+    )
+    n_row = emb.agg(F.count("*").cast("bigint").alias("n")).crossJoin(
+        F.broadcast(svec)
+    )
+    j = emb.crossJoin(F.broadcast(n_row))
+    dist = j.select(
+        "vec_id",
+        F.expr(
+            f"aggregate(sequence(1, {d}), cast(0 as bigint),"
+            " (acc, i) -> acc"
+            " + (element_at(xm, i) * n - element_at(sv, i))"
+            " * (element_at(xm, i) * n - element_at(sv, i)))"
+        ).alias("scaled_d2"),
+    )
+    top = dist.orderBy(
+        F.desc("scaled_d2"), F.asc("vec_id")
+    ).limit(EMB_OUTLIER_TOPK)
+    w = Window.orderBy(F.desc("scaled_d2"), F.asc("vec_id"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "vec_id",
+        "scaled_d2",
+    )
+
+
+def sql_emb_outliers() -> str:
+    d = C.EMB_DIM
+    return f"""
+        WITH xm AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       v -> floor(v::DOUBLE * 1000)::BIGINT) AS xm
+            FROM embeddings
+        ),
+        sums AS (
+            SELECT i AS d, SUM(xm[i])::BIGINT AS s
+            FROM xm, unnest(generate_series(1, {d})) AS t(i)
+            GROUP BY i
+        ),
+        sv AS (
+            SELECT list(s ORDER BY d) AS sv FROM sums
+        ),
+        n AS (SELECT COUNT(*)::BIGINT AS n FROM xm),
+        dist AS (
+            SELECT vec_id,
+                   list_sum(list_transform(generate_series(1, {d}),
+                       i -> (xm[i] * n - sv[i]) * (xm[i] * n - sv[i])
+                   ))::BIGINT AS scaled_d2
+            FROM xm CROSS JOIN sv CROSS JOIN n
+        )
+        SELECT row_number() OVER (
+                   ORDER BY scaled_d2 DESC, vec_id ASC
+               )::BIGINT AS rank,
+               vec_id, scaled_d2
+        FROM dist
+        ORDER BY scaled_d2 DESC, vec_id ASC
+        LIMIT {EMB_OUTLIER_TOPK}
     """

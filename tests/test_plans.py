@@ -587,3 +587,14 @@ def test_merge_plan_key_join_partial_agg(spark):
     assert "CartesianProduct" not in plan, plan
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "text" not in scan[0], plan
+
+
+def test_emb_outliers_takeordered_no_window_shuffle(spark):
+    """Outlier census: constant-key stats agg broadcast back, per-row
+    exact fold, TakeOrdered top-K — the only Window runs on the
+    already-cut K rows."""
+    from docling_core_spark.corpus.cohesion import q_emb_outliers
+
+    plan = _plan(q_emb_outliers(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan or "Broadcast" in plan, plan
