@@ -1079,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": CS.q_knn_bruteforce,
         "lsh_bucket_stats": CS.q_lsh_bucket_stats,
         "ann_lsh_topk": CS.q_ann_lsh_topk,
+        "ann_lsh_multiprobe": CS.q_ann_lsh_multiprobe,
         "ann_ivf_topk": CS.q_ann_ivf_topk,
         "ann_recall": CS.q_ann_recall,
         "ivf_cluster_stats": CS.q_ivf_cluster_stats,
@@ -1247,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": CS.sql_knn_bruteforce(),
         "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),
         "ann_lsh_topk": CS.sql_ann_lsh_topk(),
+        "ann_lsh_multiprobe": CS.sql_ann_lsh_multiprobe(),
         "ann_ivf_topk": CS.sql_ann_ivf_topk(f"/root/testdata/sf{gate_sf}"),
         "ann_recall": CS.sql_ann_recall(f"/root/testdata/sf{gate_sf}"),
         "ivf_cluster_stats": CS.sql_ivf_cluster_stats(

@@ -88,6 +88,7 @@ GROUPS: dict[str, list[str]] = {
         # not pay for the similarity family's persisted tables
         "decode_features", "media_resize", "frame_sample", "media_dedup",
         "knn_bruteforce", "lsh_bucket_stats", "ann_lsh_topk",
+        "ann_lsh_multiprobe",
         "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "pq_encode",
         "pq_search", "ivfpq_search", "pq_recall", "neardup_cosine",
         "semdedup_clusters", "hard_negatives", "label_cohesion",

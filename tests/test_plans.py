@@ -598,3 +598,13 @@ def test_emb_outliers_takeordered_no_window_shuffle(spark):
     plan = _plan(q_emb_outliers(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastExchange" in plan or "Broadcast" in plan, plan
+
+
+def test_lsh_multiprobe_query_side_fanout_only(spark):
+    """Multi-probe must fan out the QUERY side only: the probe set
+    broadcasts into the index join and into the embedding joins; the
+    corpus index is untouched (no extra corpus-sized aggregate)."""
+    from docling_core_spark.corpus.similarity import q_ann_lsh_multiprobe
+
+    plan = _plan(q_ann_lsh_multiprobe(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
