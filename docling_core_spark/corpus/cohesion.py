@@ -598,10 +598,11 @@ def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_d (x_d * n - S_d)^2 is an exact BIGINT identical in any
     partition order and any engine — n^2 * ||x - mean||^2 without ever
     materializing the non-integer mean. Bound: |x_d*n - S_d| <=
-    ~2*6e3*n, squared and summed over 64 dims stays in BIGINT to
-    n ~= 2.8e5 vectors per stats group; beyond that production drops
-    to centi quantization or per-shard means (same discipline as
-    emb_covariance's documented widening).
+    ~2*6e3*n per dim, so the 64-dim sum is <= 64 * (1.2e4)^2 * n^2 =
+    9.2e9 * n^2, which stays inside BIGINT (9.22e18) to
+    n ~= sqrt(9.22e18 / 9.2e9) ~= 3.2e4 vectors per stats group;
+    beyond that production drops to centi quantization or per-shard
+    means (same discipline as emb_covariance's documented widening).
 
     100 TB story: TWO passes — a 65-value constant-key agg for (n, S_d)
     broadcast back, then a per-row fold + TakeOrdered top-K; no window,
@@ -620,7 +621,6 @@ def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     svec = sums.groupBy().agg(
         F.expr("transform(array_sort(collect_list(struct(d, s))),"
                " p -> p.s)").alias("sv"),
-        F.count("*").cast("bigint").alias("n_dims"),
     )
     n_row = emb.agg(F.count("*").cast("bigint").alias("n")).crossJoin(
         F.broadcast(svec)

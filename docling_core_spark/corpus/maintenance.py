@@ -277,7 +277,10 @@ _STATS_COLS = [
 def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level statistics over the documents table — what ANALYZE
     TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS feeds the cost-based
-    optimizer (null counts, exact NDV, min/max, byte mass per column).
+    optimizer (null counts, exact NDV, min/max, UTF-8 byte mass per
+    column — octet_length/strlen, not character count, since the CBO
+    sizes scans and partitions in bytes and a CJK-heavy source is ~3x
+    its character count).
     One row per column, every stat exact and integer/string typed so
     both engines agree bit-for-bit (min/max rendered as strings AFTER
     being computed in the column's native type — lexicographic min of
@@ -300,7 +303,7 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(c).cast("bigint").alias(f"{c}__ndv"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
-            F.sum(F.length(F.col(c).cast("string")))
+            F.sum(F.octet_length(F.col(c).cast("string")))
             .cast("bigint").alias(f"{c}__len"),
         ]
     one = docs.agg(F.count("*").cast("bigint").alias("n_rows"), *aggs)
@@ -308,14 +311,14 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"named_struct('col_name', '{c}',"
         f" 'n_nulls', {c}__nulls, 'ndv', {c}__ndv,"
         f" 'min_val', {c}__min, 'max_val', {c}__max,"
-        f" 'total_len', {c}__len)"
+        f" 'total_bytes', {c}__len)"
         for c, _t in _STATS_COLS
     )
     return one.select(
         "n_rows", F.explode(F.expr(f"array({arms})")).alias("s")
     ).select(
         "s.col_name", "n_rows", "s.n_nulls", "s.ndv",
-        "s.min_val", "s.max_val", "s.total_len",
+        "s.min_val", "s.max_val", "s.total_bytes",
     )
 
 
@@ -329,7 +332,7 @@ def sql_table_stats() -> str:
                COUNT(DISTINCT {c})::BIGINT AS ndv,
                MIN({c})::VARCHAR AS min_val,
                MAX({c})::VARCHAR AS max_val,
-               SUM(length({c}::VARCHAR))::BIGINT AS total_len
+               SUM(strlen({c}::VARCHAR))::BIGINT AS total_bytes
         FROM documents""")
     return " UNION ALL ".join(arms)
 

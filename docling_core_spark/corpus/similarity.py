@@ -384,9 +384,9 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id", "band_id",
             F.expr(
-                "cast(case when pr = 0 then bucket else bucket"
-                " + (1 - 2 * (bucket div cast(pow(2, pr - 1) as bigint)"
-                " % 2)) * cast(pow(2, pr - 1) as bigint) end as bigint)"
+                "cast(case when pr = 0 then bucket else"
+                " bucket ^ shiftleft(cast(1 as bigint), pr - 1)"
+                " end as bigint)"
             ).alias("bucket"),
         )
     )
@@ -431,10 +431,9 @@ def sql_ann_lsh_multiprobe() -> str:
         WITH {_banded_cte_duck()},
         probes AS (
             SELECT vec_id AS q_id, band_id,
-                   (CASE WHEN pr = 0 THEN bucket ELSE bucket
-                         + (1 - 2 * (bucket // (2 ** (pr - 1))::BIGINT
-                                     % 2))
-                         * (2 ** (pr - 1))::BIGINT END)::BIGINT AS bucket
+                   (CASE WHEN pr = 0 THEN bucket
+                         ELSE xor(bucket, (1::BIGINT << (pr - 1)))
+                    END)::BIGINT AS bucket
             FROM bk, unnest(generate_series(0, {p})) AS t(pr)
             WHERE vec_id < {C.KNN_NUM_QUERIES}
         ),
@@ -916,16 +915,16 @@ def sql_semdedup_clusters() -> str:
 # ---------------------------------------------------------------------------
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per ANN method (banded LSH, IVF-flat): hits against the
-    exact brute-force top-ANN_K truth over the same query set, with
-    recall@k as an exact micro-unit BIGINT. The quality metric every
-    production ANN deployment tracks, expressed as a gate-verifiable
-    query (the per-sf numeric recall also lives in SCALE.md via
-    tools/recall_report.py — this makes it a first-class, oracle-checked
-    result instead of a doc figure).
+    """One row per ANN method (IVF-flat, banded LSH, multi-probe LSH):
+    hits against the exact brute-force top-ANN_K truth over the same
+    query set, with recall@k as an exact micro-unit BIGINT. The quality
+    metric every production ANN deployment tracks, expressed as a
+    gate-verifiable query (the per-sf numeric recall also lives in
+    SCALE.md via tools/recall_report.py — this makes it a first-class,
+    oracle-checked result instead of a doc figure).
 
-    100 TB story: consumes three already-memoized result tables (exact
-    top-k over the broadcast query set, the two ANN rankings); the
+    100 TB story: consumes four already-memoized result tables (exact
+    top-k over the broadcast query set, the three ANN rankings); the
     joins are query-set-sized (K rows per query), nothing corpus-wide
     runs here."""
     # the truth table is K rows/query but its producer is the

@@ -68,16 +68,22 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         docs.write.mode("overwrite").json(f"{base}/docs")
         back = read_documents_jsonl(spark, f"{base}/docs")
+        # Null-safe field encoding: concat_ws silently SKIPS nulls (which
+        # would both break positional discrimination and diverge from the
+        # oracle's || chain, whose result is NULL if any field is). Every
+        # field is coalesced to a \x00 sentinel on BOTH sides so a legal
+        # JSONL line with a missing/null field still digests losslessly.
+        nul = F.lit("\x00")
         out = back.select(
             "doc_id",
             F.md5(
                 F.concat_ws(
                     "\x1f",
-                    F.col("doc_id").cast("string"),
-                    "text",
-                    "lang",
-                    "source",
-                    F.col("n_chars").cast("string"),
+                    F.coalesce(F.col("doc_id").cast("string"), nul),
+                    F.coalesce(F.col("text"), nul),
+                    F.coalesce(F.col("lang"), nul),
+                    F.coalesce(F.col("source"), nul),
+                    F.coalesce(F.col("n_chars").cast("string"), nul),
                 )
             ).alias("row_md5"),
             F.col("_corrupt_record").isNotNull().alias("corrupt"),
@@ -91,9 +97,11 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_jsonl_roundtrip() -> str:
     return r"""
         SELECT doc_id,
-               md5(doc_id::VARCHAR || chr(31) || text || chr(31)
-                   || lang || chr(31) || source || chr(31)
-                   || n_chars::VARCHAR) AS row_md5,
+               md5(coalesce(doc_id::VARCHAR, chr(0)) || chr(31)
+                   || coalesce(text, chr(0)) || chr(31)
+                   || coalesce(lang, chr(0)) || chr(31)
+                   || coalesce(source, chr(0)) || chr(31)
+                   || coalesce(n_chars::VARCHAR, chr(0))) AS row_md5,
                FALSE AS corrupt
         FROM documents
     """
