@@ -883,15 +883,19 @@ def sql_dedup_savings() -> str:
 SEG_WORDS = 8
 
 
-def _segments_spark() -> str:
+def _segments_spark(toks: str = "toks") -> str:
     """array<struct<ord int, seg string>>: consecutive SEG_WORDS-word
-    windows of the lowercased token list (last window may be short)."""
+    windows of the lowercased token list (last window may be short).
+
+    Like _grams_spark, operates over a pre-projected token-array column
+    — inlining TOKENS_SPARK into the lambda re-splits the document per
+    segment (O(tokens^2/w) per row)."""
     w = SEG_WORDS
     return (
-        f"case when size({TOKENS_SPARK}) > 0 then"
-        f" transform(sequence(1, (size({TOKENS_SPARK}) + {w - 1}) div {w}),"
+        f"case when size({toks}) > 0 then"
+        f" transform(sequence(1, (size({toks}) + {w - 1}) div {w}),"
         f"   i -> named_struct('ord', i, 'seg',"
-        f"     concat_ws(' ', slice({TOKENS_SPARK}, (i - 1) * {w} + 1, {w}))))"
+        f"     concat_ws(' ', slice({toks}, (i - 1) * {w} + 1, {w}))))"
         f" else array() end"
     )
 
@@ -929,6 +933,8 @@ def q_seg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash BEFORE the exchange: the exploded rows that shuffle are
     # (16-byte binary digest, doc_id, ord), never the segment string
     segrows = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    ).select(
         "doc_id", F.explode(F.expr(_segments_spark())).alias("s")
     ).select(
         "doc_id",
@@ -955,6 +961,10 @@ def q_seg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", "text")
         .join(kept, "doc_id", "left")
+        .select(
+            "doc_id", "n_kept", "kept_ords",
+            F.expr(TOKENS_SPARK).alias("toks"),
+        )
         .select(
             "doc_id", "n_kept",
             "kept_ords",
@@ -1317,14 +1327,21 @@ def sql_neardup_edit() -> str:
 PASSAGE_WORDS = 8
 
 
-def _grams_spark(k: int) -> str:
+def _grams_spark(k: int, toks: str = "toks") -> str:
     """array<struct<pos int, gram string>>: all k-token windows (1-based
-    start position) of the lowercased token list."""
+    start position) of the lowercased token list.
+
+    Operates over a PRE-PROJECTED token-array column (callers alias
+    TOKENS_SPARK to `toks` in a prior select) — inlining the split into
+    the lambda makes Spark re-split the whole document per gram, an
+    O(tokens^2) per-row blowup (measured 86.8 s -> 1.4 s on 200 docs x
+    5000 tokens at local[8]; the projection survives CollapseProject,
+    plan shows exactly one split)."""
     return (
-        f"case when size({TOKENS_SPARK}) >= {k} then"
-        f" transform(sequence(1, size({TOKENS_SPARK}) - {k} + 1),"
+        f"case when size({toks}) >= {k} then"
+        f" transform(sequence(1, size({toks}) - {k} + 1),"
         f"   i -> named_struct('pos', i, 'gram',"
-        f"     concat_ws(' ', slice({TOKENS_SPARK}, i, {k}))))"
+        f"     concat_ws(' ', slice({toks}, i, {k}))))"
         f" else array() end"
     )
 
@@ -1358,6 +1375,8 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_spread(spark, sf_dir, "documents")
     grams = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    ).select(
         "doc_id", F.explode(F.expr(_grams_spark(k))).alias("g")
     ).select(
         "doc_id",
@@ -1742,6 +1761,8 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = WINNOW_K
     docs = read_spread(spark, sf_dir, "documents")
     hs = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    ).select(
         "doc_id",
         F.expr(
             f"transform({_grams_spark(k)}, g -> {_h30_spark('g.gram')})"
