@@ -608,3 +608,22 @@ def test_lsh_multiprobe_query_side_fanout_only(spark):
 
     plan = _plan(q_ann_lsh_multiprobe(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_gram_pipelines_tokenize_once(spark):
+    """Linearity guard for every k-gram / segment pipeline: the
+    document split must be projected ONCE per scan, never inlined
+    inside the per-gram lambda. `slice(split(...)` in the optimized
+    plan means Spark re-splits the whole document for every gram —
+    an O(tokens^2) per-row blowup (measured 86.8 s vs 1.4 s on
+    200 x 5000-token docs at local[8])."""
+    from docling_core_spark.corpus.dedup import (
+        q_dup_passages,
+        q_seg_dedup,
+        q_winnow_fingerprint,
+    )
+
+    for q in (q_seg_dedup, q_dup_passages, q_winnow_fingerprint):
+        plan = _plan(q(spark, SF))
+        flat = " ".join(plan.split())
+        assert "slice(split(" not in flat, (q.__name__, plan[:4000])
