@@ -1626,21 +1626,26 @@ def q_dup_passages_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The merged spans are disjoint and non-adjacent by construction
     # (islands break on a > k gap), so the cut is a complement-slice
-    # scan: O(tokens + spans) per doc, vs the naive per-token
-    # filter-over-spans which is O(tokens * spans) AND allocates a
-    # (tok, pos) struct per token. aggregate() walks the sorted spans
-    # once, concatenating the kept gaps between them.
+    # scan over the gaps between sorted spans: O(tokens + spans) per
+    # doc. flatten(transform(gaps, slice)) copies each kept token
+    # exactly once — an array-append FOLD would re-copy the
+    # accumulator per span (O(spans x tokens) on passage-riddled
+    # docs), and the naive per-token filter-over-spans is
+    # O(tokens * spans) AND allocates a struct per token. The sorted
+    # span array binds via the one-element-transform LET so it is
+    # computed once.
     kept = (
-        "case when spans is null then t else aggregate("
-        " array_sort(spans),"
-        " struct(1 as cur, cast(array() as array<string>) as acc),"
-        " (st, sp) -> struct("
-        "   cast(sp.end_tok + 1 as int) as cur,"
-        "   concat(st.acc, slice(t, st.cur,"
-        "     cast(sp.start_tok - st.cur as int))) as acc),"
-        " st -> concat(st.acc,"
-        "   slice(t, st.cur, greatest(size(t) - st.cur + 1, 0)))"
-        ") end"
+        "case when spans is null then t else"
+        " transform(array(array_sort(spans)), sp ->"
+        "  flatten(transform(sequence(1, size(sp) + 1), i ->"
+        "   slice(t,"
+        "    cast(if(i = 1, 1, element_at(sp, i - 1).end_tok + 1) as int),"
+        "    greatest(cast(if(i <= size(sp),"
+        "       element_at(sp, i).start_tok"
+        "       - if(i = 1, 1, element_at(sp, i - 1).end_tok + 1),"
+        "       size(t) - if(i = 1, 1, element_at(sp, i - 1).end_tok + 1)"
+        "         + 1) as int), 0))))"
+        " )[0] end"
     )
     return (
         docs.join(spans, "doc_id", "left")

@@ -94,9 +94,13 @@ def crop_text_sql(src, unit, l, t, r, b, eps=1.0, dialect="spark",
         f" THEN text ELSE ' ' || text END"
     )
     if dialect == "spark":
+        # array_join over a transform is a single linear pass; a
+        # string-append fold re-copies the accumulator per cell
+        # (O(chars^2) on text-dense pages)
         agg = (
-            "aggregate(array_sort(collect_list(struct(cell_index, piece))),"
-            " '', (acc, x) -> acc || x.piece)"
+            "array_join(transform("
+            " array_sort(collect_list(struct(cell_index, piece))),"
+            " x -> x.piece), '')"
         )
     else:
         agg = "string_agg(piece, '' ORDER BY cell_index)"
