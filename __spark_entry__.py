@@ -959,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mining as CMI,
         normalize as CN,
         splits as CSP,
+        templates as CTP,
         textstats as CT,
         urls as CU,
         webextract as CW,
@@ -1041,6 +1042,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": CC.q_curation_funnel,
         "quality_calibration": CC.q_quality_calibration,
         "cluster_keeper_quality": CC.q_cluster_keeper_quality,
+        "adaptive_quality": CC.q_adaptive_quality,
+        "template_dedup": CTP.q_template_dedup,
+        "mojibake_census": CF.q_mojibake_census,
+        "vocab_growth": CT.q_vocab_growth,
         "bpe_pair_counts": CK.q_bpe_pair_counts,
         "compaction_plan": CMA.q_compaction_plan,
         "zorder_layout": CMA.q_zorder_layout,
@@ -1182,6 +1187,7 @@ def oracle_sql() -> dict[str, str]:
         mining as CMI,
         normalize as CN,
         splits as CSP,
+        templates as CTP,
         textstats as CT,
         urls as CU,
         webextract as CW,
@@ -1332,6 +1338,10 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": CC.sql_curation_funnel(),
         "quality_calibration": CC.sql_quality_calibration(),
         "cluster_keeper_quality": CC.sql_cluster_keeper_quality(),
+        "adaptive_quality": CC.sql_adaptive_quality(),
+        "template_dedup": CTP.sql_template_dedup(),
+        "mojibake_census": CF.sql_mojibake_census(),
+        "vocab_growth": CT.sql_vocab_growth(),
         "bpe_pair_counts": CK.sql_bpe_pair_counts(),
         "compaction_plan": CMA.sql_compaction_plan(),
         "zorder_layout": CMA.sql_zorder_layout(),

@@ -62,13 +62,15 @@ GROUPS: dict[str, list[str]] = {
         "crawl_frontier", "domain_quality", "data_split",
         "bloom_decontaminate", "mixture_weights",
         "dsir_weights", "dsir_select",
+        "adaptive_quality", "mojibake_census", "vocab_growth",
     ],
     "dedup": [
         # pure-scan queries first; the LSH family fills the persisted
         # shingle table and runs after them. curation_funnel composes
         # quality + decontamination + the memoized cluster table, so it
         # runs last where the clusters are already warm.
-        "dedup_exact", "seg_dedup", "dup_passages", "dup_passages_apply",
+        "dedup_exact", "template_dedup", "seg_dedup",
+        "dup_passages", "dup_passages_apply",
         "winnow_fingerprint", "winnow_overlap", "cdc_segments",
         "cdc_dup_chunks",
         "simhash", "simhash_neardup",

@@ -409,3 +409,164 @@ def sql_cluster_keeper_quality() -> str:
         JOIN k USING (cluster_id)
         JOIN q q2 ON q2.doc_id = m.cluster_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Adaptive per-source quality threshold (bucketed quantile inversion)
+# ---------------------------------------------------------------------------
+# A fixed corpus-global quality cutoff (CURATION_MIN_QUALITY) is wrong
+# for a mixed-source corpus: a cutoff that trims 5% of a clean source
+# can erase a noisy-but-valuable one. The standard production recipe
+# keeps quality RELATIVE per source — drop each source's bottom
+# quartile — which needs a per-source quantile of the quality score.
+# The exact per-group quantile would be a corpus-wide sort shuffle
+# skewed by the biggest source; instead this uses the same bucketed
+# cumulative-inversion shape as source_length_quantiles: integer
+# q_micro -> fixed-width buckets -> per-(source, bucket) counts ->
+# cumulative window over BUCKET rows (<= 1001 per source, never
+# documents) -> threshold = the bucket upper bound where the
+# cumulative count first reaches ceil(n * QA_DROP_PCT / 100). The
+# keep rule (q_micro > threshold) is exact to one bucket width
+# (0.001 quality); threshold-bucket ties drop deterministically.
+#
+# 100 TB story: two passes over the zero-shuffle quality expressions;
+# one map-side-combined groupBy on (source, bucket); the threshold
+# table is source-sized and broadcast back; final rollup is
+# source-sized. No corpus-wide window anywhere.
+
+QA_BUCKET_W = 1_000   # q_micro per bucket -> <= 1001 bucket rows/source
+QA_DROP_PCT = 25      # drop the per-source bottom quartile
+
+
+def q_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality gate: threshold (micro units),
+    kept/dropped counts, and kept ppm under the drop-bottom-quartile
+    rule."""
+    en_sw = _sw_array_spark("en")
+    docs = read_spread(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.expr(f"size({TOKENS_SPARK})").alias("n_tokens"),
+        F.expr("length(regexp_replace(text, '[^0-9]', ''))").alias(
+            "n_digits"
+        ),
+        F.expr(
+            f"size(filter({TOKENS_SPARK},"
+            f" t -> array_contains({en_sw}, t)))"
+        ).alias("n_stopwords"),
+        F.expr(f"size(array_distinct({TOKENS_SPARK}))").alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+    )
+    perdoc = base.select(
+        "source",
+        F.expr(
+            f"cast(floor({_QUALITY_EXPR} * 1000000 + 0.5) as bigint)"
+        ).alias("q_micro"),
+    ).withColumn("bucket", F.expr(f"q_micro div {QA_BUCKET_W}"))
+    b = perdoc.groupBy("source", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("source")
+    cum = b.select(
+        "source", "bucket", "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wt).cast("bigint").alias("total"),
+    )
+    thr = cum.groupBy("source").agg(
+        F.max("total").cast("bigint").alias("n_docs"),
+        F.min(
+            F.expr(
+                f"case when cum >= (total * {QA_DROP_PCT} + 99) div 100"
+                f" then bucket * {QA_BUCKET_W} + {QA_BUCKET_W - 1} end"
+            )
+        ).cast("bigint").alias("thr_micro"),
+    )
+    return (
+        perdoc.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.max("thr_micro").cast("bigint").alias("thr_micro"),
+            F.sum(
+                F.expr("cast(q_micro > thr_micro as bigint)")
+            ).cast("bigint").alias("n_kept"),
+            F.sum(
+                F.expr("cast(q_micro <= thr_micro as bigint)")
+            ).cast("bigint").alias("n_dropped"),
+        )
+        .select(
+            "source", "n_docs", "thr_micro", "n_kept", "n_dropped",
+            F.expr(
+                "cast(n_kept * 1000000 div n_docs as bigint)"
+            ).alias("kept_ppm"),
+        )
+    )
+
+
+def sql_adaptive_quality() -> str:
+    en_sw = _sw_array_sql("en")
+    q_expr = (
+        "round(least(n_tokens / 64.0, 1.0) * 0.25"
+        " + least(n_stopwords / n_tokens::DOUBLE * 4.0, 1.0) * 0.25"
+        " + (1.0 - n_digits / n_chars::DOUBLE) * 0.25"
+        " + (n_distinct / n_tokens::DOUBLE) * 0.25, 6)"
+    )
+    return f"""
+        WITH base AS (
+            SELECT source,
+                   len({TOKENS_DUCK}) AS n_tokens,
+                   length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       AS n_digits,
+                   len(list_filter({TOKENS_DUCK},
+                       t -> list_contains({en_sw}, t))) AS n_stopwords,
+                   len(list_distinct({TOKENS_DUCK})) AS n_distinct,
+                   length(text) AS n_chars
+            FROM documents
+        ),
+        perdoc AS (
+            SELECT source,
+                   floor({q_expr} * 1000000 + 0.5)::BIGINT AS q_micro,
+                   (floor({q_expr} * 1000000 + 0.5)::BIGINT
+                    // {QA_BUCKET_W}) AS bucket
+            FROM base
+        ),
+        b AS (
+            SELECT source, bucket, COUNT(*)::BIGINT AS cnt
+            FROM perdoc GROUP BY source, bucket
+        ),
+        cum AS (
+            SELECT source, bucket, cnt,
+                   SUM(cnt) OVER (
+                       PARTITION BY source ORDER BY bucket ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum,
+                   SUM(cnt) OVER (PARTITION BY source)::BIGINT AS total
+            FROM b
+        ),
+        thr AS (
+            SELECT source,
+                   MAX(total)::BIGINT AS n_docs,
+                   MIN(CASE WHEN cum >= (total * {QA_DROP_PCT} + 99) // 100
+                            THEN bucket * {QA_BUCKET_W} + {QA_BUCKET_W - 1}
+                       END)::BIGINT AS thr_micro
+            FROM cum GROUP BY source
+        )
+        SELECT p.source,
+               MAX(t.n_docs)::BIGINT AS n_docs,
+               MAX(t.thr_micro)::BIGINT AS thr_micro,
+               SUM(CASE WHEN p.q_micro > t.thr_micro
+                        THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               SUM(CASE WHEN p.q_micro <= t.thr_micro
+                        THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+               (SUM(CASE WHEN p.q_micro > t.thr_micro THEN 1 ELSE 0 END)
+                * 1000000 // MAX(t.n_docs))::BIGINT AS kept_ppm
+        FROM perdoc p JOIN thr t USING (source)
+        GROUP BY p.source
+    """

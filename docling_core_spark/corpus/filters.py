@@ -950,3 +950,137 @@ def sql_repetition_ladder() -> str:
         )
         SELECT *, ({keep}) AS keep FROM fr
     """
+
+
+# ---------------------------------------------------------------------------
+# Encoding-damage (mojibake) census
+# ---------------------------------------------------------------------------
+# A crawl pipeline sees three classic encoding failures: UTF-8 bytes
+# decoded as Latin-1/cp1252 (the "A-tilde" digraph families), U+FFFD
+# replacement characters left by lossy decodes, and stray C0 control
+# characters. The census counts all three per source so a corpus
+# owner can route damaged slices to a re-decode pass instead of
+# training on them. The driver's synthetic corpus is clean ASCII, so
+# the query deterministically INJECTS damage into a selected slice
+# (h30(doc_id) % MOJI_*_MOD) before detection — injection is fixture
+# synthesis, detection is the operator; both engines run the same
+# rule, so the gate verifies the detector. n_injected is reported
+# next to n_flagged per source: equality is the detector's recall
+# evidence, visible in the gate row itself.
+#
+# Scale shape: injection and all three counters are narrow per-row
+# string expressions (replace()-length deltas and one anchored
+# regexp_replace); the only exchange is the final groupBy on source —
+# map-side combined, output is source-table-sized.
+
+# one doc in 13 gets the cp1252-mojibake stamp; a DISJOINT one-in-17
+# slice (mod 13 wins ties) gets a replacement-char stamp
+MOJI_CP1252_MOD = 13
+MOJI_REPL_MOD = 17
+# the canonical mojibake of a right single quote (U+2019 encoded as
+# UTF-8, then decoded as cp1252): 'A-tilde cent euro trademark'
+_MOJI_STAMP = "Ã¢â‚¬â„¢"
+_REPL_CHAR = "�"
+# C0 control class, spelled as explicit escapes (the same regex in
+# Java regex and RE2); excludes \t \n \r which are legitimate
+# whitespace. Two spellings because Spark's SQL lexer consumes one
+# backslash level (and DROPS the backslash of escapes it does not
+# recognize, \x included — measured), while DuckDB passes the literal
+# through to RE2 untouched.
+_CTRL_RE_SPARK = (
+    "[\\\\x00-\\\\x08\\\\x0b\\\\x0c\\\\x0e-\\\\x1f]"
+)
+_CTRL_RE_DUCK = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-damage census over the (deterministically
+    damaged) corpus: docs flagged by each signal, total signal counts,
+    and the injected-doc count the flags must equal."""
+    from .textstats import _h30_spark
+
+    docs = read_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    h = _h30_spark("cast(doc_id as string)")
+    damaged = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"CASE WHEN {h} % {MOJI_CP1252_MOD} = 0"
+            f" THEN text || ' don{_MOJI_STAMP}t'"
+            f" WHEN {h} % {MOJI_REPL_MOD} = 0"
+            f" THEN text || ' caf{_REPL_CHAR}'"
+            " ELSE text END"
+        ).alias("text"),
+        F.expr(
+            f"cast({h} % {MOJI_CP1252_MOD} = 0"
+            f" OR {h} % {MOJI_REPL_MOD} = 0 as bigint)"
+        ).alias("injected"),
+    )
+    sig = damaged.select(
+        "source",
+        "injected",
+        F.expr(
+            "length(text) - length(replace(text, 'Ã', ''))"
+        ).alias("n_atilde"),
+        F.expr(
+            f"length(text) - length(replace(text, '{_REPL_CHAR}', ''))"
+        ).alias("n_repl"),
+        F.expr(
+            "length(text) - length(regexp_replace(text,"
+            f" '{_CTRL_RE_SPARK}', ''))"
+        ).alias("n_ctrl"),
+    ).withColumn(
+        "flagged",
+        F.expr("cast(n_atilde > 0 OR n_repl > 0 OR n_ctrl > 0 as bigint)"),
+    )
+    return sig.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("injected").cast("bigint").alias("n_injected"),
+        F.sum("flagged").cast("bigint").alias("n_flagged"),
+        F.sum("n_atilde").cast("bigint").alias("tot_atilde"),
+        F.sum("n_repl").cast("bigint").alias("tot_repl"),
+        F.sum("n_ctrl").cast("bigint").alias("tot_ctrl"),
+    )
+
+
+def sql_mojibake_census() -> str:
+    from .textstats import _h30_duck
+
+    h = _h30_duck("doc_id::VARCHAR")
+    return f"""
+        WITH damaged AS (
+            SELECT source,
+                   CASE WHEN {h} % {MOJI_CP1252_MOD} = 0
+                        THEN text || ' don{_MOJI_STAMP}t'
+                        WHEN {h} % {MOJI_REPL_MOD} = 0
+                        THEN text || ' caf{_REPL_CHAR}'
+                        ELSE text END AS text,
+                   (CASE WHEN {h} % {MOJI_CP1252_MOD} = 0
+                         OR {h} % {MOJI_REPL_MOD} = 0
+                         THEN 1 ELSE 0 END)::BIGINT AS injected
+            FROM documents
+        ),
+        sig AS (
+            SELECT source, injected,
+                   length(text) - length(replace(text, 'Ã', ''))
+                       AS n_atilde,
+                   length(text) - length(replace(text, '{_REPL_CHAR}', ''))
+                       AS n_repl,
+                   length(text)
+                     - length(regexp_replace(text, '{_CTRL_RE_DUCK}', '', 'g'))
+                       AS n_ctrl
+            FROM damaged
+        )
+        SELECT source,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(injected)::BIGINT AS n_injected,
+               SUM(CASE WHEN n_atilde > 0 OR n_repl > 0 OR n_ctrl > 0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+               SUM(n_atilde)::BIGINT AS tot_atilde,
+               SUM(n_repl)::BIGINT AS tot_repl,
+               SUM(n_ctrl)::BIGINT AS tot_ctrl
+        FROM sig
+        GROUP BY source
+    """

@@ -647,3 +647,152 @@ def sql_source_length_quantiles() -> str:
                {q_sql(99, "p99_chars")}
         FROM cum GROUP BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law census)
+# ---------------------------------------------------------------------------
+# How fast does the corpus vocabulary grow as documents are added?
+# Heaps' law (V ~ K * n^beta) governs tokenizer-vocab sizing, OOV-rate
+# forecasting, and dedup-health monitoring (a corpus whose vocabulary
+# growth flattens abruptly is repeating itself). The naive census —
+# distinct tokens per corpus prefix — is a sequential scan; the
+# distributed identity is: a token contributes to prefix k iff its
+# FIRST document lands in the prefix, so min(doc_id) per token (one
+# map-side-combinable groupBy over exploded tokens) fully determines
+# every prefix's vocabulary. Documents are ranged into VG_POINTS
+# equal doc_id slices; the report cumulates over slice rows.
+#
+# 100 TB story: one explode -> groupBy(token).min shuffle whose output
+# is vocabulary-sized (Heaps-sublinear in the corpus); per-doc token
+# counts are zero-shuffle; the cumulative window runs over VG_POINTS
+# rows. The scalar max(doc_id) is pinned once by a driver-side
+# 8-byte collect of a column-pruned agg (the allowed tiny-metric
+# collect class), not a per-row join.
+
+VG_POINTS = 16
+
+
+def _vg_bucket(col: str, spark: bool) -> str:
+    # slice index in [1, VG_POINTS]: floor(id * P / (max_id + 1)) + 1
+    d = "div" if spark else "//"
+    return f"(({col} * {VG_POINTS}) {d} (max_id + 1)) + 1"
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VG_POINTS rows: cumulative docs, tokens, distinct vocabulary and
+    type-token ratio (ppm) per doc_id-ordered corpus prefix."""
+    docs = read_spread(spark, sf_dir, "documents")
+    # scalar pin: one doc_id-only column scan collected to the driver
+    # (8 bytes) — embedding the literal keeps the three consumers from
+    # re-deriving it with three more scans + nested-loop joins
+    max_id = docs.agg(F.max("doc_id").cast("bigint")).collect()[0][0]
+    denom = f"(doc_id_sub * {VG_POINTS}) div ({max_id} + 1) + 1"
+    firstdoc = (
+        docs.select("doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    )
+    vocab_new = (
+        firstdoc.select(
+            F.expr(denom.replace("doc_id_sub", "first_doc")).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("new_vocab"))
+    )
+    doc_new = (
+        docs.select(
+            F.expr(denom.replace("doc_id_sub", "doc_id")).alias("k"),
+            F.expr(f"size({TOKENS_SPARK})").alias("n_toks"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("new_docs"),
+            F.sum("n_toks").cast("bigint").alias("new_tokens"),
+        )
+    )
+    ks = spark.range(1, VG_POINTS + 1).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    per = (
+        ks.join(F.broadcast(doc_new), "k", "left")
+        .join(F.broadcast(vocab_new), "k", "left")
+        .select(
+            "k",
+            F.coalesce("new_docs", F.lit(0)).cast("bigint").alias("nd"),
+            F.coalesce("new_tokens", F.lit(0)).cast("bigint").alias("nt"),
+            F.coalesce("new_vocab", F.lit(0)).cast("bigint").alias("nv"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.asc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "k",
+        F.sum("nd").over(w).cast("bigint").alias("n_docs_cum"),
+        F.sum("nt").over(w).cast("bigint").alias("n_tokens_cum"),
+        F.sum("nv").over(w).cast("bigint").alias("vocab_cum"),
+    ).select(
+        "k", "n_docs_cum", "n_tokens_cum", "vocab_cum",
+        F.expr(
+            "cast(case when n_tokens_cum > 0 then"
+            " vocab_cum * 1000000 div n_tokens_cum end as bigint)"
+        ).alias("ttr_ppm"),
+    )
+
+
+def sql_vocab_growth() -> str:
+    return f"""
+        WITH m AS (
+            SELECT MAX(doc_id)::BIGINT AS max_id FROM documents
+        ),
+        firstdoc AS (
+            SELECT tok, MIN(doc_id)::BIGINT AS first_doc
+            FROM (SELECT doc_id, unnest({TOKENS_DUCK}) AS tok
+                  FROM documents)
+            GROUP BY tok
+        ),
+        vocab_new AS (
+            SELECT {_vg_bucket('first_doc', False)}::BIGINT AS k,
+                   COUNT(*)::BIGINT AS new_vocab
+            FROM firstdoc, m GROUP BY 1
+        ),
+        doc_new AS (
+            SELECT {_vg_bucket('doc_id', False)}::BIGINT AS k,
+                   COUNT(*)::BIGINT AS new_docs,
+                   SUM(len({TOKENS_DUCK}))::BIGINT AS new_tokens
+            FROM documents, m GROUP BY 1
+        ),
+        ks AS (
+            SELECT unnest(generate_series(1, {VG_POINTS}))::BIGINT AS k
+        ),
+        per AS (
+            SELECT ks.k,
+                   COALESCE(d.new_docs, 0)::BIGINT AS nd,
+                   COALESCE(d.new_tokens, 0)::BIGINT AS nt,
+                   COALESCE(v.new_vocab, 0)::BIGINT AS nv
+            FROM ks
+            LEFT JOIN doc_new d USING (k)
+            LEFT JOIN vocab_new v USING (k)
+        ),
+        cumed AS (
+            SELECT k,
+                   SUM(nd) OVER (ORDER BY k ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS n_docs_cum,
+                   SUM(nt) OVER (ORDER BY k ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS n_tokens_cum,
+                   SUM(nv) OVER (ORDER BY k ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS vocab_cum
+            FROM per
+        )
+        SELECT k, n_docs_cum, n_tokens_cum, vocab_cum,
+               (CASE WHEN n_tokens_cum > 0
+                     THEN vocab_cum * 1000000 // n_tokens_cum
+                END)::BIGINT AS ttr_ppm
+        FROM cumed
+    """

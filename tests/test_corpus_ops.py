@@ -68,12 +68,16 @@ def _pairs():
         packing as CP2,
         similarity as CS,
         splits as CSP,
+        templates as CTP,
         textstats as CT,
         urls as CU,
         webextract as CW,
     )
 
     return {
+        "template_dedup": (
+            CTP.q_template_dedup, CTP.sql_template_dedup,
+        ),
         "token_stats": (CT.q_token_stats, CT.sql_token_stats),
         "token_entropy": (CT.q_token_entropy, CT.sql_token_entropy),
         "lang_id": (CT.q_lang_id, CT.sql_lang_id),
@@ -104,6 +108,13 @@ def _pairs():
         "quality_calibration": (
             CCU.q_quality_calibration, CCU.sql_quality_calibration,
         ),
+        "adaptive_quality": (
+            CCU.q_adaptive_quality, CCU.sql_adaptive_quality,
+        ),
+        "mojibake_census": (
+            CF.q_mojibake_census, CF.sql_mojibake_census,
+        ),
+        "vocab_growth": (CT.q_vocab_growth, CT.sql_vocab_growth),
         "dedup_savings": (CD.q_dedup_savings, CD.sql_dedup_savings),
         "simhash": (CD.q_simhash, CD.sql_simhash),
         "simhash_neardup": (CD.q_simhash_neardup, CD.sql_simhash_neardup),

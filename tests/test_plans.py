@@ -627,3 +627,66 @@ def test_gram_pipelines_tokenize_once(spark):
         plan = _plan(q(spark, SF))
         flat = " ".join(plan.split())
         assert "slice(split(" not in flat, (q.__name__, plan[:4000])
+
+
+def test_template_dedup_no_text_in_exchange(spark):
+    """Template dedup hashes BEFORE the exchange: the distinct-agg
+    shuffles carry (tpl_hash, text_hash, doc_id) only — document text
+    never crosses an exchange — and injection is a single-scan
+    explode, not a multi-arm union re-reading the table."""
+    import re
+
+    from docling_core_spark.corpus.templates import q_template_dedup
+
+    plan = _plan(q_template_dedup(spark, SF))
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+
+
+def test_mojibake_census_single_rollup_exchange(spark):
+    """All three damage counters are per-row expressions; the only
+    shuffle is the source rollup (plus read_spread's test-file
+    fan-out)."""
+    import re
+
+    from docling_core_spark.corpus.filters import q_mojibake_census
+
+    plan = _plan(q_mojibake_census(spark, SF))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 2, plan
+
+
+def test_adaptive_quality_broadcasts_thresholds_no_corpus_window(spark):
+    """The per-source quantile runs over BUCKET rows (<= 1001/source):
+    every Window node sorts bucket/cnt columns, never per-document
+    rows, and the threshold table reaches the corpus side as a
+    broadcast."""
+    import re
+
+    from docling_core_spark.corpus.curation import q_adaptive_quality
+
+    plan = _plan(q_adaptive_quality(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    # window operators must consume the bucket aggregate (cnt column),
+    # not raw documents: no window input carries q_micro per doc
+    win_lines = [
+        ln for ln in plan.splitlines() if re.match(r"^\(\d+\) Window", ln)
+    ]
+    assert win_lines, plan
+    assert "cnt#" in plan, plan
+
+
+def test_vocab_growth_broadcast_curve_join(spark):
+    """The Heaps-curve assembly joins VG_POINTS-row aggregates via
+    broadcast (no sort-merge exchanges on k), and the only corpus-wide
+    shuffle is the token first-doc aggregate."""
+    import re
+
+    from docling_core_spark.corpus.textstats import q_vocab_growth
+
+    plan = _plan(q_vocab_growth(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
