@@ -1043,6 +1043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": CC.q_quality_calibration,
         "cluster_keeper_quality": CC.q_cluster_keeper_quality,
         "adaptive_quality": CC.q_adaptive_quality,
+        "filter_ablation": CF.q_filter_ablation,
+        "dedup_agreement": CD.q_dedup_agreement,
         "template_dedup": CTP.q_template_dedup,
         "mojibake_census": CF.q_mojibake_census,
         "vocab_growth": CT.q_vocab_growth,
@@ -1339,6 +1341,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_calibration": CC.sql_quality_calibration(),
         "cluster_keeper_quality": CC.sql_cluster_keeper_quality(),
         "adaptive_quality": CC.sql_adaptive_quality(),
+        "filter_ablation": CF.sql_filter_ablation(),
+        "dedup_agreement": CD.sql_dedup_agreement(),
         "template_dedup": CTP.sql_template_dedup(),
         "mojibake_census": CF.sql_mojibake_census(),
         "vocab_growth": CT.sql_vocab_growth(),

@@ -63,6 +63,7 @@ GROUPS: dict[str, list[str]] = {
         "bloom_decontaminate", "mixture_weights",
         "dsir_weights", "dsir_select",
         "adaptive_quality", "mojibake_census", "vocab_growth",
+        "filter_ablation",
     ],
     "dedup": [
         # pure-scan queries first; the LSH family fills the persisted
@@ -77,6 +78,7 @@ GROUPS: dict[str, list[str]] = {
         "minhash_signatures",
         "lsh_buckets",
         "neardup_pairs", "crossdedup_lsh", "minhash_est_error",
+        "dedup_agreement",
         "neardup_edit", "lsh_scurve",
         "dedup_clusters",
         "jaccard_pairs", "containment_pairs", "shingle_novelty",

@@ -2584,3 +2584,88 @@ def sql_dedup_savings_by_source() -> str:
                END AS token_drop_ppm
         FROM j GROUP BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# Dedup method-agreement census (MinHash-verified vs SimHash)
+# ---------------------------------------------------------------------------
+
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: how much do the two near-dup detectors agree? Pair
+    counts from the MinHash->LSH->Jaccard-verified chain and from the
+    SimHash hamming-ball join, their intersection, each side's unique
+    finds, and the Jaccard of the two PAIR SETS in exact micro units.
+
+    The dashboard that decides which detector (or both) a corpus run
+    pays for: SimHash at hamming<=3 is the high-recall/low-precision
+    side on short documents, the verified MinHash chain is the
+    precision side; a healthy setup shows the verified set nearly
+    contained in the hamming ball.
+
+    100 TB story: consumes the two already-materialized pair tables
+    (both candidate-bounded by their banding schemes — nothing
+    corpus-quadratic); the agreement join runs at pair-table size on
+    the uniform (doc_a, doc_b) key; output is one fixed-width row.
+    Reference analog: none (SURVEY.md §2.8)."""
+    mh = q_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = q_simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    both = mh.join(sh, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_both")
+    )
+    n_mh = mh.agg(F.count("*").cast("bigint").alias("n_minhash"))
+    n_sh = sh.agg(F.count("*").cast("bigint").alias("n_simhash"))
+    return (
+        n_mh.crossJoin(n_sh)
+        .crossJoin(both)
+        .select(
+            "n_minhash",
+            "n_simhash",
+            "n_both",
+            F.expr("n_minhash - n_both").cast("bigint").alias(
+                "only_minhash"
+            ),
+            F.expr("n_simhash - n_both").cast("bigint").alias(
+                "only_simhash"
+            ),
+            F.expr(
+                "case when n_minhash + n_simhash - n_both > 0 then"
+                " cast(n_both * 1000000"
+                " div (n_minhash + n_simhash - n_both) as bigint) end"
+            ).alias("pairset_jaccard_micro"),
+            F.expr(
+                "case when n_minhash > 0 then"
+                " cast(n_both * 1000000 div n_minhash as bigint) end"
+            ).alias("minhash_covered_micro"),
+        )
+    )
+
+
+def sql_dedup_agreement() -> str:
+    return f"""
+        WITH mh AS (
+            SELECT doc_a, doc_b FROM ({sql_neardup_pairs()})
+        ),
+        sh AS (
+            SELECT doc_a, doc_b FROM ({sql_simhash_neardup()})
+        ),
+        counts AS (
+            SELECT
+                (SELECT COUNT(*) FROM mh)::BIGINT AS n_minhash,
+                (SELECT COUNT(*) FROM sh)::BIGINT AS n_simhash,
+                (SELECT COUNT(*) FROM mh
+                 WHERE EXISTS (SELECT 1 FROM sh
+                               WHERE sh.doc_a = mh.doc_a
+                                 AND sh.doc_b = mh.doc_b))::BIGINT
+                    AS n_both
+        )
+        SELECT n_minhash, n_simhash, n_both,
+               (n_minhash - n_both)::BIGINT AS only_minhash,
+               (n_simhash - n_both)::BIGINT AS only_simhash,
+               (CASE WHEN n_minhash + n_simhash - n_both > 0 THEN
+                    n_both * 1000000 // (n_minhash + n_simhash - n_both)
+                END)::BIGINT AS pairset_jaccard_micro,
+               (CASE WHEN n_minhash > 0 THEN
+                    n_both * 1000000 // n_minhash
+                END)::BIGINT AS minhash_covered_micro
+        FROM counts
+    """

@@ -1084,3 +1084,107 @@ def sql_mojibake_census() -> str:
         FROM sig
         GROUP BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# Filter ablation: per-rule marginal impact of the Gopher gate
+# ---------------------------------------------------------------------------
+# When tuning a quality gate the question is never "how many docs fail
+# rule R" but "how many docs does R reject that NOTHING ELSE rejects" —
+# a rule with zero unique rejections is free to drop; a rule uniquely
+# rejecting 20% of tokens deserves a threshold review. One row per
+# Gopher rule: total failures, unique failures (the doc fails ONLY
+# that rule), and the token mass lost uniquely, next to corpus totals.
+#
+# Scale shape: rides the zero-shuffle per-row Gopher signals; the
+# whole ablation is ONE fixed-width aggregate (15 sums) collapsed
+# map-side to a single row, then unpivoted to 5 rule rows. No new
+# corpus pass beyond gopher_quality's scan.
+
+GOPHER_RULES = (
+    "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+    "r_alpha_words", "r_stopwords",
+)
+
+
+def q_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = q_gopher_quality(spark, sf_dir)
+    fails = g.select(
+        "n_words",
+        *[
+            F.expr(f"cast(NOT {r} as bigint)").alias(f"f_{r}")
+            for r in GOPHER_RULES
+        ],
+    ).withColumn(
+        "n_fails",
+        sum(F.col(f"f_{r}") for r in GOPHER_RULES).cast("bigint"),
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.expr("cast(n_fails > 0 as bigint)"))
+        .cast("bigint").alias("n_rejected"),
+    ]
+    for r in GOPHER_RULES:
+        aggs += [
+            F.sum(f"f_{r}").cast("bigint").alias(f"fail_{r}"),
+            F.sum(
+                F.expr(f"cast(f_{r} = 1 AND n_fails = 1 as bigint)")
+            ).cast("bigint").alias(f"uniq_{r}"),
+            F.sum(
+                F.expr(
+                    f"case when f_{r} = 1 AND n_fails = 1"
+                    " then n_words else 0 end"
+                )
+            ).cast("bigint").alias(f"uniqtok_{r}"),
+        ]
+    one = fails.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{r}', fail_{r}, uniq_{r}, uniqtok_{r}" for r in GOPHER_RULES
+    )
+    return one.selectExpr(
+        f"stack({len(GOPHER_RULES)}, {stack_args})"
+        " as (rule, n_fail, n_unique_fail, uniq_tokens_lost)",
+        "n_docs",
+        "n_rejected",
+    )
+
+
+def sql_filter_ablation() -> str:
+    fail_exprs = ",\n                   ".join(
+        f"(CASE WHEN NOT {r} THEN 1 ELSE 0 END)::BIGINT AS f_{r}"
+        for r in GOPHER_RULES
+    )
+    n_fails = " + ".join(f"f_{r}" for r in GOPHER_RULES)
+    per_rule = ",\n                   ".join(
+        f"SUM(f_{r})::BIGINT AS fail_{r},"
+        f" SUM(CASE WHEN f_{r} = 1 AND n_fails = 1 THEN 1 ELSE 0"
+        f" END)::BIGINT AS uniq_{r},"
+        f" SUM(CASE WHEN f_{r} = 1 AND n_fails = 1 THEN n_words ELSE 0"
+        f" END)::BIGINT AS uniqtok_{r}"
+        for r in GOPHER_RULES
+    )
+    arms = "\n            UNION ALL\n            ".join(
+        f"SELECT '{r}' AS rule, fail_{r} AS n_fail,"
+        f" uniq_{r} AS n_unique_fail, uniqtok_{r} AS uniq_tokens_lost,"
+        " n_docs, n_rejected FROM one"
+        for r in GOPHER_RULES
+    )
+    return f"""
+        WITH g AS ({sql_gopher_quality()}),
+        fails AS (
+            SELECT n_words,
+                   {fail_exprs}
+            FROM g
+        ),
+        withn AS (
+            SELECT *, ({n_fails})::BIGINT AS n_fails FROM fails
+        ),
+        one AS (
+            SELECT COUNT(*)::BIGINT AS n_docs,
+                   SUM(CASE WHEN n_fails > 0 THEN 1 ELSE 0
+                       END)::BIGINT AS n_rejected,
+                   {per_rule}
+            FROM withn
+        )
+        {arms}
+    """

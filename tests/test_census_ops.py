@@ -129,3 +129,36 @@ def test_vocab_growth_is_a_valid_saturating_curve(spark, duck):
     # Heaps: the type-token ratio declines as the corpus grows (the
     # fixed generator vocabulary saturates long before the last slice)
     assert rows[-1].ttr_ppm < rows[0].ttr_ppm
+
+
+def test_filter_ablation_identities(spark):
+    from docling_core_spark.corpus.filters import (
+        GOPHER_RULES,
+        q_filter_ablation,
+    )
+
+    rows = q_filter_ablation(spark, SF_DIR).collect()
+    assert sorted(r.rule for r in rows) == sorted(GOPHER_RULES)
+    n_docs = rows[0].n_docs
+    n_rejected = rows[0].n_rejected
+    assert 0 < n_rejected <= n_docs
+    for r in rows:
+        assert (r.n_docs, r.n_rejected) == (n_docs, n_rejected)
+        assert 0 <= r.n_unique_fail <= r.n_fail <= n_docs
+        if r.n_unique_fail == 0:
+            assert r.uniq_tokens_lost == 0
+    # unique failures are disjoint doc sets, so they cannot exceed the
+    # total rejected population
+    assert sum(r.n_unique_fail for r in rows) <= n_rejected
+
+
+def test_dedup_agreement_identities(spark):
+    from docling_core_spark.corpus.dedup import q_dedup_agreement
+
+    r = q_dedup_agreement(spark, SF_DIR).collect()[0]
+    assert r.n_both <= min(r.n_minhash, r.n_simhash)
+    assert r.only_minhash == r.n_minhash - r.n_both
+    assert r.only_simhash == r.n_simhash - r.n_both
+    union = r.n_minhash + r.n_simhash - r.n_both
+    if union:
+        assert r.pairset_jaccard_micro == r.n_both * 1_000_000 // union

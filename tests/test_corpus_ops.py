@@ -111,6 +111,12 @@ def _pairs():
         "adaptive_quality": (
             CCU.q_adaptive_quality, CCU.sql_adaptive_quality,
         ),
+        "filter_ablation": (
+            CF.q_filter_ablation, CF.sql_filter_ablation,
+        ),
+        "dedup_agreement": (
+            CD.q_dedup_agreement, CD.sql_dedup_agreement,
+        ),
         "mojibake_census": (
             CF.q_mojibake_census, CF.sql_mojibake_census,
         ),

@@ -690,3 +690,26 @@ def test_vocab_growth_broadcast_curve_join(spark):
     plan = _plan(q_vocab_growth(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_filter_ablation_fixed_width_aggregate(spark):
+    """The ablation is one fixed-width aggregate over the zero-shuffle
+    Gopher signals collapsed map-side to a single row: at most the
+    read_spread fan-out plus the single-partition final-agg exchange."""
+    import re
+
+    from docling_core_spark.corpus.filters import q_filter_ablation
+
+    plan = _plan(q_filter_ablation(spark, SF))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 2, plan
+
+
+def test_dedup_agreement_no_cartesian(spark):
+    """The agreement join runs at pair-table size; the only cross
+    joins are the three one-row aggregate combines (broadcast nested
+    loop, never a CartesianProduct over data)."""
+    from docling_core_spark.corpus.dedup import q_dedup_agreement
+
+    plan = _plan(q_dedup_agreement(spark, SF))
+    assert "CartesianProduct" not in plan, plan
