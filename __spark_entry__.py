@@ -1045,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_quality": CC.q_adaptive_quality,
         "filter_ablation": CF.q_filter_ablation,
         "dedup_agreement": CD.q_dedup_agreement,
+        "split_ks": CSP.q_split_ks,
         "template_dedup": CTP.q_template_dedup,
         "mojibake_census": CF.q_mojibake_census,
         "vocab_growth": CT.q_vocab_growth,
@@ -1343,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_quality": CC.sql_adaptive_quality(),
         "filter_ablation": CF.sql_filter_ablation(),
         "dedup_agreement": CD.sql_dedup_agreement(),
+        "split_ks": CSP.sql_split_ks(),
         "template_dedup": CTP.sql_template_dedup(),
         "mojibake_census": CF.sql_mojibake_census(),
         "vocab_growth": CT.sql_vocab_growth(),

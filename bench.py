@@ -59,7 +59,7 @@ GROUPS: dict[str, list[str]] = {
         "extract_links", "link_pagerank", "link_hits", "anchor_text_agg",
         "link_cocitation",
         "url_normalize", "domain_stats", "robots_filter",
-        "crawl_frontier", "domain_quality", "data_split",
+        "crawl_frontier", "domain_quality", "data_split", "split_ks",
         "bloom_decontaminate", "mixture_weights",
         "dsir_weights", "dsir_select",
         "adaptive_quality", "mojibake_census", "vocab_growth",

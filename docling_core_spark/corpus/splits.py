@@ -133,3 +133,115 @@ def sql_split_leakage() -> str:
         FROM per_cluster
         WHERE n_train >= 1 AND n_eval >= 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Split distribution drift: KS statistic between split length CDFs
+# ---------------------------------------------------------------------------
+# A hash split is only a VALID split if the resulting populations are
+# exchangeable; the standard hygiene check is the two-sample
+# Kolmogorov-Smirnov statistic between each pair of splits over a
+# covariate (document length here). A healthy hash split shows KS near
+# zero; a biased splitter (e.g. by crawl order) shows a visible gap.
+# KS is computed exactly over 64-char length buckets: per-(split,
+# bucket) counts, cumulative inversion to a CDF in exact ppm, max
+# absolute CDF gap per split pair — no sort of raw documents anywhere.
+#
+# 100 TB story: one map-side-combined groupBy on (split, bucket); the
+# CDF window and the pair comparison run over the bucket GRID (splits
+# x length/64 rows), never documents; output is 3 rows.
+
+KS_BUCKET_W = 64  # chars per bucket (matches source_length_quantiles)
+
+
+def q_split_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_spread(spark, sf_dir, "documents").select(
+        F.expr(_split_expr(False)).alias("split"),
+        F.expr(f"cast(n_chars div {KS_BUCKET_W} as bigint)").alias(
+            "bucket"
+        ),
+    )
+    counts = docs.groupBy("split", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    splits = counts.select("split").distinct()
+    buckets = counts.select("bucket").distinct()
+    grid = splits.crossJoin(F.broadcast(buckets)).join(
+        F.broadcast(counts), ["split", "bucket"], "left"
+    ).select(
+        "split", "bucket",
+        F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+    )
+    wt = Window.partitionBy("split")
+    cdf = grid.select(
+        "split", "bucket",
+        # integer div on both sides: double-divide then cast would
+        # TRUNCATE in Spark but ROUND in DuckDB
+        F.expr(
+            "cast(sum(cnt) over (partition by split order by bucket asc"
+            " rows between unbounded preceding and current row)"
+            " * 1000000 div sum(cnt) over (partition by split)"
+            " as bigint)"
+        ).alias("cdf_ppm"),
+        F.sum("cnt").over(wt).cast("bigint").alias("n_split"),
+    )
+    a, b = cdf.alias("a"), cdf.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.split") < F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"),
+            F.col("b.split").alias("split_b"),
+        )
+        .agg(
+            F.max(
+                F.abs(F.col("a.cdf_ppm") - F.col("b.cdf_ppm"))
+            ).cast("bigint").alias("ks_ppm"),
+            F.max("a.n_split").cast("bigint").alias("n_a"),
+            F.max("b.n_split").cast("bigint").alias("n_b"),
+        )
+    )
+
+
+def sql_split_ks() -> str:
+    return f"""
+        WITH d AS (
+            SELECT {_split_expr(True)} AS split,
+                   (n_chars // {KS_BUCKET_W})::BIGINT AS bucket
+            FROM documents
+        ),
+        counts AS (
+            SELECT split, bucket, COUNT(*)::BIGINT AS cnt
+            FROM d GROUP BY split, bucket
+        ),
+        grid AS (
+            SELECT s.split, bk.bucket, COALESCE(c.cnt, 0)::BIGINT AS cnt
+            FROM (SELECT DISTINCT split FROM counts) s
+            CROSS JOIN (SELECT DISTINCT bucket FROM counts) bk
+            LEFT JOIN counts c
+              ON c.split = s.split AND c.bucket = bk.bucket
+        ),
+        cdf AS (
+            SELECT split, bucket,
+                   (SUM(cnt) OVER (
+                        PARTITION BY split ORDER BY bucket ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) * 1000000
+                    // SUM(cnt) OVER (PARTITION BY split))::BIGINT
+                       AS cdf_ppm,
+                   SUM(cnt) OVER (PARTITION BY split)::BIGINT AS n_split
+            FROM grid
+        )
+        SELECT a.split AS split_a, b.split AS split_b,
+               MAX(abs(a.cdf_ppm - b.cdf_ppm))::BIGINT AS ks_ppm,
+               MAX(a.n_split)::BIGINT AS n_a,
+               MAX(b.n_split)::BIGINT AS n_b
+        FROM cdf a JOIN cdf b
+          ON a.bucket = b.bucket AND a.split < b.split
+        GROUP BY a.split, b.split
+    """

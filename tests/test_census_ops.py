@@ -162,3 +162,19 @@ def test_dedup_agreement_identities(spark):
     union = r.n_minhash + r.n_simhash - r.n_both
     if union:
         assert r.pairset_jaccard_micro == r.n_both * 1_000_000 // union
+
+
+def test_split_ks_pairs_and_bounds(spark):
+    from docling_core_spark.corpus.splits import q_data_split, q_split_ks
+
+    rows = q_split_ks(spark, SF_DIR).collect()
+    assert sorted((r.split_a, r.split_b) for r in rows) == [
+        ("test", "train"), ("test", "val"), ("train", "val"),
+    ]
+    sizes = {
+        r.split: r.n_docs for r in q_data_split(spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert 0 <= r.ks_ppm <= 1_000_000
+        assert r.n_a == sizes[r.split_a]
+        assert r.n_b == sizes[r.split_b]

@@ -117,6 +117,7 @@ def _pairs():
         "dedup_agreement": (
             CD.q_dedup_agreement, CD.sql_dedup_agreement,
         ),
+        "split_ks": (CSP.q_split_ks, CSP.sql_split_ks),
         "mojibake_census": (
             CF.q_mojibake_census, CF.sql_mojibake_census,
         ),

@@ -713,3 +713,19 @@ def test_dedup_agreement_no_cartesian(spark):
 
     plan = _plan(q_dedup_agreement(spark, SF))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_split_ks_windows_over_grid_not_documents(spark):
+    """The KS windows run over the (split x bucket) grid: every Window
+    node's child is the broadcast-joined grid (cnt column present), and
+    the corpus contributes only one map-side-combined groupBy."""
+    import re
+
+    from docling_core_spark.corpus.splits import q_split_ks
+
+    plan = _plan(q_split_ks(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "cnt#" in plan, plan
+    # no corpus-sized sort: the only Sorts serve the grid windows
+    win = re.findall(r"^\(\d+\) Window", plan, re.M)
+    assert win, plan
