@@ -950,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sampling as CSA,
         bm25 as CB,
         budget as CBU,
+        classifier as CNB,
         cohesion as CCO,
         domains as CDQ,
         drift as CDR,
@@ -1023,6 +1024,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": CL.q_lm_score,
         "ccnet_buckets": CL.q_ccnet_buckets,
         "lm2_score": CL2.q_lm2_score,
+        "nb_langid": CNB.q_nb_langid,
+        "nb_top_features": CNB.q_nb_top_features,
+        "kmeans_step": CS.q_kmeans_step,
         "source_drift": CDR.q_source_drift,
         "source_lang_entropy": CDR.q_source_lang_entropy,
         "source_length_quantiles": CT.q_source_length_quantiles,
@@ -1181,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         sampling as CSA,
         bm25 as CB,
         budget as CBU,
+        classifier as CNB,
         cohesion as CCO,
         domains as CDQ,
         drift as CDR,
@@ -1259,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": CS.sql_ann_lsh_topk(),
         "ann_lsh_multiprobe": CS.sql_ann_lsh_multiprobe(),
         "ann_ivf_topk": CS.sql_ann_ivf_topk(f"/root/testdata/sf{gate_sf}"),
+        "kmeans_step": CS.sql_kmeans_step(f"/root/testdata/sf{gate_sf}"),
         "ann_recall": CS.sql_ann_recall(f"/root/testdata/sf{gate_sf}"),
         "ivf_cluster_stats": CS.sql_ivf_cluster_stats(
             f"/root/testdata/sf{gate_sf}"
@@ -1323,6 +1329,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": CL.sql_lm_score(),
         "ccnet_buckets": CL.sql_ccnet_buckets(),
         "lm2_score": CL2.sql_lm2_score(),
+        "nb_langid": CNB.sql_nb_langid(),
+        "nb_top_features": CNB.sql_nb_top_features(),
         "source_drift": CDR.sql_source_drift(),
         "source_lang_entropy": CDR.sql_source_lang_entropy(),
         "source_length_quantiles": CT.sql_source_length_quantiles(),

@@ -55,6 +55,7 @@ GROUPS: dict[str, list[str]] = {
         "bpe_pair_counts",
         "source_length_quantiles",
         "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score", "source_drift", "source_lang_entropy", "heldout_ppl",
+        "nb_langid", "nb_top_features",
         "tok_fertility",
         "extract_links", "link_pagerank", "link_hits", "anchor_text_agg",
         "link_cocitation",
@@ -93,7 +94,8 @@ GROUPS: dict[str, list[str]] = {
         "decode_features", "media_resize", "frame_sample", "media_dedup",
         "knn_bruteforce", "lsh_bucket_stats", "ann_lsh_topk",
         "ann_lsh_multiprobe",
-        "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "pq_encode",
+        "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "kmeans_step",
+        "pq_encode",
         "pq_search", "ivfpq_search", "pq_recall", "neardup_cosine",
         "semdedup_clusters", "hard_negatives", "label_cohesion",
         "emb_dim_stats", "emb_covariance", "emb_norm_hist", "emb_pca_var",

@@ -1710,3 +1710,157 @@ def sql_pq_recall(sf_dir: str = "/root/testdata/sf0.01") -> str:
                n_hits * 1000000 // n_truth >= {floor}
         FROM ipqh CROSS JOIN t
     """
+
+
+# ---------------------------------------------------------------------------
+# kmeans_step: one Lloyd iteration as a relational query
+# ---------------------------------------------------------------------------
+
+# milli quantization offset making the per-cluster component sums
+# non-negative before integer division, so truncating div (Spark `div`)
+# and flooring div (DuckDB `//`) agree bit-for-bit: |x| <= ~6 for the
+# synthetic embeddings -> v_milli + 6000 >= 0 for every component.
+KMEANS_MILLI_OFF = 6000
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Lloyd k-means iteration, fully relational — the building
+    block the committed IVF centroid artifact is trained from
+    (compute_ivf_centroids runs this shape iteratively on the driver;
+    here it is a gate-verified single step): assign every vector to its
+    max-cosine centroid (broadcast 32-row table x corpus scan, argmax
+    window), recompute each cell's mean with EXACT integer sufficient
+    statistics, and report per cluster the population and the L1 shift
+    between old and new centroid — the convergence signal a production
+    training loop watches.
+
+    Float discipline: components integerise to milli (floor(x*1e3))
+    BEFORE the per-cluster sums, so the sums are exact BIGINTs in any
+    partition order; the mean uses offset integer division (see
+    KMEANS_MILLI_OFF) so Spark's truncating `div` and DuckDB's flooring
+    `//` cannot disagree on negative sums.
+
+    100 TB story: the only corpus-sized work is the broadcast-centroid
+    assign (scan-shaped, no shuffle) and ONE groupBy on the (c_id, pos)
+    key — a constant k x dim = 2048-key space, so map-side partial
+    aggregation collapses every partition to <= 2048 rows before the
+    single exchange; output is k rows at any corpus size. Iterating
+    means re-broadcasting k x dim doubles per round — the same
+    train-loop shape as compute_ivf_centroids, evidenced here as an
+    oracle-checked query. Reference analog: none (SURVEY.md §2.8)."""
+    from pyspark.sql.window import Window
+
+    e = _cached_emb(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(ivf_centroids(spark, sf_dir))],
+        "c_id int, c_emb array<double>",
+    ).withColumn("c_nrm", F.expr(f"sqrt({_norm2_spark('c_emb')})"))
+    scored = (
+        e.alias("s")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "s.vec_id", "s.emb", "c_id",
+            F.expr(
+                f"round({_dot_spark('s.emb', 'c_emb')}"
+                f" / (s.nrm * c_nrm), 6)"
+            ).alias("c_cos"),
+        )
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("c_id")
+    )
+    assigned = (
+        scored.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") == 1)
+        .select("vec_id", "c_id", "emb")
+    )
+    comp = assigned.select(
+        "c_id", F.posexplode("emb").alias("pos", "v")
+    ).select(
+        "c_id", "pos",
+        F.expr("cast(floor(v * 1000) as bigint)").alias("v_milli"),
+    )
+    sums = comp.groupBy("c_id", "pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v_milli").cast("bigint").alias("sum_milli"),
+    )
+    c_comp = cents.select(
+        "c_id", F.posexplode("c_emb").alias("pos", "cv")
+    ).select(
+        "c_id", "pos",
+        F.expr("cast(floor(cv * 1000) as bigint)").alias("c_milli"),
+    )
+    off = KMEANS_MILLI_OFF
+    per_dim = sums.join(F.broadcast(c_comp), ["c_id", "pos"]).select(
+        "c_id", "n",
+        F.expr(
+            f"(sum_milli + {off} * n) div n - {off}"
+        ).alias("mean_milli"),
+        "c_milli",
+    )
+    return per_dim.groupBy("c_id").agg(
+        F.max("n").cast("bigint").alias("n_points"),
+        F.expr(
+            "cast(sum(abs(mean_milli - c_milli)) as bigint)"
+        ).alias("shift_l1_milli"),
+    )
+
+
+def sql_kmeans_step(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    cdot = (
+        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> a.embedding[i]::DOUBLE * c.c_emb[i]))"
+    )
+    cna = _norm2_duck("a.embedding")
+    cnc = (
+        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> c.c_emb[i] * c.c_emb[i]))"
+    )
+    off = KMEANS_MILLI_OFF
+    return f"""
+        WITH cents AS (
+            SELECT * FROM {_centroid_values_duck(sf_dir)}
+        ),
+        scored AS (
+            SELECT a.vec_id, a.embedding, c.c_id,
+                   round({cdot} / (sqrt({cna}) * sqrt({cnc})), 6)
+                       AS c_cos
+            FROM embeddings a CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT vec_id, c_id, embedding FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY c_cos DESC, c_id
+                ) AS crnk FROM scored
+            ) WHERE crnk = 1
+        ),
+        comp AS (
+            SELECT c_id, i - 1 AS pos,
+                   floor(embedding[i] * 1000)::BIGINT AS v_milli
+            FROM assigned
+            CROSS JOIN (SELECT unnest(generate_series(1, {C.EMB_DIM}))
+                        AS i)
+        ),
+        sums AS (
+            SELECT c_id, pos, COUNT(*)::BIGINT AS n,
+                   sum(v_milli)::BIGINT AS sum_milli
+            FROM comp GROUP BY c_id, pos
+        ),
+        c_comp AS (
+            SELECT c_id, i - 1 AS pos,
+                   floor(c_emb[i] * 1000)::BIGINT AS c_milli
+            FROM cents
+            CROSS JOIN (SELECT unnest(generate_series(1, {C.EMB_DIM}))
+                        AS i)
+        ),
+        per_dim AS (
+            SELECT s.c_id, s.n,
+                   (s.sum_milli + {off} * s.n) // s.n - {off}
+                       AS mean_milli,
+                   cc.c_milli
+            FROM sums s JOIN c_comp cc USING (c_id, pos)
+        )
+        SELECT c_id, max(n)::BIGINT AS n_points,
+               sum(abs(mean_milli - c_milli))::BIGINT AS shift_l1_milli
+        FROM per_dim GROUP BY c_id
+    """

@@ -729,3 +729,19 @@ def test_split_ks_windows_over_grid_not_documents(spark):
     # no corpus-sized sort: the only Sorts serve the grid windows
     win = re.findall(r"^\(\d+\) Window", plan, re.M)
     assert win, plan
+
+
+def test_kmeans_step_broadcasts_and_bounds_state(spark):
+    """The Lloyd-step assign must broadcast the k-row centroid table
+    (scan-shaped at 10^12 rows) and its sufficient-statistics groupBy
+    must be partial-aggregated map-side (HashAggregate pairs around the
+    single exchange) so each partition ships <= k x dim rows."""
+    from docling_core_spark.corpus.similarity import q_kmeans_step
+
+    df = q_kmeans_step(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 32
+    assert sum(r.n_points for r in rows) > 0
