@@ -613,6 +613,12 @@ def _q_page_render_svg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_page_render_svg(spark, sf_dir)
 
 
+def _q_page_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pages import q_page_reading_order
+
+    return q_page_reading_order(spark, sf_dir)
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     _spread_view(spark, sf_dir, "lineitem", "li_q1_src")
     return spark.sql(_SQL_TPCH_Q1.format(lineitem="li_q1_src"))
@@ -1048,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keeper_quality": CC.q_cluster_keeper_quality,
         "adaptive_quality": CC.q_adaptive_quality,
         "filter_ablation": CF.q_filter_ablation,
+        "badwords_filter": CF.q_badwords_filter,
         "dedup_agreement": CD.q_dedup_agreement,
         "split_ks": CSP.q_split_ks,
         "template_dedup": CTP.q_template_dedup,
@@ -1126,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_crop_text": _q_page_crop_text,
         "page_textlines": _q_page_textlines,
         "page_render_svg": _q_page_render_svg,
+        "page_reading_order": _q_page_reading_order,
         # relational sanity (scan/filter/agg/join/window/sessionize)
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
@@ -1151,6 +1159,7 @@ def _pages_oracle(which: str) -> str:
         "crop_text": P.sql_page_crop_text,
         "textlines": P.sql_page_textlines,
         "render_svg": P.sql_page_render_svg,
+        "reading_order": P.sql_page_reading_order,
     }[which]()
 
 
@@ -1351,6 +1360,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_keeper_quality": CC.sql_cluster_keeper_quality(),
         "adaptive_quality": CC.sql_adaptive_quality(),
         "filter_ablation": CF.sql_filter_ablation(),
+        "badwords_filter": CF.sql_badwords_filter(),
         "dedup_agreement": CD.sql_dedup_agreement(),
         "split_ks": CSP.sql_split_ks(),
         "template_dedup": CTP.sql_template_dedup(),
@@ -1371,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         "page_crop_text": _pages_oracle("crop_text"),
         "page_textlines": _pages_oracle("textlines"),
         "page_render_svg": _pages_oracle("render_svg"),
+        "page_reading_order": _pages_oracle("reading_order"),
         "lang_stats": _SQL_LANG_STATS.format(documents="documents"),
         "tpch_q1": _SQL_TPCH_Q1.format(lineitem="lineitem"),
         "tpch_q3": _SQL_TPCH_Q3_ORACLE,

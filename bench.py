@@ -64,7 +64,7 @@ GROUPS: dict[str, list[str]] = {
         "bloom_decontaminate", "mixture_weights",
         "dsir_weights", "dsir_select",
         "adaptive_quality", "mojibake_census", "vocab_growth",
-        "filter_ablation",
+        "filter_ablation", "badwords_filter",
     ],
     "dedup": [
         # pure-scan queries first; the LSH family fills the persisted
@@ -103,7 +103,7 @@ GROUPS: dict[str, list[str]] = {
     ],
     "rel": [
         "bbox_ops", "page_cells_in_bbox", "page_crop_text",
-        "page_textlines", "page_render_svg",
+        "page_textlines", "page_render_svg", "page_reading_order",
         "tpch_q1", "tpch_q3", "tpch_q5", "top_customers", "events_by_type",
         "events_sessionize", "events_asof", "events_range_join",
         "events_retention", "events_funnel", "events_spikes",

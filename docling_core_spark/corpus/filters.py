@@ -1188,3 +1188,82 @@ def sql_filter_ablation() -> str:
         )
         {arms}
     """
+
+
+# ---------------------------------------------------------------------------
+# C4 word-blocklist filter ("badwords")
+# ---------------------------------------------------------------------------
+# C4 (Raffel et al. 2020, JMLR 21(140) §2.2) drops any document
+# containing a word on the public "List of Dirty, Naughty, Obscene or
+# Otherwise Bad Words" — single tokens AND multi-word phrases. The
+# mechanism is what ships here: a broadcast-constant blocklist folded
+# into per-row expressions (token membership for unigram entries, an
+# adjacent-token scan for phrase entries — counted at word level, so
+# overlapping-substring miscounts cannot occur). The list itself is a
+# deterministic sandbox surrogate drawn from the corpus vocabulary;
+# swapping in the real LDNOOBW list is a constant change.
+#
+# 100 TB story: zero shuffles — the blocklist is a literal in the
+# codegen'd expression (a real deployment broadcasts it), every signal
+# is per-row, and the decision column gates the scan downstream ops
+# read, so predicate pushdown removes dropped docs before any exchange.
+
+BADWORDS_TOKENS = ["dup", "crash"]
+BADWORDS_PHRASES = [("hash", "join")]
+
+
+def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document blocklist census: total blocklisted-token
+    occurrences, distinct blocklisted terms, phrase occurrences, and
+    the C4 keep decision (drop on ANY hit)."""
+    docs = read_spread(spark, sf_dir, "documents")
+    toks_arr = "array(" + ", ".join(f"'{w}'" for w in BADWORDS_TOKENS) + ")"
+    base = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    )
+    w1, w2 = BADWORDS_PHRASES[0]
+    return base.select(
+        "doc_id",
+        F.expr(
+            f"cast(size(filter(toks, t -> array_contains({toks_arr}, t)))"
+            " as bigint)"
+        ).alias("n_token_hits"),
+        F.expr(
+            f"cast(size(array_intersect(toks, {toks_arr})) as bigint)"
+        ).alias("n_terms_hit"),
+        F.expr(
+            "cast(case when size(toks) < 2 then 0 else"
+            f" size(filter(sequence(0, size(toks) - 2),"
+            f" i -> toks[i] = '{w1}' and toks[i + 1] = '{w2}'))"
+            " end as bigint)"
+        ).alias("n_phrase_hits"),
+    ).select(
+        "doc_id", "n_token_hits", "n_terms_hit", "n_phrase_hits",
+        F.expr("n_token_hits + n_phrase_hits = 0").alias("keep"),
+    )
+
+
+def sql_badwords_filter() -> str:
+    toks_list = "[" + ", ".join(f"'{w}'" for w in BADWORDS_TOKENS) + "]"
+    w1, w2 = BADWORDS_PHRASES[0]
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+        ),
+        sig AS (
+            SELECT doc_id,
+                   len(list_filter(toks,
+                       t -> list_contains({toks_list}, t)))::BIGINT
+                       AS n_token_hits,
+                   len(list_intersect(toks, {toks_list}))::BIGINT
+                       AS n_terms_hit,
+                   (CASE WHEN len(toks) < 2 THEN 0 ELSE
+                       len(list_filter(range(1, len(toks)),
+                           i -> toks[i] = '{w1}' AND toks[i + 1] = '{w2}'))
+                    END)::BIGINT AS n_phrase_hits
+            FROM base
+        )
+        SELECT doc_id, n_token_hits, n_terms_hit, n_phrase_hits,
+               n_token_hits + n_phrase_hits = 0 AS keep
+        FROM sig
+    """

@@ -455,3 +455,141 @@ def sql_page_render_svg() -> str:
         "pages_cells", UNIT_LINE, "duck",
         extra_cte=f"pages_cells AS ({cells_synth_sql('duck')}), ",
     )
+
+
+# ---------------------------------------------------------------------------
+# layout reading order: single-level XY-cut column detection
+# ---------------------------------------------------------------------------
+# The classic recursive X-Y cut (Nagy & Seth 1984) recovers reading
+# order from cell geometry by splitting a page at its widest projection
+# gap. One level of the X-cut — find the widest interior horizontal
+# whitespace gap no cell crosses, split into columns, read each column
+# top-to-bottom — captures the dominant two-column case; the recursion
+# story at depth d is d repetitions of the same per-page window shapes.
+# The reference keeps cells in reading order already (page.py TextCell
+# lists are ordered); this operator is the step that CREATES that order
+# from raw layout, exercised on a deterministic two-column synthesis
+# where a naive y-sort provably interleaves the columns.
+#
+# 100 TB story: every window partitions by page_id — a uniform key with
+# bounded (~10^3) cells per page — so the work is embarrassingly
+# page-parallel; the gap scan is one running-max window, not a
+# per-page collect. Output is one row per page.
+
+# minimum whitespace width (pt) accepted as a column gutter
+READING_MIN_GUTTER = 30.0
+
+# two-column deterministic synthesis: token i of a doc becomes a line
+# cell; the FIRST ceil(n/2) tokens fill the left column top-to-bottom,
+# the rest the right column — so ascending cell_index IS the true
+# reading order, and sorting by y alone interleaves the columns.
+_CELLS2_BODY = """
+    SELECT {page_id} AS page_id,
+           CAST({i0} AS INT) AS cell_index,
+           {tok} AS text,
+           CAST(40 + (CASE WHEN {i0} >= {half} THEN 300 ELSE 0 END)
+                AS DOUBLE) AS c_l,
+           CAST(280 + (CASE WHEN {i0} >= {half} THEN 300 ELSE 0 END)
+                AS DOUBLE) AS c_r,
+           CAST(700 - 20 * (CASE WHEN {i0} >= {half}
+                            THEN {i0} - {half} ELSE {i0} END)
+                AS DOUBLE) AS c_b,
+           CAST(712 - 20 * (CASE WHEN {i0} >= {half}
+                            THEN {i0} - {half} ELSE {i0} END)
+                AS DOUBLE) AS c_t
+    FROM {from_clause}
+"""
+
+
+def cells2_synth_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return _CELLS2_BODY.format(
+            page_id="doc_id",
+            i0="w.pos",
+            tok="w.tok",
+            half="CAST(ceil(size(split(text, ' ')) / 2.0) AS INT)",
+            from_clause=(
+                "pages_src_docs"
+                " LATERAL VIEW posexplode(split(text, ' ')) w AS pos, tok"
+            ),
+        )
+    return _CELLS2_BODY.format(
+        page_id="doc_id",
+        i0="w.i",
+        tok="w.tok",
+        half="CAST(ceil(len(string_split(text, ' ')) / 2.0) AS INT)",
+        from_clause=(
+            "documents, LATERAL (SELECT"
+            " unnest(range(len(string_split(text, ' ')))) AS i,"
+            " unnest(string_split(text, ' ')) AS tok) w"
+        ),
+    )
+
+
+def reading_order_sql(dialect: str) -> str:
+    """Per page: column count found by the X-cut, the gutter midpoint,
+    and whether the recovered order reproduces the true reading order
+    (rank - 1 == cell_index for every cell). The window/aggregate SQL
+    is dialect-identical; only the synthesis CTE differs."""
+    return f"""
+        WITH cells2 AS ({cells2_synth_sql(dialect)}),
+        runr AS (
+            SELECT page_id, cell_index, c_l, c_r, c_t,
+                   max(c_r) OVER (
+                       PARTITION BY page_id ORDER BY c_l, cell_index
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS run_r
+            FROM cells2
+        ),
+        gaps AS (
+            SELECT page_id, c_l AS gap_l, run_r AS gap_r
+            FROM runr
+            WHERE run_r IS NOT NULL
+              AND c_l - run_r >= {READING_MIN_GUTTER}
+        ),
+        best AS (
+            SELECT page_id, gap_l, gap_r,
+                   row_number() OVER (
+                       PARTITION BY page_id
+                       ORDER BY gap_l - gap_r DESC, gap_l
+                   ) AS g_rnk
+            FROM gaps
+        ),
+        split AS (SELECT page_id, gap_l, gap_r FROM best WHERE g_rnk = 1),
+        cols AS (
+            SELECT r.page_id, r.cell_index, r.c_l, r.c_t,
+                   CASE WHEN s.gap_l IS NOT NULL AND r.c_l >= s.gap_l
+                        THEN 1 ELSE 0 END AS col,
+                   s.gap_l, s.gap_r
+            FROM runr r LEFT JOIN split s ON r.page_id = s.page_id
+        ),
+        ranked AS (
+            SELECT page_id, cell_index, col, gap_l, gap_r,
+                   row_number() OVER (
+                       PARTITION BY page_id
+                       ORDER BY col, c_t DESC, c_l, cell_index
+                   ) AS rk,
+                   row_number() OVER (
+                       PARTITION BY page_id
+                       ORDER BY c_t DESC, c_l, cell_index
+                   ) AS naive_rk
+            FROM cols
+        )
+        SELECT page_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(max(col) + 1 AS INT) AS n_cols,
+               CAST((max(gap_l) + max(gap_r)) / 2 AS BIGINT) AS gutter_mid,
+               bool_and(rk - 1 = cell_index) AS order_ok,
+               bool_and(naive_rk - 1 = cell_index) AS naive_ok
+        FROM ranked
+        GROUP BY page_id
+    """
+
+
+def q_page_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_cells_view(spark, sf_dir)
+    return spark.sql(reading_order_sql("spark"))
+
+
+def sql_page_reading_order() -> str:
+    return reading_order_sql("duck")

@@ -279,3 +279,59 @@ def _code_detect_local(spark, docs):
         CFI, "read_spread", lambda _s, _d, _t: docs
     ):
         return CFI.q_code_detect(spark, "unused")
+
+
+def test_badwords_filter_crafted_semantics(spark):
+    """C4 blocklist semantics on crafted docs: unigram hits, word-level
+    phrase counting (incl. back-to-back phrases, which substring
+    replace-counting would undercount), single-token guard, and the
+    drop-on-any-hit decision — identical rows from both engines."""
+    docs = [
+        (1, "clean text only here"),          # keep
+        (2, "a dup and another dup here"),    # 2 token hits, 1 term
+        (3, "try hash join now"),             # 1 phrase hit
+        (4, "hash join hash join"),           # 2 phrase hits
+        (5, "hash hash join"),                # 1 phrase hit
+        (6, "dup"),                           # single-token doc, hit
+        (7, "crash dup crash"),               # both terms
+        (8, "join hash"),                     # reversed: no phrase
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    df.createOrReplaceTempView("documents")
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: (
+                r["n_token_hits"], r["n_terms_hit"],
+                r["n_phrase_hits"], r["keep"],
+            )
+            for r in CF.q_badwords_filter(spark, td).collect()
+        }
+    assert out[1] == (0, 0, 0, True)
+    assert out[2] == (2, 1, 0, False)
+    assert out[3] == (0, 0, 1, False)
+    assert out[4] == (0, 0, 2, False)
+    assert out[5] == (0, 0, 1, False)
+    assert out[6] == (1, 1, 0, False)
+    assert out[7] == (3, 2, 0, False)
+    assert out[8] == (0, 0, 0, True)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id INT, text VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", docs
+    )
+    orc = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(CF.sql_badwords_filter()).fetchall()
+    }
+    assert {k: tuple(map(lambda x: x, v)) for k, v in orc.items()} == {
+        k: (int(a), int(b), int(c), d) for k, (a, b, c, d) in out.items()
+    }

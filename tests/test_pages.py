@@ -294,3 +294,38 @@ def test_textlines_tie_coords_cross_engine(spark):
     assert got_spark == got_duck
     # %06.2f zero-pad shape is preserved (width-6 minimum, no trunc)
     assert got_spark.startswith("(018.13, 700.00) (002.68, 000.63)")
+
+
+def test_reading_order_crafted_semantics(spark):
+    """XY-cut semantics on crafted docs: a single-cell page is one
+    column with no gutter; a 3-token page is two columns where the
+    XY-cut order is right and the naive y-sort provably is NOT (the
+    right column's first cell shares the top row); both engines emit
+    identical rows."""
+    from docling_core_spark.pages import (
+        reading_order_sql, sql_page_reading_order,
+    )
+
+    docs = [(1, "solo"), (2, "alpha beta gamma"),
+            (3, "a b c d e f g")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    df.createOrReplaceTempView("pages_src_docs")
+    out = {
+        r["page_id"]: (
+            r["n_cells"], r["n_cols"], r["gutter_mid"],
+            r["order_ok"], r["naive_ok"],
+        )
+        for r in spark.sql(reading_order_sql("spark")).collect()
+    }
+    assert out[1] == (1, 1, None, True, True)
+    assert out[2] == (3, 2, 310, True, False)
+    assert out[3] == (7, 2, 310, True, False)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    orc = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(sql_page_reading_order()).fetchall()
+    }
+    assert orc == out
