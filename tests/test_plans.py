@@ -745,3 +745,32 @@ def test_kmeans_step_broadcasts_and_bounds_state(spark):
     rows = df.collect()
     assert 0 < len(rows) <= 32
     assert sum(r.n_points for r in rows) > 0
+
+
+def test_badwords_filter_is_shuffle_free(spark):
+    """The C4 blocklist census is pure per-row expression work — a
+    hash exchange would mean the blocklist leaked into a join (only
+    read_spread's RoundRobin single-file fan-out may appear)."""
+    import re
+
+    from docling_core_spark.corpus.filters import q_badwords_filter
+
+    plan = _plan(q_badwords_filter(spark, SF))
+    assert "hashpartitioning" not in plan, plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 1, plan
+
+
+def test_reading_order_windows_partition_by_page(spark):
+    """Every XY-cut window must partition by page_id — a global
+    (unpartitioned) window would serialize 10^12 cells through one
+    task."""
+    import re
+
+    from docling_core_spark.pages import q_page_reading_order
+
+    plan = _plan(q_page_reading_order(spark, SF))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, plan
+    for s in specs:
+        assert "page_id" in s, (s, plan)
