@@ -1047,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": CSA.q_dsir_weights,
         "dsir_select": CSA.q_dsir_select,
         "pack_sequences": CP.q_pack_sequences,
+        "mm_pack": CP.q_mm_pack,
         "token_budget_select": CBU.q_token_budget_select,
         "pack_efficiency": CP.q_pack_efficiency,
         "curation_funnel": CC.q_curation_funnel,
@@ -1353,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": CSA.sql_dsir_weights(),
         "dsir_select": CSA.sql_dsir_select(),
         "pack_sequences": CP.sql_pack_sequences(),
+        "mm_pack": CP.sql_mm_pack(),
         "token_budget_select": CBU.sql_token_budget_select(),
         "pack_efficiency": CP.sql_pack_efficiency(),
         "curation_funnel": CC.sql_curation_funnel(),

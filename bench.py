@@ -49,7 +49,7 @@ GROUPS: dict[str, list[str]] = {
         "html_strip", "main_content", "top_ngrams", "pmi_pairs", "zipf_fit", "tfidf_topk",
         "bm25_topk", "text_normalize", "normalize_uplift",
         "stratified_sample", "weighted_sample", "pack_sequences",
-        "token_budget_select", "pack_efficiency",
+        "token_budget_select", "pack_efficiency", "mm_pack",
         "shard_manifest",
         "cms_heavy_hitters", "kmv_distinct", "hll_distinct", "hist_quantiles",
         "bpe_pair_counts",

@@ -279,3 +279,159 @@ def sql_pack_efficiency() -> str:
                    END)::BIGINT AS n_multi_seq_docs
         FROM pack
     """
+
+
+# ---------------------------------------------------------------------------
+# mm_pack: interleaved multimodal sequence packing (MMC4/OBELICS shape)
+# ---------------------------------------------------------------------------
+# Interleaved image-text training (MMC4, Zhu et al. 2023; OBELICS,
+# Laurençon et al. 2023) packs documents whose cost is text tokens PLUS
+# a per-image vision-token budget (a ViT patch grid — LLaVA-style
+# ceil(w/P) x ceil(h/P)). The packing layout is the same two-level
+# prefix sum as pack_sequences, over the multimodal cost; the per-
+# sequence dashboard adds the image accounting a trainer needs: how
+# many vision tokens each sequence carries and how many documents
+# straddle a boundary (a straddling IMAGE cannot be split — the
+# dashboard quantifies what doc-atomic packing would have to pad/drop).
+# Image presence and geometry follow corpus/multimodal.py's synthesis:
+# kind='image' iff doc_id % 3 = 0, width/height from the same residue
+# rules, so every consumer sees one consistent media universe.
+
+MM_PATCH = 28  # vision patch size (pt) for the token-cost grid
+
+
+def _img_tokens(doc_id: str, dialect: str) -> str:
+    """Vision-token cost: 0 for non-image docs, else the patch grid."""
+    if dialect == "spark":
+        w, h = f"(320 + {doc_id} % 320)", f"(240 + {doc_id} % 240)"
+        grid = (
+            f"cast(ceil({w} / {MM_PATCH}.0) * ceil({h} / {MM_PATCH}.0)"
+            " as bigint)"
+        )
+        return f"(case when {doc_id} % 3 = 0 then {grid} else 0 end)"
+    w, h = f"(320 + {doc_id} % 320)", f"(240 + {doc_id} % 240)"
+    grid = (
+        f"(ceil({w} / {MM_PATCH}.0) * ceil({h} / {MM_PATCH}.0))::BIGINT"
+    )
+    return f"(CASE WHEN {doc_id} % 3 = 0 THEN {grid} ELSE 0 END)"
+
+
+def q_mm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"cast(size({TOKENS_SPARK}) as bigint)").alias("txt_tokens"),
+        F.expr(_img_tokens("doc_id", "spark")).alias("img_tokens"),
+        F.expr(_h30_spark("cast(doc_id as string)")).alias("h"),
+    ).withColumn(
+        "cost", F.expr("txt_tokens + img_tokens")
+    ).withColumn("g", F.expr(f"cast(h % {PACK_GROUPS} as bigint)"))
+
+    w_in = (
+        Window.partitionBy("g")
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = docs.withColumn(
+        "cum_in_group", F.sum("cost").over(w_in).cast("bigint")
+    )
+    totals = docs.groupBy("g").agg(
+        F.sum("cost").cast("bigint").alias("group_total")
+    )
+    w_g = (
+        Window.orderBy(F.asc("g"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefixes = totals.withColumn(
+        "group_prefix",
+        (F.sum("group_total").over(w_g) - F.col("group_total"))
+        .cast("bigint"),
+    ).select("g", "group_prefix")
+
+    placed = within.join(F.broadcast(prefixes), "g").select(
+        "doc_id", "txt_tokens", "img_tokens", "cost",
+        (F.col("group_prefix") + F.col("cum_in_group") - F.col("cost"))
+        .cast("bigint").alias("global_start"),
+    ).select(
+        "*",
+        F.expr(f"cast(global_start div {SEQ_LEN} as bigint)").alias("seq_id"),
+        F.expr(
+            f"cast(case when cost = 0 then global_start div {SEQ_LEN}"
+            f" else (global_start + cost - 1) div {SEQ_LEN} end"
+            " as bigint)"
+        ).alias("last_seq"),
+    )
+    return placed.groupBy("seq_id").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_docs"),
+        F.expr("cast(sum(txt_tokens) as bigint)").alias("txt_tokens"),
+        F.expr("cast(sum(img_tokens) as bigint)").alias("img_tokens"),
+        F.expr(
+            "cast(sum(case when img_tokens > 0 then 1 else 0 end)"
+            " as bigint)"
+        ).alias("n_images"),
+        F.expr(
+            "cast(sum(case when last_seq != seq_id then 1 else 0 end)"
+            " as bigint)"
+        ).alias("n_straddle"),
+    )
+
+
+def sql_mm_pack() -> str:
+    h = _h30_duck("doc_id::VARCHAR")
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({TOKENS_DUCK})::BIGINT AS txt_tokens,
+                   {_img_tokens("doc_id", "duck")} AS img_tokens,
+                   {h} AS h
+            FROM documents
+        ),
+        grouped AS (
+            SELECT *, (txt_tokens + img_tokens)::BIGINT AS cost,
+                   (h % {PACK_GROUPS})::BIGINT AS g
+            FROM base
+        ),
+        within AS (
+            SELECT *,
+                   sum(cost) OVER (
+                       PARTITION BY g ORDER BY h ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum_in_group
+            FROM grouped
+        ),
+        totals AS (
+            SELECT g, sum(cost)::BIGINT AS group_total
+            FROM grouped GROUP BY g
+        ),
+        prefixes AS (
+            SELECT g,
+                   (sum(group_total) OVER (
+                       ORDER BY g ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - group_total)::BIGINT AS group_prefix
+            FROM totals
+        ),
+        placed AS (
+            SELECT w.doc_id, w.txt_tokens, w.img_tokens, w.cost,
+                   (p.group_prefix + w.cum_in_group - w.cost)::BIGINT
+                       AS global_start
+            FROM within w JOIN prefixes p USING (g)
+        ),
+        seqs AS (
+            SELECT *,
+                   (global_start // {SEQ_LEN})::BIGINT AS seq_id,
+                   (CASE WHEN cost = 0 THEN global_start // {SEQ_LEN}
+                         ELSE (global_start + cost - 1) // {SEQ_LEN}
+                    END)::BIGINT AS last_seq
+            FROM placed
+        )
+        SELECT seq_id,
+               COUNT(*)::BIGINT AS n_docs,
+               sum(txt_tokens)::BIGINT AS txt_tokens,
+               sum(img_tokens)::BIGINT AS img_tokens,
+               sum(CASE WHEN img_tokens > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_images,
+               sum(CASE WHEN last_seq != seq_id THEN 1 ELSE 0 END)::BIGINT
+                   AS n_straddle
+        FROM seqs
+        GROUP BY seq_id
+    """

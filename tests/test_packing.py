@@ -118,3 +118,40 @@ def test_shard_manifest_exactly_once(spark):
         0,
     )
     assert have == want_distinct, (have, want, want_distinct)
+
+
+def test_mm_pack_accounting_and_parity(spark):
+    """mm_pack conserves the corpus cost mass (sum over sequences ==
+    sum over docs of text+vision cost), its plan keeps the prefix-sum
+    decomposition (one partitioned corpus window, one global window on
+    the group-totals table), and both engines emit identical rows."""
+    seqs = P.q_mm_pack(spark, SF).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    )
+    orc = set(map(tuple, con.execute(P.sql_mm_pack()).fetchall()))
+    assert {tuple(r) for r in seqs} == orc
+
+    tot = con.execute(
+        "SELECT sum(len(regexp_split_to_array(lower(trim(text)),"
+        " '\\s+')))::BIGINT,"
+        " sum(CASE WHEN doc_id % 3 = 0 THEN"
+        " (ceil((320 + doc_id % 320) / 28.0)"
+        "  * ceil((240 + doc_id % 240) / 28.0))::BIGINT"
+        " ELSE 0 END)::BIGINT FROM documents"
+    ).fetchone()
+    assert sum(r.txt_tokens for r in seqs) == tot[0]
+    assert sum(r.img_tokens for r in seqs) == tot[1]
+
+    plan = P.q_mm_pack(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    unpartitioned = [ln for ln in win_lines if ln.count("], [") == 1]
+    partitioned = [ln for ln in win_lines if ln.count("], [") == 2]
+    assert len(unpartitioned) == 1, plan
+    assert len(partitioned) == 1 and "g#" in partitioned[0], plan
+    assert "BroadcastHashJoin" in plan
