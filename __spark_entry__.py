@@ -619,6 +619,12 @@ def _q_page_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_page_reading_order(spark, sf_dir)
 
 
+def _q_page_xycut_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pages import q_page_xycut_blocks
+
+    return q_page_xycut_blocks(spark, sf_dir)
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     _spread_view(spark, sf_dir, "lineitem", "li_q1_src")
     return spark.sql(_SQL_TPCH_Q1.format(lineitem="li_q1_src"))
@@ -1135,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_textlines": _q_page_textlines,
         "page_render_svg": _q_page_render_svg,
         "page_reading_order": _q_page_reading_order,
+        "page_xycut_blocks": _q_page_xycut_blocks,
         # relational sanity (scan/filter/agg/join/window/sessionize)
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
@@ -1161,6 +1168,7 @@ def _pages_oracle(which: str) -> str:
         "textlines": P.sql_page_textlines,
         "render_svg": P.sql_page_render_svg,
         "reading_order": P.sql_page_reading_order,
+        "xycut_blocks": P.sql_page_xycut_blocks,
     }[which]()
 
 
@@ -1384,6 +1392,7 @@ def oracle_sql() -> dict[str, str]:
         "page_textlines": _pages_oracle("textlines"),
         "page_render_svg": _pages_oracle("render_svg"),
         "page_reading_order": _pages_oracle("reading_order"),
+        "page_xycut_blocks": _pages_oracle("xycut_blocks"),
         "lang_stats": _SQL_LANG_STATS.format(documents="documents"),
         "tpch_q1": _SQL_TPCH_Q1.format(lineitem="lineitem"),
         "tpch_q3": _SQL_TPCH_Q3_ORACLE,

@@ -593,3 +593,137 @@ def q_page_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_page_reading_order() -> str:
     return reading_order_sql("duck")
+
+
+# ---------------------------------------------------------------------------
+# depth-2 XY-cut: multi-gap columns, then row-blocks within each column
+# ---------------------------------------------------------------------------
+# The recursive step the single-cut operator's docstring promises,
+# delivered: columns come from CUMULATIVE gap counting over the x-order
+# (any number of columns, not one best cut), then each column is Y-cut
+# the same way into row blocks (title band / footnote band / figure
+# gap). Reading order = (col, block, y desc, x). Exercised on a
+# 2x2-quadrant synthesis (reading order TL -> BL -> TR -> BR) where the
+# naive y-sort interleaves all four blocks. Window inventory: every
+# window partitions by page_id or (page_id, col) — uniform bounded
+# keys; depth d costs d repetitions of the same running-extreme +
+# cumulative-flag shapes, no recursion in the plan.
+# Layout fits docs up to ~140 tokens (corpus max is 100): 8 pt row
+# pitch, 6 pt cells, quadrant bands anchored at y=712 / y=420.
+
+XYCUT_MIN_VGAP = 30.0
+
+_CELLS4_BODY = """
+    SELECT {page_id} AS page_id,
+           CAST({i0} AS INT) AS cell_index,
+           {tok} AS text,
+           CAST(40 + 300 * (({q}) {div} 2) AS DOUBLE) AS c_l,
+           CAST(280 + 300 * (({q}) {div} 2) AS DOUBLE) AS c_r,
+           CAST((CASE WHEN ({q}) % 2 = 0 THEN 712 ELSE 420 END)
+                - 8 * ({r}) - 6 AS DOUBLE) AS c_b,
+           CAST((CASE WHEN ({q}) % 2 = 0 THEN 712 ELSE 420 END)
+                - 8 * ({r}) AS DOUBLE) AS c_t
+    FROM {from_clause}
+"""
+
+
+def cells4_synth_sql(dialect: str) -> str:
+    if dialect == "spark":
+        qs = "CAST(ceil(size(split(text, ' ')) / 4.0) AS INT)"
+        q = f"w.pos div {qs}"
+        return _CELLS4_BODY.format(
+            page_id="doc_id", i0="w.pos", tok="w.tok", div="div",
+            q=q, r=f"w.pos - ({q}) * {qs}",
+            from_clause=(
+                "pages_src_docs"
+                " LATERAL VIEW posexplode(split(text, ' ')) w AS pos, tok"
+            ),
+        )
+    qs = "CAST(ceil(len(string_split(text, ' ')) / 4.0) AS INT)"
+    q = f"w.i // {qs}"
+    return _CELLS4_BODY.format(
+        page_id="doc_id", i0="w.i", tok="w.tok", div="//",
+        q=q, r=f"w.i - ({q}) * {qs}",
+        from_clause=(
+            "documents, LATERAL (SELECT"
+            " unnest(range(len(string_split(text, ' ')))) AS i,"
+            " unnest(string_split(text, ' ')) AS tok) w"
+        ),
+    )
+
+
+def xycut_blocks_sql(dialect: str) -> str:
+    """Per page: column count, total block count, and order_ok /
+    naive_ok as in reading_order_sql — but via the multi-gap cumulative
+    column/block assignment (depth-2 recursion)."""
+    return f"""
+        WITH cells4 AS ({cells4_synth_sql(dialect)}),
+        xr AS (
+            SELECT page_id, cell_index, c_l, c_r, c_b, c_t,
+                   max(c_r) OVER (
+                       PARTITION BY page_id ORDER BY c_l, cell_index
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS run_r
+            FROM cells4
+        ),
+        cols AS (
+            SELECT page_id, cell_index, c_l, c_b, c_t,
+                   sum(CASE WHEN run_r IS NOT NULL
+                            AND c_l - run_r >= {READING_MIN_GUTTER}
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY page_id ORDER BY c_l, cell_index
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS col
+            FROM xr
+        ),
+        yr AS (
+            SELECT *,
+                   min(c_b) OVER (
+                       PARTITION BY page_id, col
+                       ORDER BY c_t DESC, cell_index
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS run_b
+            FROM cols
+        ),
+        blks AS (
+            SELECT page_id, cell_index, c_l, c_t, col,
+                   sum(CASE WHEN run_b IS NOT NULL
+                            AND run_b - c_t >= {XYCUT_MIN_VGAP}
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY page_id, col
+                       ORDER BY c_t DESC, cell_index
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS blk
+            FROM yr
+        ),
+        ranked AS (
+            SELECT page_id, cell_index, col, blk,
+                   row_number() OVER (
+                       PARTITION BY page_id
+                       ORDER BY col, blk, c_t DESC, c_l, cell_index
+                   ) AS rk,
+                   row_number() OVER (
+                       PARTITION BY page_id
+                       ORDER BY c_t DESC, c_l, cell_index
+                   ) AS naive_rk
+            FROM blks
+        )
+        SELECT page_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(max(col) + 1 AS INT) AS n_cols,
+               CAST(count(DISTINCT col * 100 + blk) AS BIGINT)
+                   AS n_blocks,
+               bool_and(rk - 1 = cell_index) AS order_ok,
+               bool_and(naive_rk - 1 = cell_index) AS naive_ok
+        FROM ranked
+        GROUP BY page_id
+    """
+
+
+def q_page_xycut_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_cells_view(spark, sf_dir)
+    return spark.sql(xycut_blocks_sql("spark"))
+
+
+def sql_page_xycut_blocks() -> str:
+    return xycut_blocks_sql("duck")

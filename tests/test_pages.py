@@ -329,3 +329,35 @@ def test_reading_order_crafted_semantics(spark):
         for r in con.execute(sql_page_reading_order()).fetchall()
     }
     assert orc == out
+
+
+def test_xycut_blocks_crafted_semantics(spark):
+    """Depth-2 XY-cut on crafted docs: 8 tokens land in four quadrant
+    blocks (2 per block) read TL->BL->TR->BR; the recovered order is
+    right, the naive y-sort is not, and both engines agree. A 1-token
+    doc degenerates to one column, one block."""
+    from docling_core_spark.pages import (
+        sql_page_xycut_blocks, xycut_blocks_sql,
+    )
+
+    docs = [(1, "solo"), (2, "a b c d e f g h")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    df.createOrReplaceTempView("pages_src_docs")
+    out = {
+        r["page_id"]: (
+            r["n_cells"], r["n_cols"], r["n_blocks"],
+            r["order_ok"], r["naive_ok"],
+        )
+        for r in spark.sql(xycut_blocks_sql("spark")).collect()
+    }
+    assert out[1] == (1, 1, 1, True, True)
+    assert out[2] == (8, 2, 4, True, False)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    orc = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(sql_page_xycut_blocks()).fetchall()
+    }
+    assert orc == out
