@@ -625,6 +625,12 @@ def _q_page_xycut_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_page_xycut_blocks(spark, sf_dir)
 
 
+def _q_page_ocr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pages import q_page_ocr_quality
+
+    return q_page_ocr_quality(spark, sf_dir)
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     _spread_view(spark, sf_dir, "lineitem", "li_q1_src")
     return spark.sql(_SQL_TPCH_Q1.format(lineitem="li_q1_src"))
@@ -1047,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": CSA.q_stratified_sample,
         "weighted_sample": CSA.q_weighted_sample,
         "mixture_weights": CSA.q_mixture_weights,
+        "temperature_mixture": CSA.q_temperature_mixture,
         "hist_quantiles": CT.q_hist_quantiles,
         "shard_manifest": CP.q_shard_manifest,
         "langid_confusion": CT.q_langid_confusion,
@@ -1142,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_render_svg": _q_page_render_svg,
         "page_reading_order": _q_page_reading_order,
         "page_xycut_blocks": _q_page_xycut_blocks,
+        "page_ocr_quality": _q_page_ocr_quality,
         # relational sanity (scan/filter/agg/join/window/sessionize)
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
@@ -1169,6 +1177,7 @@ def _pages_oracle(which: str) -> str:
         "render_svg": P.sql_page_render_svg,
         "reading_order": P.sql_page_reading_order,
         "xycut_blocks": P.sql_page_xycut_blocks,
+        "ocr_quality": P.sql_page_ocr_quality,
     }[which]()
 
 
@@ -1356,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": CSA.sql_stratified_sample(),
         "weighted_sample": CSA.sql_weighted_sample(),
         "mixture_weights": CSA.sql_mixture_weights(),
+        "temperature_mixture": CSA.sql_temperature_mixture(),
         "hist_quantiles": CT.sql_hist_quantiles(),
         "shard_manifest": CP.sql_shard_manifest(),
         "langid_confusion": CT.sql_langid_confusion(),
@@ -1393,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "page_render_svg": _pages_oracle("render_svg"),
         "page_reading_order": _pages_oracle("reading_order"),
         "page_xycut_blocks": _pages_oracle("xycut_blocks"),
+        "page_ocr_quality": _pages_oracle("ocr_quality"),
         "lang_stats": _SQL_LANG_STATS.format(documents="documents"),
         "tpch_q1": _SQL_TPCH_Q1.format(lineitem="lineitem"),
         "tpch_q3": _SQL_TPCH_Q3_ORACLE,

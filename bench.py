@@ -61,7 +61,7 @@ GROUPS: dict[str, list[str]] = {
         "link_cocitation",
         "url_normalize", "domain_stats", "robots_filter",
         "crawl_frontier", "domain_quality", "data_split", "split_ks",
-        "bloom_decontaminate", "mixture_weights",
+        "bloom_decontaminate", "mixture_weights", "temperature_mixture",
         "dsir_weights", "dsir_select",
         "adaptive_quality", "mojibake_census", "vocab_growth",
         "filter_ablation", "badwords_filter",
@@ -104,7 +104,7 @@ GROUPS: dict[str, list[str]] = {
     "rel": [
         "bbox_ops", "page_cells_in_bbox", "page_crop_text",
         "page_textlines", "page_render_svg", "page_reading_order",
-        "page_xycut_blocks",
+        "page_xycut_blocks", "page_ocr_quality",
         "tpch_q1", "tpch_q3", "tpch_q5", "top_customers", "events_by_type",
         "events_sessionize", "events_asof", "events_range_join",
         "events_retention", "events_funnel", "events_spikes",

@@ -496,3 +496,106 @@ def sql_dsir_select() -> str:
         ORDER BY key_micro DESC, doc_id
         LIMIT {DSIR_K}
     """
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled language sampling (XLM-R / mBERT recipe)
+# ---------------------------------------------------------------------------
+# Multilingual pretraining flattens the language distribution with
+# q_l = p_l^alpha / sum_m p_m^alpha (Conneau et al. 2020, XLM-R, using
+# alpha = 0.3; Devlin et al. 2019 used 0.7): low-resource languages get
+# upsampled, the head language downsampled, alpha=1 reproduces the
+# corpus and alpha=0 the uniform mixture. Float discipline: p_l is an
+# IEEE double from one division; power(p, alpha) is the ONLY
+# transcendental — rounded to 6dp and integerised to micro BEFORE the
+# normalizing sum, so the sum and every later ratio are exact integer
+# math (libm pow can differ across engines in the last ulp; the 6dp
+# rounding absorbs it — same discipline as the cosine/LLR operators).
+
+TEMP_ALPHA = 0.3
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language: token mass, observed share, the alpha-tempered
+    sampling share, and the resulting up/down-sampling ratio — all
+    exact micro-unit BIGINTs past the single pow().
+
+    100 TB story: one map-side-combinable agg on the language key
+    (dozens of values), then arithmetic on that tiny table against a
+    broadcast one-row total; the corpus is scanned once, pruned to
+    (lang, text)."""
+    from .textstats import TOKENS_SPARK
+
+    docs = read_spread(spark, sf_dir, "documents")
+    langs = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr(f"cast(sum(size({TOKENS_SPARK})) as bigint)").alias(
+            "tokens"
+        ),
+    )
+    totals = langs.agg(
+        F.sum("tokens").cast("bigint").alias("total_tokens")
+    )
+    q = (
+        langs.crossJoin(F.broadcast(totals))
+        .select(
+            "lang", "n_docs", "tokens",
+            F.expr(
+                "cast(tokens * 1000000 div total_tokens as bigint)"
+            ).alias("observed_micro"),
+            F.expr(
+                "cast(floor(round(power(cast(tokens as double)"
+                f" / cast(total_tokens as double), {TEMP_ALPHA}), 6)"
+                " * 1000000) as bigint)"
+            ).alias("q_micro"),
+        )
+    )
+    qt = q.agg(F.sum("q_micro").cast("bigint").alias("sum_q_micro"))
+    return (
+        q.crossJoin(F.broadcast(qt))
+        .select(
+            "lang", "n_docs", "tokens", "observed_micro",
+            F.expr(
+                "cast(q_micro * 1000000 div sum_q_micro as bigint)"
+            ).alias("sample_micro"),
+            F.expr(
+                "cast(case when observed_micro = 0 then null else"
+                " (q_micro * 1000000 div sum_q_micro) * 1000000"
+                " div observed_micro end as bigint)"
+            ).alias("ratio_micro"),
+        )
+    )
+
+
+def sql_temperature_mixture() -> str:
+    from .textstats import TOKENS_DUCK
+
+    return f"""
+        WITH langs AS (
+            SELECT lang,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(len({TOKENS_DUCK}))::BIGINT AS tokens
+            FROM documents
+            GROUP BY lang
+        ),
+        totals AS (
+            SELECT SUM(tokens)::BIGINT AS total_tokens FROM langs
+        ),
+        q AS (
+            SELECT lang, n_docs, tokens,
+                   (tokens * 1000000 // total_tokens)::BIGINT
+                       AS observed_micro,
+                   floor(round(pow(tokens::DOUBLE / total_tokens::DOUBLE,
+                                   {TEMP_ALPHA}), 6)
+                         * 1000000)::BIGINT AS q_micro
+            FROM langs CROSS JOIN totals
+        ),
+        qt AS (SELECT SUM(q_micro)::BIGINT AS sum_q_micro FROM q)
+        SELECT lang, n_docs, tokens, observed_micro,
+               (q_micro * 1000000 // sum_q_micro)::BIGINT AS sample_micro,
+               (CASE WHEN observed_micro = 0 THEN NULL ELSE
+                    (q_micro * 1000000 // sum_q_micro) * 1000000
+                    // observed_micro
+                END)::BIGINT AS ratio_micro
+        FROM q CROSS JOIN qt
+    """

@@ -727,3 +727,61 @@ def q_page_xycut_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_page_xycut_blocks() -> str:
     return xycut_blocks_sql("duck")
+
+
+# ---------------------------------------------------------------------------
+# OCR confidence dashboard over the cells table
+# ---------------------------------------------------------------------------
+# The reference's TextCell carries `from_ocr` and `confidence`
+# (page.py TextCell fields); production extraction gates pages on OCR
+# quality (low-confidence pages go to re-OCR or get dropped). This
+# dashboard is that gate's input: per page, the OCR-cell fraction and
+# the confidence distribution in exact micro-unit integers. The
+# synthetic cells table carries a constant confidence, so the query
+# derives a deterministic non-degenerate confidence from
+# (page_id, cell_index) residues — a production run reads the real
+# TextCell column through the identical aggregate shapes.
+# 100 TB story: zero windows — one map-side-combined groupBy on the
+# uniform page_id key; all signals are integer sums/mins.
+
+OCR_LOW_CONF_MICRO = 600_000
+
+_OCR_CONF = "(500000 + (page_id * 7919 + cell_index * 104729) % 500000)"
+
+
+def ocr_quality_sql(src: str, dialect: str, extra_cte: str = "") -> str:
+    # integer division only: '/' yields a double in both engines but
+    # double->BIGINT casts TRUNCATE on Spark and ROUND on DuckDB — a
+    # silent cross-engine divergence on any .5+ mean
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+        WITH {extra_cte}c AS (
+            SELECT page_id, cell_index, from_ocr,
+                   CAST({_OCR_CONF} AS BIGINT) AS conf_micro
+            FROM {src} WHERE unit = '{UNIT_LINE}'
+        )
+        SELECT page_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(CASE WHEN from_ocr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ocr,
+               CAST(sum(conf_micro) {div} count(*) AS BIGINT)
+                   AS mean_conf_micro,
+               CAST(min(conf_micro) AS BIGINT) AS min_conf_micro,
+               CAST(sum(CASE WHEN conf_micro < {OCR_LOW_CONF_MICRO}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_low_conf,
+               bool_and(NOT from_ocr) AS machine_born
+        FROM c
+        GROUP BY page_id
+    """
+
+
+def q_page_ocr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_cells_view(spark, sf_dir)
+    return spark.sql(ocr_quality_sql("pages_cells", "spark"))
+
+
+def sql_page_ocr_quality() -> str:
+    return ocr_quality_sql(
+        "pages_cells", "duck",
+        extra_cte=f"pages_cells AS ({cells_synth_sql('duck')}), ",
+    )

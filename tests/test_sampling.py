@@ -192,3 +192,32 @@ def test_dsir_select_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_temperature_mixture_flattens_toward_tail(spark):
+    """alpha=0.3 tempering must upsample every tail language
+    (ratio > 1) and downsample the head (en, ratio < 1); sampling
+    shares sum to ~1e6 micro and both engines agree bit-for-bit."""
+    import duckdb
+
+    from docling_core_spark.corpus.sampling import (
+        q_temperature_mixture, sql_temperature_mixture,
+    )
+
+    rows = q_temperature_mixture(spark, SF).collect()
+    by_lang = {r.lang: r for r in rows}
+    head = max(rows, key=lambda r: r.tokens)
+    assert head.lang == "en"
+    assert head.ratio_micro < 1_000_000
+    for r in rows:
+        if r.lang != head.lang:
+            assert r.ratio_micro > 1_000_000, r
+    assert abs(sum(r.sample_micro for r in rows) - 1_000_000) <= len(rows)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    )
+    orc = set(map(tuple, con.execute(sql_temperature_mixture()).fetchall()))
+    assert {tuple(r) for r in rows} == orc
