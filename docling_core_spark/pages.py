@@ -785,3 +785,105 @@ def sql_page_ocr_quality() -> str:
         "pages_cells", "duck",
         extra_cte=f"pages_cells AS ({cells_synth_sql('duck')}), ",
     )
+
+
+# ---------------------------------------------------------------------------
+# furniture detection: repeated header/footer lines across pages
+# ---------------------------------------------------------------------------
+# The reference splits content into BODY vs FURNITURE layers
+# (ContentLayer; headers, footers, page numbers). Raw layout parses
+# don't carry that label — extraction pipelines DERIVE it from
+# repetition: a full line recurring at the same vertical band across
+# many pages is furniture (the rule behind every PDF header/footer
+# stripper). The synthesis injects a per-source header line and a
+# global footer line into every page (cell_index < 0 marks injected
+# rows, giving the gate a ground truth the detector must reproduce);
+# detection itself never looks at the sign — only at (line text, band,
+# distinct-page support).
+#
+# 100 TB story: line assembly is a groupBy on the uniform
+# (page_id, band) key; support counting is TWO aggregations so the hot
+# boilerplate key never accumulates distinct-state: first a groupBy on
+# (line, band, page_id) — page_id keeps the key uniform — then a
+# map-side-combinable count per (line, band). The support table joins
+# back broadcast-sized (distinct repeated lines, not pages).
+
+FURN_MIN_PAGES = 10
+FURN_BAND_PT = 40
+
+
+def furniture_sql(dialect: str) -> str:
+    if dialect == "spark":
+        line_agg = (
+            "array_join(transform(array_sort(collect_list("
+            "struct(c_l, text))), x -> x.text), ' ')"
+        )
+        div = "div"
+        synth = cells_synth_sql("spark")
+        hdr_src = "pages_src_docs"
+    else:
+        line_agg = "string_agg(text, ' ' ORDER BY c_l)"
+        div = "//"
+        synth = cells_synth_sql("duck")
+        hdr_src = "documents"
+    return f"""
+        WITH grid AS ({synth}),
+        cells AS (
+            SELECT page_id, cell_index,
+                   CAST(r_y2 AS BIGINT) {div} {FURN_BAND_PT} AS band,
+                   r_x0 AS c_l, text
+            FROM grid WHERE unit = '{UNIT_LINE}'
+            UNION ALL
+            SELECT doc_id AS page_id, -1 AS cell_index,
+                   780 {div} {FURN_BAND_PT} AS band,
+                   CAST(40 AS DOUBLE) AS c_l,
+                   'hdr ' || source AS text
+            FROM {hdr_src}
+            UNION ALL
+            SELECT doc_id AS page_id, -2 AS cell_index,
+                   30 {div} {FURN_BAND_PT} AS band,
+                   CAST(40 AS DOUBLE) AS c_l,
+                   'confidential draft' AS text
+            FROM {hdr_src}
+        ),
+        lines AS (
+            SELECT page_id, band,
+                   {line_agg} AS line,
+                   min(cell_index) AS min_ci,
+                   count(*) AS n_cells
+            FROM cells
+            GROUP BY page_id, band
+        ),
+        line_pages AS (
+            SELECT line, band, page_id
+            FROM lines GROUP BY line, band, page_id
+        ),
+        support AS (
+            SELECT line, band, count(*) AS n_pages
+            FROM line_pages GROUP BY line, band
+        ),
+        marked AS (
+            SELECT l.page_id, l.band, l.n_cells, l.min_ci,
+                   s.n_pages >= {FURN_MIN_PAGES} AS is_furniture
+            FROM lines l JOIN support s
+              ON l.line = s.line AND l.band = s.band
+        )
+        SELECT page_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN is_furniture THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_furniture,
+               CAST(sum(CASE WHEN is_furniture THEN 0 ELSE n_cells END)
+                    AS BIGINT) AS body_cells,
+               bool_and(is_furniture = (min_ci < 0)) AS detect_exact
+        FROM marked
+        GROUP BY page_id
+    """
+
+
+def q_page_furniture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_cells_view(spark, sf_dir)
+    return spark.sql(furniture_sql("spark"))
+
+
+def sql_page_furniture() -> str:
+    return furniture_sql("duck")

@@ -376,3 +376,30 @@ def test_ocr_quality_signals_consistent(spark):
         assert r.n_ocr == (0 if r.machine_born else r.n_cells)
         assert 500_000 <= r.min_conf_micro <= r.mean_conf_micro < 1_000_000
         assert 0 <= r.n_low_conf <= r.n_cells
+
+
+def test_furniture_detection_crafted(spark):
+    """The repetition rule must mark the injected header/footer lines
+    as furniture and every grid line as body (detect_exact per page);
+    below the support threshold, nothing is furniture."""
+    from docling_core_spark.pages import (
+        FURN_MIN_PAGES, q_page_furniture, sql_page_furniture,
+    )
+
+    rows = q_page_furniture(spark, SF_DIR).collect()
+    assert rows and all(r.detect_exact for r in rows)
+    assert all(r.n_furniture == 2 for r in rows)
+    assert all(r.n_lines > 2 for r in rows)
+
+    # a corpus smaller than the support threshold: no furniture at all
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR, source VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, ?)",
+        [(i, f"w{i}a w{i}b w{i}c w{i}d", "s0")
+         for i in range(FURN_MIN_PAGES - 1)],
+    )
+    small = con.execute(sql_page_furniture()).fetchall()
+    assert small and all(r[2] == 0 for r in small)
