@@ -1019,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ladder": CF.q_repetition_ladder,
         "text_normalize": CN.q_text_normalize,
         "normalize_uplift": CN.q_normalize_uplift,
+        "dehyphenate": CN.q_dehyphenate,
         "pii_scrub": CF.q_pii_scrub,
         "decontaminate": CF.q_decontaminate,
         "bloom_decontaminate": CF.q_bloom_decontaminate,
@@ -1331,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_ladder": CF.sql_repetition_ladder(),
         "text_normalize": CN.sql_text_normalize(),
         "normalize_uplift": CN.sql_normalize_uplift(),
+        "dehyphenate": CN.sql_dehyphenate(),
         "pii_scrub": CF.sql_pii_scrub(),
         "decontaminate": CF.sql_decontaminate(),
         "bloom_decontaminate": CF.sql_bloom_decontaminate(),

@@ -175,3 +175,118 @@ def sql_normalize_uplift() -> str:
                COALESCE(n_groups_canon, 0) AS n_groups_canon
         FROM raw FULL JOIN canon USING (group_size)
     """
+
+
+# ---------------------------------------------------------------------------
+# de-hyphenation: PDF line-break hyphen repair
+# ---------------------------------------------------------------------------
+# PDF text extraction yields words split across line breaks as
+# "exam- ple"; every PDF-corpus pipeline (including the pipelines that
+# feed docling-style parsers) repairs them by merging a
+# hyphen-terminated token with its successor. Same self-validating
+# synthesis discipline as text_normalize: deterministically SPLIT every
+# 7th token of length >= 5 into 'left- right', then repair — the
+# repaired token stream must equal the original exactly (`recovered`),
+# and the hyphenated stream must differ wherever a split was injected
+# (`changed`). Injection guarantees no two adjacent splits, so the
+# repair never chains (real corpora can chain across pages; the rule
+# iterates there — one extra pass per chain depth).
+#
+# The repair is two LINEAR transforms over the token array (mark
+# successors of a hyphen-token, merge, drop the hyphen-tokens) — no
+# fold with an array accumulator (O(n^2) copying, the re-split trap
+# SCALE.md documents). Zero shuffles; everything is per-row lambda
+# expressions inside whole-stage codegen.
+
+DEHYPH_EVERY = 7
+DEHYPH_MIN_LEN = 5
+
+
+def _hyph_split(duck: bool) -> str:
+    """Token array with every DEHYPH_EVERY-th long token split into
+    'xxx-' + 'yyy' (flattened)."""
+    if duck:
+        return (
+            "flatten(list_transform(range(1, len(toks) + 1),"
+            f" i -> CASE WHEN (i - 1) % {DEHYPH_EVERY} = 0"
+            f"  AND len(toks[i]) >= {DEHYPH_MIN_LEN}"
+            " THEN [toks[i][1:2] || '-', toks[i][3:]]"
+            " ELSE [toks[i]] END))"
+        )
+    return (
+        "flatten(transform(sequence(0, size(toks) - 1),"
+        f" i -> CASE WHEN i % {DEHYPH_EVERY} = 0"
+        f"  AND length(toks[i]) >= {DEHYPH_MIN_LEN}"
+        " THEN array(concat(substring(toks[i], 1, 2), '-'),"
+        " substring(toks[i], 3))"
+        " ELSE array(toks[i]) END))"
+    )
+
+
+def _dehyph(duck: bool) -> str:
+    """Linear repair over `hy`: merge 'xxx-' with the next token."""
+    if duck:
+        merged = (
+            "list_transform(range(1, len(hy) + 1),"
+            " i -> CASE WHEN hy[i][-1:] = '-' THEN NULL"
+            " WHEN i > 1 AND hy[i - 1][-1:] = '-'"
+            # DuckDB slice bounds are INCLUSIVE (unlike Python): [:-1]
+            # keeps the final char, so drop-last is [:-2]
+            " THEN hy[i - 1][:-2] || hy[i]"
+            " ELSE hy[i] END)"
+        )
+        return f"list_filter({merged}, t -> t IS NOT NULL)"
+    merged = (
+        "transform(sequence(0, size(hy) - 1),"
+        " i -> CASE WHEN substring(hy[i], -1) = '-' THEN NULL"
+        " WHEN i > 0 AND substring(hy[i - 1], -1) = '-'"
+        " THEN concat(substring(hy[i - 1], 1, length(hy[i - 1]) - 1),"
+        " hy[i])"
+        " ELSE hy[i] END)"
+    )
+    return f"filter({merged}, t -> t IS NOT NULL)"
+
+
+def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import TOKENS_SPARK
+
+    docs = read_spread(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    ).select(
+        "doc_id", "toks", F.expr(_hyph_split(False)).alias("hy")
+    ).select(
+        "doc_id", "toks", "hy", F.expr(_dehyph(False)).alias("fixed")
+    )
+    return base.select(
+        "doc_id",
+        F.expr("cast(size(toks) as bigint)").alias("n_tokens"),
+        F.expr("cast(size(hy) - size(toks) as bigint)").alias("n_splits"),
+        F.expr("fixed = toks").alias("recovered"),
+        F.expr("(size(hy) > size(toks)) = (hy != toks)").alias("changed_iff_split"),
+        F.expr("md5(array_join(fixed, ' '))").alias("fixed_md5"),
+    )
+
+
+def sql_dehyphenate() -> str:
+    from .textstats import TOKENS_DUCK
+
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+        ),
+        hyph AS (
+            SELECT doc_id, toks, {_hyph_split(True)} AS hy FROM base
+        ),
+        fix AS (
+            SELECT doc_id, toks, hy, {_dehyph(True)} AS fixed FROM hyph
+        )
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               (len(hy) - len(toks))::BIGINT AS n_splits,
+               fixed = toks AS recovered,
+               (len(hy) > len(toks)) = (hy != toks) AS changed_iff_split,
+               md5(list_aggregate(list_transform(fixed, x -> x),
+                   'string_agg', ' ')) AS fixed_md5
+        FROM fix
+    """

@@ -1748,3 +1748,27 @@ def test_zorder_layout_narrows_user_zone_maps(spark):
     for r in by["zorder"]:
         assert 0 <= r["file_id"] < ZORDER_FILES
         assert r["zone_area"] >= r["n_rows"] // 64  # sane stats
+
+
+def test_dehyphenate_repairs_crafted(spark):
+    """The hyphen repair must merge a crafted 'exam- ple' split back
+    and leave non-hyphen tokens alone; chained hyphens cannot occur in
+    the synthesis (every 7th token), asserted by construction here."""
+    import duckdb
+
+    from docling_core_spark.corpus.normalize import (
+        q_dehyphenate, sql_dehyphenate,
+    )
+
+    rows = q_dehyphenate(spark, SF_DIR).collect()
+    assert all(r.recovered for r in rows)
+    assert all(r.changed_iff_split for r in rows)
+    assert sum(r.n_splits for r in rows) > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    orc = set(map(tuple, con.execute(sql_dehyphenate()).fetchall()))
+    assert {tuple(r) for r in rows} == orc
