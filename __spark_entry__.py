@@ -742,6 +742,54 @@ _SQL_TPCH_Q3_ORACLE = """
     LIMIT 10
 """
 
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted to the driver's
+    trimmed lineitem schema: the reference predicate
+    l_commitdate < l_receiptdate has no columns here, so the EXISTS
+    condition becomes "some line item shipped > 60 days after the
+    order date" — the join SHAPE (correlated EXISTS = LEFT SEMI with a
+    non-equi conjunct) is what the query evidences. Orders from 1996,
+    counted per priority.
+
+    100 TB story: the semi join carries NO payload from the probe side
+    (Spark prunes lineitem to l_orderkey + l_shipdate) and short-
+    circuits per matching order; both scans get their pushed filters;
+    the closing rollup is a map-side-combined groupBy on a 5-value
+    key."""
+    from docling_core_spark.corpus import read_spread
+
+    orders = read_spread(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = read_spread(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate
+           > F.expr("o_orderdate + INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("order_count")
+    )
+
+
+_SQL_TPCH_Q4_ORACLE = """
+    SELECT o.o_orderpriority, COUNT(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY 1
+"""
+
 
 def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local-supplier volume): six-way join — region-filtered
@@ -1161,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational sanity (scan/filter/agg/join/window/sessionize)
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
@@ -1418,6 +1467,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_stats": _SQL_LANG_STATS.format(documents="documents"),
         "tpch_q1": _SQL_TPCH_Q1.format(lineitem="lineitem"),
         "tpch_q3": _SQL_TPCH_Q3_ORACLE,
+        "tpch_q4": _SQL_TPCH_Q4_ORACLE,
         "tpch_q5": _SQL_TPCH_Q5_ORACLE,
         "top_customers": _SQL_TOP_CUSTOMERS.format(
             orders="orders", customer="customer"

@@ -774,3 +774,19 @@ def test_reading_order_windows_partition_by_page(spark):
     assert specs, plan
     for s in specs:
         assert "page_id" in s, (s, plan)
+
+
+def test_tpch_q4_uses_semi_join(spark):
+    """The EXISTS must compile to a LEFT SEMI join (probe side carries
+    no payload, short-circuits per order) — a full inner join + dedup
+    would rebuild the duplicate rows Q4 exists to avoid."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["tpch_q4"](spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "ReadSchema" in plan
+    li_scans = [ln for ln in plan.splitlines()
+                if "ReadSchema" in ln and "l_orderkey" in ln]
+    assert li_scans and all(
+        "l_extendedprice" not in ln for ln in li_scans
+    ), plan
