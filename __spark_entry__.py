@@ -1171,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": CS.q_ann_ivf_topk,
         "ann_recall": CS.q_ann_recall,
         "ivf_cluster_stats": CS.q_ivf_cluster_stats,
+        "cluster_topics": CS.q_cluster_topics,
+        "emb_quantize_int8": CS.q_emb_quantize_int8,
         "pq_encode": CS.q_pq_encode,
         "pq_search": CS.q_pq_search,
         "ivfpq_search": CS.q_ivfpq_search,
@@ -1354,6 +1356,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cluster_stats": CS.sql_ivf_cluster_stats(
             f"/root/testdata/sf{gate_sf}"
         ),
+        "cluster_topics": CS.sql_cluster_topics(f"/root/testdata/sf{gate_sf}"),
+        "emb_quantize_int8": CS.sql_emb_quantize_int8(),
         "pq_encode": CS.sql_pq_encode(f"/root/testdata/sf{gate_sf}"),
         "pq_search": CS.sql_pq_search(f"/root/testdata/sf{gate_sf}"),
         "ivfpq_search": CS.sql_ivfpq_search(

@@ -95,10 +95,12 @@ GROUPS: dict[str, list[str]] = {
         "knn_bruteforce", "lsh_bucket_stats", "ann_lsh_topk",
         "ann_lsh_multiprobe",
         "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "kmeans_step",
+        "cluster_topics",
         "pq_encode",
         "pq_search", "ivfpq_search", "pq_recall", "neardup_cosine",
         "semdedup_clusters", "hard_negatives", "label_cohesion",
         "emb_dim_stats", "emb_covariance", "emb_norm_hist", "emb_pca_var",
+        "emb_quantize_int8",
         "emb_outliers",
     ],
     "rel": [

@@ -1864,3 +1864,211 @@ def sql_kmeans_step(sf_dir: str = "/root/testdata/sf0.01") -> str:
                sum(abs(mean_milli - c_milli))::BIGINT AS shift_l1_milli
         FROM per_dim GROUP BY c_id
     """
+
+
+# ---------------------------------------------------------------------------
+# cluster_topics: label each embedding cluster with its top terms
+# ---------------------------------------------------------------------------
+
+TOPIC_TOP_K = 5
+
+
+def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic labels for the IVF cells: assign every vector to its
+    max-cosine centroid, join the aligned documents table (vec_id ==
+    doc_id, the driver's shared id space), and rank each cell's most
+    frequent tokens — the "what is this cluster about" dashboard every
+    embedding-clustered corpus curation run ships (SemDeDup-style
+    cluster explainability; cluster-balanced mixture reporting).
+    Deterministic top-{K}: count desc, then term.
+
+    100 TB story: assignment is the broadcast-centroid scan shape
+    (no shuffle); the documents join runs on the uniform shared id;
+    the term rollup is a map-side-combined groupBy on (c_id, term) —
+    output bounded by k x vocab, and the ranking window partitions on
+    the k-sized c_id key over vocab-bounded rows, never the corpus.
+    Reference analog: none (SURVEY.md §2.8)."""
+    from pyspark.sql.window import Window
+
+    from . import read_spread
+    from .textstats import TOKENS_SPARK
+
+    e = _cached_emb(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(ivf_centroids(spark, sf_dir))],
+        "c_id int, c_emb array<double>",
+    ).withColumn("c_nrm", F.expr(f"sqrt({_norm2_spark('c_emb')})"))
+    scored = (
+        e.alias("s")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "s.vec_id", "c_id",
+            F.expr(
+                f"round({_dot_spark('s.emb', 'c_emb')}"
+                f" / (s.nrm * c_nrm), 6)"
+            ).alias("c_cos"),
+        )
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("c_id")
+    )
+    assigned = (
+        scored.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") == 1)
+        .select("vec_id", "c_id")
+    )
+    docs = read_spread(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        F.explode(F.expr(TOKENS_SPARK)).alias("term"),
+    )
+    counts = assigned.join(docs, "vec_id").groupBy("c_id", "term").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wt = Window.partitionBy("c_id").orderBy(
+        F.col("cnt").desc(), F.col("term")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= TOPIC_TOP_K)
+        .select(
+            F.col("c_id").cast("bigint").alias("c_id"),
+            F.col("rk").cast("bigint").alias("rk"),
+            "term", "cnt",
+        )
+    )
+
+
+def sql_cluster_topics(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    cdot = (
+        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> a.embedding[i]::DOUBLE * c.c_emb[i]))"
+    )
+    cna = _norm2_duck("a.embedding")
+    cnc = (
+        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> c.c_emb[i] * c.c_emb[i]))"
+    )
+    from .textstats import TOKENS_DUCK
+
+    return f"""
+        WITH cents AS (
+            SELECT * FROM {_centroid_values_duck(sf_dir)}
+        ),
+        scored AS (
+            SELECT a.vec_id, c.c_id,
+                   round({cdot} / (sqrt({cna}) * sqrt({cnc})), 6)
+                       AS c_cos
+            FROM embeddings a CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT vec_id, c_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY c_cos DESC, c_id
+                ) AS crnk FROM scored
+            ) WHERE crnk = 1
+        ),
+        terms AS (
+            SELECT d.doc_id AS vec_id, unnest({TOKENS_DUCK}) AS term
+            FROM documents d
+        ),
+        counts AS (
+            SELECT a.c_id, t.term, COUNT(*)::BIGINT AS cnt
+            FROM assigned a JOIN terms t USING (vec_id)
+            GROUP BY a.c_id, t.term
+        )
+        SELECT c_id::BIGINT AS c_id, rk::BIGINT AS rk, term, cnt
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_id ORDER BY cnt DESC, term
+            ) AS rk FROM counts
+        ) WHERE rk <= {TOPIC_TOP_K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# emb_quantize_int8: scalar quantization (the FAISS SQ8 shape)
+# ---------------------------------------------------------------------------
+
+
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension scalar int8 quantization audit: train the
+    quantizer (per-dim min/max over the corpus), encode every value to
+    its 0..255 code, and report reconstruction error per dimension —
+    the simpler, faster cousin of PQ (FAISS SQ8: 1 byte/dim, 8x
+    smaller than float64 with near-zero recall loss at high dims).
+    Rounding is floor(x + 0.5) — Spark's round() is HALF_UP on the
+    decimal repr while DuckDB's is half-even, the documented
+    cross-engine trap.
+
+    100 TB story: two passes, each a map-side-combined groupBy on the
+    fixed EMB_DIM-key `pos` (64 rows out regardless of corpus size);
+    the trained (min, max) table broadcasts back into the encode scan.
+    Production materializes the int8 code table (64 B/vector vs 512) —
+    this query emits the audit that decides whether SQ8's error budget
+    is acceptable before that rewrite."""
+    e = _cached_emb(spark, sf_dir).select(
+        "vec_id", F.posexplode("emb").alias("pos", "v")
+    )
+    ranges = e.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    enc = e.join(F.broadcast(ranges), "pos").select(
+        "pos", "v", "mn", "mx",
+        F.expr(
+            "cast(case when mx > mn then"
+            " least(255, greatest(0,"
+            " floor((v - mn) / (mx - mn) * 255 + 0.5)))"
+            " else 0 end as int)"
+        ).alias("code"),
+    ).select(
+        "pos", "v", "mn",
+        F.expr(
+            "mn + cast(code as double) * (mx - mn) / 255"
+        ).alias("recon"),
+    )
+    return enc.groupBy("pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "cast(floor(min(mn) * 1000000) as bigint)"
+        ).alias("mn_micro"),
+        F.expr(
+            "cast(sum(cast(floor(abs(v - recon) * 1000000) as bigint))"
+            " as bigint)"
+        ).alias("sum_err_micro"),
+        F.expr(
+            "cast(max(cast(floor(abs(v - recon) * 1000000) as bigint))"
+            " as bigint)"
+        ).alias("max_err_micro"),
+    )
+
+
+def sql_emb_quantize_int8() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS v
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, {C.EMB_DIM}))
+                          AS i)
+        ),
+        ranges AS (
+            SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY pos
+        ),
+        enc AS (
+            SELECT e.pos, e.v, r.mn,
+                   r.mn + (CASE WHEN r.mx > r.mn THEN
+                       least(255, greatest(0,
+                           floor((e.v - r.mn) / (r.mx - r.mn) * 255
+                                 + 0.5)))
+                       ELSE 0 END)::INT::DOUBLE * (r.mx - r.mn) / 255
+                       AS recon
+            FROM e JOIN ranges r USING (pos)
+        )
+        SELECT (pos - 1) AS pos,
+               COUNT(*)::BIGINT AS n,
+               floor(min(mn) * 1000000)::BIGINT AS mn_micro,
+               SUM(floor(abs(v - recon) * 1000000)::BIGINT)::BIGINT
+                   AS sum_err_micro,
+               MAX(floor(abs(v - recon) * 1000000)::BIGINT)::BIGINT
+                   AS max_err_micro
+        FROM enc GROUP BY pos
+    """
