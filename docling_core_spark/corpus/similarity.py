@@ -1026,6 +1026,74 @@ def sql_ann_recall(sf_dir: str = "/root/testdata/sf0.01") -> str:
 # ---------------------------------------------------------------------------
 
 
+def _centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared max-cosine centroid assignment: broadcast k-row centroid
+    table onto the cached embedding scan, 6dp-rounded cosine, argmax
+    per vec_id with the c_id tie-break. Returns (vec_id, c_id, c_cos,
+    emb); consumers select what they need (Catalyst prunes the rest).
+    ONE definition of the assignment contract — ivf_cluster_stats,
+    kmeans_step and cluster_topics all ride it, so a change to the
+    rounding or tie-break cannot drift between them."""
+    from pyspark.sql.window import Window
+
+    e = _cached_emb(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(ivf_centroids(spark, sf_dir))],
+        "c_id int, c_emb array<double>",
+    ).withColumn("c_nrm", F.expr(f"sqrt({_norm2_spark('c_emb')})"))
+    scored = (
+        e.alias("s")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "s.vec_id", "s.emb", "c_id",
+            F.expr(
+                f"round({_dot_spark('s.emb', 'c_emb')}"
+                f" / (s.nrm * c_nrm), 6)"
+            ).alias("c_cos"),
+        )
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("c_id")
+    )
+    return (
+        scored.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") == 1)
+        .select("vec_id", "c_id", "c_cos", "emb")
+    )
+
+
+def _assign_cte_duck(sf_dir: str) -> str:
+    """DuckDB twin of _centroid_assign: CTE text defining cents /
+    scored / assigned where assigned = (vec_id, c_id, c_cos,
+    embedding). Splice as the head of a WITH chain."""
+    cdot = (
+        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> a.embedding[i]::DOUBLE * c.c_emb[i]))"
+    )
+    cna = _norm2_duck("a.embedding")
+    cnc = (
+        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> c.c_emb[i] * c.c_emb[i]))"
+    )
+    return f"""cents AS (
+            SELECT * FROM {_centroid_values_duck(sf_dir)}
+        ),
+        scored AS (
+            SELECT a.vec_id, a.embedding, c.c_id,
+                   round({cdot} / (sqrt({cna}) * sqrt({cnc})), 6)
+                       AS c_cos
+            FROM embeddings a CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT vec_id, c_id, c_cos, embedding FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY c_cos DESC, c_id
+                ) AS crnk FROM scored
+            ) WHERE crnk = 1
+        )"""
+
+
+
 def q_ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-centroid cell occupancy + mean assigned cosine — the index
     diagnostics a production ANN deployment watches (cell imbalance
@@ -1038,37 +1106,11 @@ def q_ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined groupBy on the k-sized cell key. Mean cosine crosses the
     exchange as an exact micro-int sum (the lm_score discipline), so
     partition order cannot perturb the 6dp result."""
-    from pyspark.sql.window import Window
-
-    e = _cached_emb(spark, sf_dir)
-    cents = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(ivf_centroids(spark, sf_dir))],
-        "c_id int, c_emb array<double>",
-    ).withColumn("c_nrm", F.expr(f"sqrt({_norm2_spark('c_emb')})"))
-    scored = (
-        e.alias("s")
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "s.vec_id",
-            "c_id",
-            F.expr(
-                f"round({_dot_spark('s.emb', 'c_emb')}"
-                f" / (s.nrm * c_nrm), 6)"
-            ).alias("c_cos"),
-        )
-    )
-    wc = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("c_id")
-    )
-    assigned = (
-        scored.withColumn("crnk", F.row_number().over(wc))
-        .filter(F.col("crnk") == 1)
-        .select(
-            "c_id",
-            F.expr(
-                "cast(round(c_cos * 1000000) as bigint)"
-            ).alias("cos_micro"),
-        )
+    assigned = _centroid_assign(spark, sf_dir).select(
+        "c_id",
+        F.expr(
+            "cast(round(c_cos * 1000000) as bigint)"
+        ).alias("cos_micro"),
     )
     return (
         assigned.groupBy("c_id")
@@ -1089,39 +1131,17 @@ def q_ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_ivf_cluster_stats(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    cdot = (
-        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
-        f" i -> a.embedding[i]::DOUBLE * c.c_emb[i]))"
-    )
-    cna = _norm2_duck("a.embedding")
-    cnc = (
-        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
-        f" i -> c.c_emb[i] * c.c_emb[i]))"
-    )
     return f"""
-        WITH cents AS (
-            SELECT * FROM {_centroid_values_duck(sf_dir)}
-        ),
-        scored AS (
-            SELECT a.vec_id, c.c_id,
-                   round({cdot} / (sqrt({cna}) * sqrt({cnc})), 6)
-                       AS c_cos
-            FROM embeddings a CROSS JOIN cents c
-        ),
-        assigned AS (
-            SELECT c_id,
-                   round(c_cos * 1000000)::BIGINT AS cos_micro
-            FROM (
-                SELECT *, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY c_cos DESC, c_id
-                ) AS crnk FROM scored
-            ) WHERE crnk = 1
+        WITH {_assign_cte_duck(sf_dir)},
+        am AS (
+            SELECT c_id, round(c_cos * 1000000)::BIGINT AS cos_micro
+            FROM assigned
         )
         SELECT c_id::BIGINT AS c_id, COUNT(*)::BIGINT AS n_members,
                SUM(cos_micro)::BIGINT AS sum_cos_micro,
                round(SUM(cos_micro) / COUNT(*)::DOUBLE / 1000000.0, 6)
                    AS mean_cos
-        FROM assigned GROUP BY c_id
+        FROM am GROUP BY c_id
     """
 
 
@@ -1748,31 +1768,12 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     means re-broadcasting k x dim doubles per round — the same
     train-loop shape as compute_ivf_centroids, evidenced here as an
     oracle-checked query. Reference analog: none (SURVEY.md §2.8)."""
-    from pyspark.sql.window import Window
-
-    e = _cached_emb(spark, sf_dir)
     cents = spark.createDataFrame(
         [(i, c) for i, c in enumerate(ivf_centroids(spark, sf_dir))],
         "c_id int, c_emb array<double>",
-    ).withColumn("c_nrm", F.expr(f"sqrt({_norm2_spark('c_emb')})"))
-    scored = (
-        e.alias("s")
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "s.vec_id", "s.emb", "c_id",
-            F.expr(
-                f"round({_dot_spark('s.emb', 'c_emb')}"
-                f" / (s.nrm * c_nrm), 6)"
-            ).alias("c_cos"),
-        )
     )
-    wc = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("c_id")
-    )
-    assigned = (
-        scored.withColumn("crnk", F.row_number().over(wc))
-        .filter(F.col("crnk") == 1)
-        .select("vec_id", "c_id", "emb")
+    assigned = _centroid_assign(spark, sf_dir).select(
+        "vec_id", "c_id", "emb"
     )
     comp = assigned.select(
         "c_id", F.posexplode("emb").alias("pos", "v")
@@ -1807,36 +1808,12 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_kmeans_step(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    cdot = (
-        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
-        f" i -> a.embedding[i]::DOUBLE * c.c_emb[i]))"
-    )
-    cna = _norm2_duck("a.embedding")
-    cnc = (
-        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
-        f" i -> c.c_emb[i] * c.c_emb[i]))"
-    )
     off = KMEANS_MILLI_OFF
     return f"""
-        WITH cents AS (
-            SELECT * FROM {_centroid_values_duck(sf_dir)}
-        ),
-        scored AS (
-            SELECT a.vec_id, a.embedding, c.c_id,
-                   round({cdot} / (sqrt({cna}) * sqrt({cnc})), 6)
-                       AS c_cos
-            FROM embeddings a CROSS JOIN cents c
-        ),
-        assigned AS (
-            SELECT vec_id, c_id, embedding FROM (
-                SELECT *, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY c_cos DESC, c_id
-                ) AS crnk FROM scored
-            ) WHERE crnk = 1
-        ),
+        WITH {_assign_cte_duck(sf_dir)},
         comp AS (
             SELECT c_id, i - 1 AS pos,
-                   floor(embedding[i] * 1000)::BIGINT AS v_milli
+                   floor(embedding[i]::DOUBLE * 1000)::BIGINT AS v_milli
             FROM assigned
             CROSS JOIN (SELECT unnest(generate_series(1, {C.EMB_DIM}))
                         AS i)
@@ -1893,30 +1870,7 @@ def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import read_spread
     from .textstats import TOKENS_SPARK
 
-    e = _cached_emb(spark, sf_dir)
-    cents = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(ivf_centroids(spark, sf_dir))],
-        "c_id int, c_emb array<double>",
-    ).withColumn("c_nrm", F.expr(f"sqrt({_norm2_spark('c_emb')})"))
-    scored = (
-        e.alias("s")
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "s.vec_id", "c_id",
-            F.expr(
-                f"round({_dot_spark('s.emb', 'c_emb')}"
-                f" / (s.nrm * c_nrm), 6)"
-            ).alias("c_cos"),
-        )
-    )
-    wc = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("c_id")
-    )
-    assigned = (
-        scored.withColumn("crnk", F.row_number().over(wc))
-        .filter(F.col("crnk") == 1)
-        .select("vec_id", "c_id")
-    )
+    assigned = _centroid_assign(spark, sf_dir).select("vec_id", "c_id")
     docs = read_spread(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"),
         F.explode(F.expr(TOKENS_SPARK)).alias("term"),
@@ -1939,34 +1893,10 @@ def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_cluster_topics(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    cdot = (
-        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
-        f" i -> a.embedding[i]::DOUBLE * c.c_emb[i]))"
-    )
-    cna = _norm2_duck("a.embedding")
-    cnc = (
-        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
-        f" i -> c.c_emb[i] * c.c_emb[i]))"
-    )
     from .textstats import TOKENS_DUCK
 
     return f"""
-        WITH cents AS (
-            SELECT * FROM {_centroid_values_duck(sf_dir)}
-        ),
-        scored AS (
-            SELECT a.vec_id, c.c_id,
-                   round({cdot} / (sqrt({cna}) * sqrt({cnc})), 6)
-                       AS c_cos
-            FROM embeddings a CROSS JOIN cents c
-        ),
-        assigned AS (
-            SELECT vec_id, c_id FROM (
-                SELECT *, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY c_cos DESC, c_id
-                ) AS crnk FROM scored
-            ) WHERE crnk = 1
-        ),
+        WITH {_assign_cte_duck(sf_dir)},
         terms AS (
             SELECT d.doc_id AS vec_id, unnest({TOKENS_DUCK}) AS term
             FROM documents d

@@ -530,7 +530,11 @@ def reading_order_sql(dialect: str) -> str:
     """Per page: column count found by the X-cut, the gutter midpoint,
     and whether the recovered order reproduces the true reading order
     (rank - 1 == cell_index for every cell). The window/aggregate SQL
-    is dialect-identical; only the synthesis CTE differs."""
+    is dialect-identical except the midpoint division: a double->BIGINT
+    CAST truncates on Spark but rounds on DuckDB, so the midpoint is
+    integerised with floor() first and halved with the dialect's
+    integer-division operator."""
+    div = "div" if dialect == "spark" else "//"
     return f"""
         WITH cells2 AS ({cells2_synth_sql(dialect)}),
         runr AS (
@@ -578,7 +582,8 @@ def reading_order_sql(dialect: str) -> str:
         SELECT page_id,
                CAST(count(*) AS BIGINT) AS n_cells,
                CAST(max(col) + 1 AS INT) AS n_cols,
-               CAST((max(gap_l) + max(gap_r)) / 2 AS BIGINT) AS gutter_mid,
+               CAST(floor(max(gap_l) + max(gap_r)) AS BIGINT) {div} 2
+                   AS gutter_mid,
                bool_and(rk - 1 = cell_index) AS order_ok,
                bool_and(naive_rk - 1 = cell_index) AS naive_ok
         FROM ranked
@@ -822,7 +827,7 @@ def furniture_sql(dialect: str) -> str:
         synth = cells_synth_sql("spark")
         hdr_src = "pages_src_docs"
     else:
-        line_agg = "string_agg(text, ' ' ORDER BY c_l)"
+        line_agg = "string_agg(text, ' ' ORDER BY c_l, text)"
         div = "//"
         synth = cells_synth_sql("duck")
         hdr_src = "documents"
