@@ -1173,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cluster_stats": CS.q_ivf_cluster_stats,
         "cluster_topics": CS.q_cluster_topics,
         "emb_quantize_int8": CS.q_emb_quantize_int8,
+        "bitext_mine": CS.q_bitext_mine,
         "pq_encode": CS.q_pq_encode,
         "pq_search": CS.q_pq_search,
         "ivfpq_search": CS.q_ivfpq_search,
@@ -1358,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cluster_topics": CS.sql_cluster_topics(f"/root/testdata/sf{gate_sf}"),
         "emb_quantize_int8": CS.sql_emb_quantize_int8(),
+        "bitext_mine": CS.sql_bitext_mine(),
         "pq_encode": CS.sql_pq_encode(f"/root/testdata/sf{gate_sf}"),
         "pq_search": CS.sql_pq_search(f"/root/testdata/sf{gate_sf}"),
         "ivfpq_search": CS.sql_ivfpq_search(

@@ -100,7 +100,7 @@ GROUPS: dict[str, list[str]] = {
         "pq_search", "ivfpq_search", "pq_recall", "neardup_cosine",
         "semdedup_clusters", "hard_negatives", "label_cohesion",
         "emb_dim_stats", "emb_covariance", "emb_norm_hist", "emb_pca_var",
-        "emb_quantize_int8",
+        "emb_quantize_int8", "bitext_mine",
         "emb_outliers",
     ],
     "rel": [

@@ -2002,3 +2002,127 @@ def sql_emb_quantize_int8() -> str:
                    AS max_err_micro
         FROM enc GROUP BY pos
     """
+
+
+# ---------------------------------------------------------------------------
+# bitext_mine: margin-based cross-lingual pair mining
+# ---------------------------------------------------------------------------
+
+BITEXT_QUERY_MAX_ID = 128  # non-en docs with doc_id below this are queries
+BITEXT_MARGIN_K = 4        # margin denominator: mean of the top-K cosines
+
+
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual pair mining (the LASER/CCMatrix recipe, Artetxe &
+    Schwenk 2019): for each non-English query document, find its best
+    English neighbor by cosine and report the RATIO MARGIN — top-1
+    cosine over the mean of the top-K — which separates true
+    translations from hubness artifacts far better than the raw score.
+
+    Integer discipline: cosines integerise to micro after the 6dp
+    round; the margin divides OFFSET cosines (cos_micro + 1e6 >= 0)
+    because Spark's `div` truncates toward zero while DuckDB's `//`
+    floors — they agree only on non-negative operands.
+
+    100 TB story: the bounded query set (non-en, doc_id <
+    {BITEXT_QUERY_MAX_ID}) broadcasts onto the English-side scan — the
+    knn_bruteforce plan shape; a production mine swaps the exact scan
+    for the banded-LSH / IVF candidate machinery already in this module
+    (ann_lsh_topk pattern) and keeps this exact path as its recall
+    oracle. Per-query state is the top-K window, never corpus-wide."""
+    from pyspark.sql.window import Window
+
+    from . import read_spread
+
+    e = _cached_emb(spark, sf_dir)
+    langs = read_spread(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    emb_l = e.join(langs, "vec_id")
+    queries = emb_l.filter(
+        (F.col("lang") != "en")
+        & (F.col("vec_id") < BITEXT_QUERY_MAX_ID)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("lang").alias("q_lang"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    targets = emb_l.filter(F.col("lang") == "en").select(
+        F.col("vec_id").alias("t_id"), "emb", "nrm"
+    )
+    scored = (
+        targets.crossJoin(F.broadcast(queries))
+        .select(
+            "q_id", "q_lang", "t_id",
+            F.expr(
+                f"cast(round(round({_dot_spark('emb', 'q_emb')}"
+                " / (nrm * q_nrm), 6) * 1000000) as bigint)"
+            ).alias("cos_micro"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("cos_micro").desc(), F.col("t_id")
+    )
+    topk = scored.withColumn("rk", F.row_number().over(wq)).filter(
+        F.col("rk") <= BITEXT_MARGIN_K
+    )
+    return topk.groupBy("q_id", "q_lang").agg(
+        F.expr("max(case when rk = 1 then t_id end)").alias("best_en"),
+        F.expr(
+            "cast(max(case when rk = 1 then cos_micro end) as bigint)"
+        ).alias("cos1_micro"),
+        F.expr(
+            "cast((max(case when rk = 1 then cos_micro end) + 1000000)"
+            " * 1000000"
+            " div ((sum(cos_micro) + count(*) * 1000000) div count(*))"
+            " as bigint)"
+        ).alias("margin_ppm"),
+    )
+
+
+def sql_bitext_mine() -> str:
+    cdot = (
+        f"list_sum(list_transform(generate_series(1, {C.EMB_DIM}),"
+        f" i -> t.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))"
+    )
+    cnt = _norm2_duck("t.embedding")
+    cnq = _norm2_duck("q.embedding")
+    return f"""
+        WITH langs AS (
+            SELECT e.vec_id, e.embedding, d.lang
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        ),
+        q AS (
+            SELECT vec_id AS q_id, lang AS q_lang, embedding
+            FROM langs
+            WHERE lang <> 'en' AND vec_id < {BITEXT_QUERY_MAX_ID}
+        ),
+        t AS (
+            SELECT vec_id AS t_id, embedding FROM langs
+            WHERE lang = 'en'
+        ),
+        scored AS (
+            SELECT q.q_id, q.q_lang, t.t_id,
+                   round(round({cdot} / (sqrt({cnt}) * sqrt({cnq})), 6)
+                         * 1000000)::BIGINT AS cos_micro
+            FROM t CROSS JOIN q
+        ),
+        topk AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY cos_micro DESC, t_id
+                ) AS rk FROM scored
+            ) WHERE rk <= {BITEXT_MARGIN_K}
+        )
+        SELECT q_id, q_lang,
+               max(CASE WHEN rk = 1 THEN t_id END) AS best_en,
+               max(CASE WHEN rk = 1 THEN cos_micro END)::BIGINT
+                   AS cos1_micro,
+               ((max(CASE WHEN rk = 1 THEN cos_micro END) + 1000000)
+                * 1000000
+                // ((sum(cos_micro) + COUNT(*) * 1000000) // COUNT(*))
+               )::BIGINT AS margin_ppm
+        FROM topk GROUP BY q_id, q_lang
+    """

@@ -53,3 +53,18 @@ def test_sq8_error_bounded_by_step(spark):
     for r in rows:
         assert r.n > 0 and r.max_err_micro >= 0
         assert r.sum_err_micro <= r.n * (r.max_err_micro + 1)
+
+
+def test_bitext_margins_sane(spark):
+    """Every query is non-English, its best match is English, margins
+    are >= 1e6 ppm by construction (top-1 >= mean of top-K), and the
+    query set is the documented bounded id range."""
+    from docling_core_spark.corpus.similarity import (
+        BITEXT_QUERY_MAX_ID, q_bitext_mine,
+    )
+
+    rows = q_bitext_mine(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r.q_lang != "en" and r.q_id < BITEXT_QUERY_MAX_ID
+        assert r.margin_ppm >= 1_000_000
