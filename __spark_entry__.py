@@ -1096,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": CK.q_hll_distinct,
         "lm_score": CL.q_lm_score,
         "ccnet_buckets": CL.q_ccnet_buckets,
+        "segment_ppl": CL.q_segment_ppl,
         "lm2_score": CL2.q_lm2_score,
         "nb_langid": CNB.q_nb_langid,
         "nb_top_features": CNB.q_nb_top_features,
@@ -1420,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": CK.sql_hll_distinct(),
         "lm_score": CL.sql_lm_score(),
         "ccnet_buckets": CL.sql_ccnet_buckets(),
+        "segment_ppl": CL.sql_segment_ppl(),
         "lm2_score": CL2.sql_lm2_score(),
         "nb_langid": CNB.sql_nb_langid(),
         "nb_top_features": CNB.sql_nb_top_features(),

@@ -54,7 +54,7 @@ GROUPS: dict[str, list[str]] = {
         "cms_heavy_hitters", "kmv_distinct", "hll_distinct", "hist_quantiles",
         "bpe_pair_counts",
         "source_length_quantiles",
-        "langid_confusion", "lm_score", "ccnet_buckets", "lm2_score", "source_drift", "source_lang_entropy", "heldout_ppl",
+        "langid_confusion", "lm_score", "ccnet_buckets", "segment_ppl", "lm2_score", "source_drift", "source_lang_entropy", "heldout_ppl",
         "nb_langid", "nb_top_features",
         "tok_fertility",
         "extract_links", "link_pagerank", "link_hits", "anchor_text_agg",

