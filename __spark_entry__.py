@@ -1085,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": CW.q_link_hits,
         "anchor_text_agg": CW.q_anchor_text_agg,
         "link_cocitation": CW.q_link_cocitation,
+        "link_components": CW.q_link_components,
         # corpus keywords
         "top_ngrams": CK.q_top_ngrams,
         "pmi_pairs": CK.q_pmi_pairs,
@@ -1411,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "link_hits": CW.sql_link_hits(),
         "anchor_text_agg": CW.sql_anchor_text_agg(),
         "link_cocitation": CW.sql_link_cocitation(),
+        "link_components": CW.sql_link_components(),
         "top_ngrams": CK.sql_top_ngrams(),
         "pmi_pairs": CK.sql_pmi_pairs(),
         "zipf_fit": CK.sql_zipf_fit(),

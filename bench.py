@@ -58,7 +58,7 @@ GROUPS: dict[str, list[str]] = {
         "nb_langid", "nb_top_features",
         "tok_fertility",
         "extract_links", "link_pagerank", "link_hits", "anchor_text_agg",
-        "link_cocitation",
+        "link_cocitation", "link_components",
         "url_normalize", "domain_stats", "robots_filter",
         "crawl_frontier", "domain_quality", "data_split", "split_ks",
         "bloom_decontaminate", "mixture_weights", "temperature_mixture",

@@ -778,3 +778,98 @@ def sql_link_cocitation() -> str:
         JOIN deg da ON da.href = co.href_a
         JOIN deg db ON db.href = co.href_b
     """
+
+
+# ---------------------------------------------------------------------------
+# link_components: site/mirror clusters over the shared-outlink graph
+# ---------------------------------------------------------------------------
+
+LINKCC_MAX_DF = 64  # hrefs cited by more docs than this are hubs — dropped
+
+
+def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components over the "documents sharing an
+    outlink" graph — the site/mirror clustering a crawler feeds
+    domain-level dedup and seed selection. Reuses the dedup module's
+    pointer-jumping CC machinery (_min_label_components — the SAME
+    O(log diameter) operator, applied to a second graph, evidencing it
+    is generic, not dedup-specific). Hub links (cited by >
+    LINKCC_MAX_DF docs) are dropped before pair expansion — the
+    inverted-index df-cap discipline — so no href expands into a
+    quadratic pair blowup; every doc still appears in the output
+    (singletons label themselves).
+
+    Output mirrors dedup_clusters: (doc_id, cluster_id, cluster_size,
+    is_canonical)."""
+    from .dedup import _min_label_components
+
+    links = (
+        q_extract_links(spark, sf_dir)
+        .select("doc_id", "href")
+        .distinct()
+    )
+    df_ok = links.groupBy("href").agg(
+        F.count("*").cast("bigint").alias("df")
+    ).filter(F.col("df") <= LINKCC_MAX_DF).select("href")
+    capped = links.join(F.broadcast(df_ok), "href")
+    perhref = capped.groupBy("href").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
+    )
+    pairs = perhref.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds)),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b").distinct()
+    docs = read_spread(spark, sf_dir, "documents").select("doc_id")
+    labels = _min_label_components(docs, pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def sql_link_components() -> str:
+    return f"""
+        WITH RECURSIVE
+        links AS MATERIALIZED ({sql_extract_links()}),
+        e AS (SELECT DISTINCT doc_id, href FROM links),
+        df_ok AS (
+            SELECT href FROM e GROUP BY href
+            HAVING COUNT(*) <= {LINKCC_MAX_DF}
+        ),
+        capped AS (SELECT e.* FROM e JOIN df_ok USING (href)),
+        pairs AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b
+              ON a.href = b.href AND a.doc_id < b.doc_id
+        ),
+        edges AS MATERIALIZED (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, reach.lbl
+            FROM reach JOIN edges e ON e.src = reach.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sized AS (
+            SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size
+            FROM comp GROUP BY cluster_id
+        )
+        SELECT comp.doc_id, comp.cluster_id, sized.cluster_size,
+               comp.doc_id = comp.cluster_id AS is_canonical
+        FROM comp JOIN sized USING (cluster_id)
+    """
