@@ -1101,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm2_score": CL2.q_lm2_score,
         "nb_langid": CNB.q_nb_langid,
         "nb_top_features": CNB.q_nb_top_features,
+        "labeler_kappa": CNB.q_labeler_kappa,
         "kmeans_step": CS.q_kmeans_step,
         "source_drift": CDR.q_source_drift,
         "source_lang_entropy": CDR.q_source_lang_entropy,
@@ -1427,6 +1428,7 @@ def oracle_sql() -> dict[str, str]:
         "lm2_score": CL2.sql_lm2_score(),
         "nb_langid": CNB.sql_nb_langid(),
         "nb_top_features": CNB.sql_nb_top_features(),
+        "labeler_kappa": CNB.sql_labeler_kappa(),
         "source_drift": CDR.sql_source_drift(),
         "source_lang_entropy": CDR.sql_source_lang_entropy(),
         "source_length_quantiles": CT.sql_source_length_quantiles(),

@@ -55,7 +55,7 @@ GROUPS: dict[str, list[str]] = {
         "bpe_pair_counts",
         "source_length_quantiles",
         "langid_confusion", "lm_score", "ccnet_buckets", "segment_ppl", "lm2_score", "source_drift", "source_lang_entropy", "heldout_ppl",
-        "nb_langid", "nb_top_features",
+        "nb_langid", "nb_top_features", "labeler_kappa",
         "tok_fertility",
         "extract_links", "link_pagerank", "link_hits", "anchor_text_agg",
         "link_cocitation", "link_components",

@@ -261,3 +261,116 @@ def sql_nb_top_features() -> str:
         ORDER BY abs(llr_micro) DESC, term
         LIMIT {NB_TOP_K}
     """
+
+
+# ---------------------------------------------------------------------------
+# labeler_kappa: chance-corrected agreement between two labelers
+# ---------------------------------------------------------------------------
+
+
+def q_labeler_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the two independent is-English labelers
+    this engine ships — the stopword heuristic (lang_id's pred_lang)
+    and the trained NB model (nb_langid's nb_pred) — the standard
+    annotation-quality dial a labeling pipeline watches before trusting
+    machine labels (raw agreement flatters; kappa corrects for chance).
+
+    Float discipline: the contingency counts are exact BIGINTs; po, pe
+    and kappa derive from them in single left-to-right double
+    expressions rounded to 6dp — bit-identical in both engines, the
+    mean_cos pattern.
+
+    100 TB story: both labeler signals are zero/low-shuffle per-doc
+    expressions; the join runs on the uniform doc_id key; the
+    contingency rollup is ONE fixed-width (4-counter) aggregate
+    collapsed map-side to a single row."""
+    from .textstats import q_lang_id
+
+    heur = q_lang_id(spark, sf_dir).select(
+        "doc_id", (F.col("pred_lang") == "en").alias("h_en")
+    )
+    nb = q_nb_langid(spark, sf_dir).select("doc_id", "nb_pred")
+    cont = heur.join(nb, "doc_id").agg(
+        F.expr(
+            "cast(sum(case when h_en and nb_pred then 1 else 0 end)"
+            " as bigint)"
+        ).alias("n11"),
+        F.expr(
+            "cast(sum(case when h_en and not nb_pred then 1 else 0 end)"
+            " as bigint)"
+        ).alias("n10"),
+        F.expr(
+            "cast(sum(case when not h_en and nb_pred then 1 else 0 end)"
+            " as bigint)"
+        ).alias("n01"),
+        F.expr(
+            "cast(sum(case when not h_en and not nb_pred then 1 else 0"
+            " end) as bigint)"
+        ).alias("n00"),
+    )
+    return cont.select(
+        "n11", "n10", "n01", "n00",
+        F.expr(
+            "round((n11 + n00) / cast(n11 + n10 + n01 + n00 as double),"
+            " 6)"
+        ).alias("po"),
+        F.expr(
+            "round(((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))"
+            " / (cast(n11 + n10 + n01 + n00 as double)"
+            " * cast(n11 + n10 + n01 + n00 as double)), 6)"
+        ).alias("pe"),
+        F.expr(
+            "round(((n11 + n00) / cast(n11 + n10 + n01 + n00 as double)"
+            " - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))"
+            " / (cast(n11 + n10 + n01 + n00 as double)"
+            " * cast(n11 + n10 + n01 + n00 as double)))"
+            " / (1.0 - ((n11 + n10) * (n11 + n01)"
+            " + (n00 + n01) * (n00 + n10))"
+            " / (cast(n11 + n10 + n01 + n00 as double)"
+            " * cast(n11 + n10 + n01 + n00 as double))), 6)"
+        ).alias("kappa"),
+    )
+
+
+def sql_labeler_kappa() -> str:
+    from .textstats import sql_lang_id
+
+    return f"""
+        WITH heur AS (
+            SELECT doc_id, pred_lang = 'en' AS h_en
+            FROM ({sql_lang_id()})
+        ),
+        nb AS (
+            SELECT doc_id, nb_pred FROM ({sql_nb_langid()})
+        ),
+        cont AS (
+            SELECT
+                sum(CASE WHEN h_en AND nb_pred THEN 1 ELSE 0
+                    END)::BIGINT AS n11,
+                sum(CASE WHEN h_en AND NOT nb_pred THEN 1 ELSE 0
+                    END)::BIGINT AS n10,
+                sum(CASE WHEN NOT h_en AND nb_pred THEN 1 ELSE 0
+                    END)::BIGINT AS n01,
+                sum(CASE WHEN NOT h_en AND NOT nb_pred THEN 1 ELSE 0
+                    END)::BIGINT AS n00
+            FROM heur JOIN nb USING (doc_id)
+        )
+        SELECT n11, n10, n01, n00,
+               round((n11 + n00) / (n11 + n10 + n01 + n00)::DOUBLE, 6)
+                   AS po,
+               round(((n11 + n10) * (n11 + n01)
+                      + (n00 + n01) * (n00 + n10))
+                     / ((n11 + n10 + n01 + n00)::DOUBLE
+                        * (n11 + n10 + n01 + n00)::DOUBLE), 6) AS pe,
+               round(((n11 + n00) / (n11 + n10 + n01 + n00)::DOUBLE
+                      - ((n11 + n10) * (n11 + n01)
+                         + (n00 + n01) * (n00 + n10))
+                        / ((n11 + n10 + n01 + n00)::DOUBLE
+                           * (n11 + n10 + n01 + n00)::DOUBLE))
+                     / (1.0 - ((n11 + n10) * (n11 + n01)
+                               + (n00 + n01) * (n00 + n10))
+                              / ((n11 + n10 + n01 + n00)::DOUBLE
+                                 * (n11 + n10 + n01 + n00)::DOUBLE)),
+                     6) AS kappa
+        FROM cont
+    """

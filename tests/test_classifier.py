@@ -93,3 +93,20 @@ def test_plan_shape(spark):
     plan = (NB.q_nb_top_features(spark, SF)._jdf.queryExecution()
             .executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_labeler_kappa_identities(spark):
+    """Contingency counts cover the corpus; po/pe/kappa satisfy their
+    defining identities recomputed in Python from the exact counts."""
+    from docling_core_spark.corpus.classifier import q_labeler_kappa
+
+    r = q_labeler_kappa(spark, SF).collect()[0]
+    n = r.n11 + r.n10 + r.n01 + r.n00
+    assert n > 0
+    po = (r.n11 + r.n00) / n
+    pe = ((r.n11 + r.n10) * (r.n11 + r.n01)
+          + (r.n00 + r.n01) * (r.n00 + r.n10)) / (n * n)
+    assert abs(r.po - round(po, 6)) < 1e-9
+    assert abs(r.pe - round(pe, 6)) < 1e-9
+    assert abs(r.kappa - round((po - pe) / (1 - pe), 6)) < 1e-9
+    assert -1.0 <= r.kappa <= 1.0
