@@ -412,6 +412,14 @@ def _q_pipeline_span_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outline/TOC derived from the ENGINE's parsed tree; oracle runs
+    the same SQL over the reference-parity golden span table."""
+    from docling_core_spark.ops.outline import q_pipeline_toc
+
+    return q_pipeline_toc(spark, _q_pipeline_span_seq(spark, sf_dir))
+
+
 def _q_pipeline_exports(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Export hashes per doc. HTML is hashed both body-only (round-1
     surface) and FULL-document (head + reference stylesheet + body,
@@ -1041,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # document engine (SURVEY.md §2; parity gate = tests/)
         "pipeline_span_seq": _q_pipeline_span_seq,
+        "pipeline_toc": _q_pipeline_toc,
         "pipeline_exports": _q_pipeline_exports,
         "pipeline_metrics": _q_pipeline_metrics,
         "pipeline_doctags_roundtrip": _q_pipeline_doctags_roundtrip,
@@ -1316,6 +1325,12 @@ def oracle_sql() -> dict[str, str]:
         )
         if os.path.exists(f"{g}/{name}.parquet")
     }
+    if os.path.exists(f"{g}/pipeline_span_seq.parquet"):
+        from docling_core_spark.ops.outline import toc_sql
+
+        golden["pipeline_toc"] = toc_sql(
+            f"read_parquet('{g}/pipeline_span_seq.parquet')"
+        )
 
     return {
         **golden,

@@ -83,3 +83,30 @@ def test_entry_contract(spark):
     rows = df.limit(5).collect()
     assert len(rows) > 0
     assert set(E.oracle_sql()).issubset(set(E.queries()))
+
+
+def test_pipeline_toc_hierarchy_invariants(spark):
+    """Every non-title header's parent (when present) is an earlier
+    header with a strictly shallower level; sibling indexes are dense
+    from 1 within (doc, level, parent)."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["pipeline_toc"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        lvl_of = {r.ord: r.level for r in rs}
+        for r in rs:
+            if r.parent_ord is not None:
+                assert r.parent_ord < r.ord
+                assert lvl_of[r.parent_ord] < r.level
+        groups = {}
+        for r in rs:
+            groups.setdefault((r.level, r.parent_ord), []).append(r)
+        for g in groups.values():
+            g.sort(key=lambda r: r.ord)
+            assert [r.sib_idx for r in g] == list(range(1, len(g) + 1))
