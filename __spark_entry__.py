@@ -645,6 +645,12 @@ def _q_page_furniture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_page_furniture(spark, sf_dir)
 
 
+def _q_page_table_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pages import q_page_table_detect
+
+    return q_page_table_detect(spark, sf_dir)
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     _spread_view(spark, sf_dir, "lineitem", "li_q1_src")
     return spark.sql(_SQL_TPCH_Q1.format(lineitem="li_q1_src"))
@@ -1221,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_xycut_blocks": _q_page_xycut_blocks,
         "page_ocr_quality": _q_page_ocr_quality,
         "page_furniture": _q_page_furniture,
+        "page_table_detect": _q_page_table_detect,
         # relational sanity (scan/filter/agg/join/window/sessionize)
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
@@ -1251,6 +1258,7 @@ def _pages_oracle(which: str) -> str:
         "xycut_blocks": P.sql_page_xycut_blocks,
         "ocr_quality": P.sql_page_ocr_quality,
         "furniture": P.sql_page_furniture,
+        "table_detect": P.sql_page_table_detect,
     }[which]()
 
 
@@ -1491,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
         "page_xycut_blocks": _pages_oracle("xycut_blocks"),
         "page_ocr_quality": _pages_oracle("ocr_quality"),
         "page_furniture": _pages_oracle("furniture"),
+        "page_table_detect": _pages_oracle("table_detect"),
         "lang_stats": _SQL_LANG_STATS.format(documents="documents"),
         "tpch_q1": _SQL_TPCH_Q1.format(lineitem="lineitem"),
         "tpch_q3": _SQL_TPCH_Q3_ORACLE,

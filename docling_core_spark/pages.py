@@ -892,3 +892,94 @@ def q_page_furniture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_page_furniture() -> str:
     return furniture_sql("duck")
+
+
+# ---------------------------------------------------------------------------
+# table grid detection: rows/columns from cell alignment
+# ---------------------------------------------------------------------------
+# The geometric core of table-structure recognition (what docling's
+# TableFormer model predicts for scanned pages, reduced to its
+# deterministic skeleton for born-digital ones): cells sharing an
+# x-start form a column, cells sharing a y-top form a row; a complete
+# R x C grid reconstructs row-major reading order. The synthesis lays
+# out an exact grid per page (R = 2 + page_id % 4 rows, C = 2 +
+# page_id % 3 cols, one token per cell, row-major cell_index), and the
+# detector — which never reads the labels — must recover (R, C),
+# certify completeness, and reproduce the order. Production layout
+# parsers bucket coordinates by a tolerance (floor(x / eps)) before
+# the same dense ranking; exact-aligned synthesis keeps the oracle
+# byte-stable.
+# 100 TB story: dense_rank windows partition by page_id (uniform,
+# bounded cells/page); the rollup is one map-side-combined groupBy.
+
+
+def table_detect_sql(dialect: str) -> str:
+    if dialect == "spark":
+        from_clause = (
+            "pages_src_docs"
+            " LATERAL VIEW posexplode(split(text, ' ')) w AS pos, tok"
+        )
+        i0 = "w.pos"
+        tok = "w.tok"
+    else:
+        from_clause = (
+            "documents, LATERAL (SELECT"
+            " unnest(range(len(string_split(text, ' ')))) AS i,"
+            " unnest(string_split(text, ' ')) AS tok) w"
+        )
+        i0 = "w.i"
+        tok = "w.tok"
+    # R x C grid; tokens beyond R*C cells are dropped by the synthesis
+    # filter so every page is a complete grid of its first R*C tokens
+    return f"""
+        WITH grid AS (
+            SELECT doc_id AS page_id,
+                   CAST({i0} AS INT) AS cell_index,
+                   {tok} AS text,
+                   CAST(2 + doc_id % 4 AS INT) AS tr,
+                   CAST(2 + doc_id % 3 AS INT) AS tc
+            FROM {from_clause}
+        ),
+        cells AS (
+            SELECT page_id, cell_index, text,
+                   CAST(100 + (cell_index % tc) * 120 AS DOUBLE) AS c_l,
+                   CAST(600 - (cell_index / tc -
+                               CAST(cell_index % tc AS DOUBLE) / tc)
+                        * 30 AS DOUBLE) AS c_t
+            FROM grid WHERE cell_index < tr * tc
+        ),
+        ranked AS (
+            SELECT page_id, cell_index,
+                   dense_rank() OVER (
+                       PARTITION BY page_id ORDER BY c_l
+                   ) - 1 AS col_idx,
+                   dense_rank() OVER (
+                       PARTITION BY page_id ORDER BY c_t DESC
+                   ) - 1 AS row_idx
+            FROM cells
+        ),
+        dims AS (
+            SELECT page_id, cell_index, row_idx, col_idx,
+                   max(col_idx) OVER (PARTITION BY page_id) + 1 AS n_cols,
+                   max(row_idx) OVER (PARTITION BY page_id) + 1 AS n_rows
+            FROM ranked
+        )
+        SELECT page_id,
+               CAST(max(n_rows) AS BIGINT) AS n_rows,
+               CAST(max(n_cols) AS BIGINT) AS n_cols,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               count(*) = max(n_rows) * max(n_cols) AS grid_complete,
+               bool_and(row_idx * n_cols + col_idx = cell_index)
+                   AS order_ok
+        FROM dims
+        GROUP BY page_id
+    """
+
+
+def q_page_table_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_cells_view(spark, sf_dir)
+    return spark.sql(table_detect_sql("spark"))
+
+
+def sql_page_table_detect() -> str:
+    return table_detect_sql("duck")

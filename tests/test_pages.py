@@ -403,3 +403,24 @@ def test_furniture_detection_crafted(spark):
     )
     small = con.execute(sql_page_furniture()).fetchall()
     assert small and all(r[2] == 0 for r in small)
+
+
+def test_table_detect_recovers_grid(spark):
+    """The detector recovers (R, C) = (2 + id%4, 2 + id%3) without
+    reading the labels, row-major order always reconstructs, and
+    completeness is certified exactly when the doc had >= R*C tokens."""
+    from docling_core_spark.pages import q_page_table_detect
+
+    import math
+
+    rows = q_page_table_detect(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        tr, tc = 2 + r.page_id % 4, 2 + r.page_id % 3
+        assert r.order_ok
+        assert r.n_cells <= tr * tc
+        # row-major fill: cols complete once the first row is, rows are
+        # the ceiling, completeness iff the last row is full
+        assert r.n_cols == (tc if r.n_cells >= tc else r.n_cells)
+        assert r.n_rows == math.ceil(r.n_cells / r.n_cols)
+        assert r.grid_complete == (r.n_cells == r.n_rows * r.n_cols)
