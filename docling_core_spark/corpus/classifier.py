@@ -308,26 +308,31 @@ def q_labeler_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " end) as bigint)"
         ).alias("n00"),
     )
-    return cont.select(
+    # divide each marginal by N as DOUBLE BEFORE multiplying: the raw
+    # marginal product (n11+n10)*(n11+n01) overflows BIGINT past ~3e9
+    # docs — and overflows DIFFERENTLY per engine (Spark wraps, DuckDB
+    # raises). Computed once here; the projections only round.
+    raw = cont.select(
         "n11", "n10", "n01", "n00",
         F.expr(
-            "round((n11 + n00) / cast(n11 + n10 + n01 + n00 as double),"
-            " 6)"
-        ).alias("po"),
+            "(n11 + n00) / cast(n11 + n10 + n01 + n00 as double)"
+        ).alias("po_raw"),
         F.expr(
-            "round(((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))"
-            " / (cast(n11 + n10 + n01 + n00 as double)"
-            " * cast(n11 + n10 + n01 + n00 as double)), 6)"
-        ).alias("pe"),
+            "((n11 + n10) / cast(n11 + n10 + n01 + n00 as double))"
+            " * ((n11 + n01) / cast(n11 + n10 + n01 + n00 as double))"
+            " + ((n00 + n01) / cast(n11 + n10 + n01 + n00 as double))"
+            " * ((n00 + n10) / cast(n11 + n10 + n01 + n00 as double))"
+        ).alias("pe_raw"),
+    )
+    return raw.select(
+        "n11", "n10", "n01", "n00",
+        F.expr("round(po_raw, 6)").alias("po"),
+        F.expr("round(pe_raw, 6)").alias("pe"),
+        # pe = 1 (both labelers constant and identical) makes kappa
+        # 0/0 — emit NULL explicitly in both engines
         F.expr(
-            "round(((n11 + n00) / cast(n11 + n10 + n01 + n00 as double)"
-            " - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))"
-            " / (cast(n11 + n10 + n01 + n00 as double)"
-            " * cast(n11 + n10 + n01 + n00 as double)))"
-            " / (1.0 - ((n11 + n10) * (n11 + n01)"
-            " + (n00 + n01) * (n00 + n10))"
-            " / (cast(n11 + n10 + n01 + n00 as double)"
-            " * cast(n11 + n10 + n01 + n00 as double))), 6)"
+            "case when pe_raw = 1.0 then null else"
+            " round((po_raw - pe_raw) / (1.0 - pe_raw), 6) end"
         ).alias("kappa"),
     )
 
@@ -354,23 +359,23 @@ def sql_labeler_kappa() -> str:
                 sum(CASE WHEN NOT h_en AND NOT nb_pred THEN 1 ELSE 0
                     END)::BIGINT AS n00
             FROM heur JOIN nb USING (doc_id)
+        ),
+        raw AS (
+            SELECT n11, n10, n01, n00,
+                   (n11 + n00) / (n11 + n10 + n01 + n00)::DOUBLE
+                       AS po_raw,
+                   ((n11 + n10) / (n11 + n10 + n01 + n00)::DOUBLE)
+                   * ((n11 + n01) / (n11 + n10 + n01 + n00)::DOUBLE)
+                   + ((n00 + n01) / (n11 + n10 + n01 + n00)::DOUBLE)
+                   * ((n00 + n10) / (n11 + n10 + n01 + n00)::DOUBLE)
+                       AS pe_raw
+            FROM cont
         )
         SELECT n11, n10, n01, n00,
-               round((n11 + n00) / (n11 + n10 + n01 + n00)::DOUBLE, 6)
-                   AS po,
-               round(((n11 + n10) * (n11 + n01)
-                      + (n00 + n01) * (n00 + n10))
-                     / ((n11 + n10 + n01 + n00)::DOUBLE
-                        * (n11 + n10 + n01 + n00)::DOUBLE), 6) AS pe,
-               round(((n11 + n00) / (n11 + n10 + n01 + n00)::DOUBLE
-                      - ((n11 + n10) * (n11 + n01)
-                         + (n00 + n01) * (n00 + n10))
-                        / ((n11 + n10 + n01 + n00)::DOUBLE
-                           * (n11 + n10 + n01 + n00)::DOUBLE))
-                     / (1.0 - ((n11 + n10) * (n11 + n01)
-                               + (n00 + n01) * (n00 + n10))
-                              / ((n11 + n10 + n01 + n00)::DOUBLE
-                                 * (n11 + n10 + n01 + n00)::DOUBLE)),
-                     6) AS kappa
-        FROM cont
+               round(po_raw, 6) AS po,
+               round(pe_raw, 6) AS pe,
+               CASE WHEN pe_raw = 1.0 THEN NULL ELSE
+                   round((po_raw - pe_raw) / (1.0 - pe_raw), 6)
+               END AS kappa
+        FROM raw
     """

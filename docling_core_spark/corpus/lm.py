@@ -35,12 +35,27 @@ LM_SMOOTH_NUM = 1    # add-alpha smoothing: p = (c + 0.5) / (N + 0.5*V)
 LM_SMOOTH_DEN = 2    # ... expressed as the exact rational 1/2
 
 
-def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_spread(spark, sf_dir, "documents")
-    terms = docs.select(
-        "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("term")
+def _logp_spark_expr() -> str:
+    """Smoothed unigram log-prob, integerised to micro-nats — the ONE
+    definition of the scoring expression (lm_score + segment_ppl)."""
+    return (
+        f"cast(floor(ln((c + {LM_SMOOTH_NUM} / cast({LM_SMOOTH_DEN} as"
+        f" double)) / (n_total + {LM_SMOOTH_NUM} * vocab"
+        f" / cast({LM_SMOOTH_DEN} as double))) * 1000000) as bigint)"
     )
-    # train: unigram counts + the two scalars (total tokens, vocab)
+
+
+def _logp_duck_expr() -> str:
+    return (
+        f"floor(ln((c + {LM_SMOOTH_NUM} / {LM_SMOOTH_DEN}::DOUBLE)"
+        f" / (n_total + {LM_SMOOTH_NUM} * vocab"
+        f" / {LM_SMOOTH_DEN}::DOUBLE)) * 1000000)::BIGINT"
+    )
+
+
+def _unigram_fit(terms):
+    """(counts, scalars) DataFrames from a terms DF with a `term`
+    column — the one-pass unigram LM fit shared by every scorer."""
     counts = terms.groupBy("term").agg(
         F.count("*").cast("bigint").alias("c")
     )
@@ -48,14 +63,28 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n_total"),
         F.count("*").cast("bigint").alias("vocab"),
     )
-    # score: integerised micro-nat log-prob per token occurrence.
-    # identical left-to-right float ops in both dialects, then floor —
-    # every later aggregate is integer math
-    logp = (
-        f"cast(floor(ln((c + {LM_SMOOTH_NUM} / cast({LM_SMOOTH_DEN} as"
-        f" double)) / (n_total + {LM_SMOOTH_NUM} * vocab"
-        f" / cast({LM_SMOOTH_DEN} as double))) * 1000000) as bigint)"
+    return counts, scalars
+
+
+_UNIGRAM_CTES_DUCK = """counts AS (
+            SELECT term, COUNT(*)::BIGINT AS c FROM terms GROUP BY term
+        ),
+        scalars AS (
+            SELECT sum(c)::BIGINT AS n_total, COUNT(*)::BIGINT AS vocab
+            FROM counts
+        )"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_spread(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("term")
     )
+    # train + score via the shared helpers: integerised micro-nat
+    # log-prob per token occurrence, identical left-to-right float ops
+    # in both dialects, then floor — every later aggregate is integer
+    counts, scalars = _unigram_fit(terms)
+    logp = _logp_spark_expr()
     scored = (
         terms.join(counts, "term")
         .crossJoin(F.broadcast(scalars))
@@ -79,22 +108,12 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_lm_score() -> str:
-    logp = (
-        f"floor(ln((c + {LM_SMOOTH_NUM} / {LM_SMOOTH_DEN}::DOUBLE)"
-        f" / (n_total + {LM_SMOOTH_NUM} * vocab"
-        f" / {LM_SMOOTH_DEN}::DOUBLE)) * 1000000)::BIGINT"
-    )
+    logp = _logp_duck_expr()
     return f"""
         WITH terms AS (
             SELECT doc_id, unnest({TOKENS_DUCK}) AS term FROM documents
         ),
-        counts AS (
-            SELECT term, COUNT(*)::BIGINT AS c FROM terms GROUP BY term
-        ),
-        scalars AS (
-            SELECT sum(c)::BIGINT AS n_total, COUNT(*)::BIGINT AS vocab
-            FROM counts
-        ),
+        {_UNIGRAM_CTES_DUCK},
         scored AS (
             SELECT t.doc_id, {logp} AS logp_micro
             FROM terms t JOIN counts USING (term) CROSS JOIN scalars
@@ -314,18 +333,8 @@ def q_segment_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = segs.select(
         "doc_id", "ord", F.explode(F.expr("split(seg, ' ')")).alias("term")
     )
-    counts = terms.groupBy("term").agg(
-        F.count("*").cast("bigint").alias("c")
-    )
-    scalars = counts.agg(
-        F.sum("c").cast("bigint").alias("n_total"),
-        F.count("*").cast("bigint").alias("vocab"),
-    )
-    logp = (
-        f"cast(floor(ln((c + {LM_SMOOTH_NUM} / cast({LM_SMOOTH_DEN} as"
-        f" double)) / (n_total + {LM_SMOOTH_NUM} * vocab"
-        f" / cast({LM_SMOOTH_DEN} as double))) * 1000000) as bigint)"
-    )
+    counts, scalars = _unigram_fit(terms)
+    logp = _logp_spark_expr()
     scored = (
         terms.join(counts, "term")
         .crossJoin(F.broadcast(scalars))
@@ -355,11 +364,7 @@ def q_segment_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_segment_ppl() -> str:
     from .dedup import _segments_duck
 
-    logp = (
-        f"floor(ln((c + {LM_SMOOTH_NUM} / {LM_SMOOTH_DEN}::DOUBLE)"
-        f" / (n_total + {LM_SMOOTH_NUM} * vocab"
-        f" / {LM_SMOOTH_DEN}::DOUBLE)) * 1000000)::BIGINT"
-    )
+    logp = _logp_duck_expr()
     return f"""
         WITH segs AS (
             SELECT doc_id, s.ord AS ord, s.seg AS seg FROM (
@@ -373,13 +378,7 @@ def sql_segment_ppl() -> str:
                    unnest(string_split(seg, ' ')) AS term
             FROM segs
         ),
-        counts AS (
-            SELECT term, COUNT(*)::BIGINT AS c FROM terms GROUP BY term
-        ),
-        scalars AS (
-            SELECT sum(c)::BIGINT AS n_total, COUNT(*)::BIGINT AS vocab
-            FROM counts
-        ),
+        {_UNIGRAM_CTES_DUCK},
         scored AS (
             SELECT t.doc_id, t.ord, {logp} AS logp_micro
             FROM terms t JOIN counts USING (term) CROSS JOIN scalars

@@ -808,10 +808,13 @@ def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "href")
         .distinct()
     )
-    df_ok = links.groupBy("href").agg(
+    # the BOUNDED set is the HUBS (df > cap) — broadcast those and
+    # anti-join; broadcasting the keep-list would ship nearly every
+    # distinct href at web scale
+    hubs = links.groupBy("href").agg(
         F.count("*").cast("bigint").alias("df")
-    ).filter(F.col("df") <= LINKCC_MAX_DF).select("href")
-    capped = links.join(F.broadcast(df_ok), "href")
+    ).filter(F.col("df") > LINKCC_MAX_DF).select("href")
+    capped = links.join(F.broadcast(hubs), "href", "left_anti")
     perhref = capped.groupBy("href").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ds")
     )

@@ -501,28 +501,34 @@ _CELLS2_BODY = """
 """
 
 
-def cells2_synth_sql(dialect: str) -> str:
+def _tok_lateral(dialect: str):
+    """(from_clause, i0, tok) for the one-cell-per-token LATERAL
+    tokenization — single definition shared by every synthesis builder
+    so split semantics cannot diverge between page operators."""
     if dialect == "spark":
-        return _CELLS2_BODY.format(
-            page_id="doc_id",
-            i0="w.pos",
-            tok="w.tok",
-            half="CAST(ceil(size(split(text, ' ')) / 2.0) AS INT)",
-            from_clause=(
-                "pages_src_docs"
-                " LATERAL VIEW posexplode(split(text, ' ')) w AS pos, tok"
-            ),
+        return (
+            "pages_src_docs"
+            " LATERAL VIEW posexplode(split(text, ' ')) w AS pos, tok",
+            "w.pos", "w.tok",
         )
+    return (
+        "documents, LATERAL (SELECT"
+        " unnest(range(len(string_split(text, ' ')))) AS i,"
+        " unnest(string_split(text, ' ')) AS tok) w",
+        "w.i", "w.tok",
+    )
+
+
+def cells2_synth_sql(dialect: str) -> str:
+    from_clause, i0, tok = _tok_lateral(dialect)
+    half = (
+        "CAST(ceil(size(split(text, ' ')) / 2.0) AS INT)"
+        if dialect == "spark"
+        else "CAST(ceil(len(string_split(text, ' ')) / 2.0) AS INT)"
+    )
     return _CELLS2_BODY.format(
-        page_id="doc_id",
-        i0="w.i",
-        tok="w.tok",
-        half="CAST(ceil(len(string_split(text, ' ')) / 2.0) AS INT)",
-        from_clause=(
-            "documents, LATERAL (SELECT"
-            " unnest(range(len(string_split(text, ' ')))) AS i,"
-            " unnest(string_split(text, ' ')) AS tok) w"
-        ),
+        page_id="doc_id", i0=i0, tok=tok, half=half,
+        from_clause=from_clause,
     )
 
 
@@ -633,27 +639,18 @@ _CELLS4_BODY = """
 
 
 def cells4_synth_sql(dialect: str) -> str:
-    if dialect == "spark":
-        qs = "CAST(ceil(size(split(text, ' ')) / 4.0) AS INT)"
-        q = f"w.pos div {qs}"
-        return _CELLS4_BODY.format(
-            page_id="doc_id", i0="w.pos", tok="w.tok", div="div",
-            q=q, r=f"w.pos - ({q}) * {qs}",
-            from_clause=(
-                "pages_src_docs"
-                " LATERAL VIEW posexplode(split(text, ' ')) w AS pos, tok"
-            ),
-        )
-    qs = "CAST(ceil(len(string_split(text, ' ')) / 4.0) AS INT)"
-    q = f"w.i // {qs}"
+    from_clause, i0, tok = _tok_lateral(dialect)
+    div = "div" if dialect == "spark" else "//"
+    qs = (
+        "CAST(ceil(size(split(text, ' ')) / 4.0) AS INT)"
+        if dialect == "spark"
+        else "CAST(ceil(len(string_split(text, ' ')) / 4.0) AS INT)"
+    )
+    q = f"{i0} {div} {qs}"
     return _CELLS4_BODY.format(
-        page_id="doc_id", i0="w.i", tok="w.tok", div="//",
-        q=q, r=f"w.i - ({q}) * {qs}",
-        from_clause=(
-            "documents, LATERAL (SELECT"
-            " unnest(range(len(string_split(text, ' ')))) AS i,"
-            " unnest(string_split(text, ' ')) AS tok) w"
-        ),
+        page_id="doc_id", i0=i0, tok=tok, div=div,
+        q=q, r=f"{i0} - ({q}) * {qs}",
+        from_clause=from_clause,
     )
 
 
@@ -914,21 +911,8 @@ def sql_page_furniture() -> str:
 
 
 def table_detect_sql(dialect: str) -> str:
-    if dialect == "spark":
-        from_clause = (
-            "pages_src_docs"
-            " LATERAL VIEW posexplode(split(text, ' ')) w AS pos, tok"
-        )
-        i0 = "w.pos"
-        tok = "w.tok"
-    else:
-        from_clause = (
-            "documents, LATERAL (SELECT"
-            " unnest(range(len(string_split(text, ' ')))) AS i,"
-            " unnest(string_split(text, ' ')) AS tok) w"
-        )
-        i0 = "w.i"
-        tok = "w.tok"
+    from_clause, i0, tok = _tok_lateral(dialect)
+    div = "div" if dialect == "spark" else "//"
     # R x C grid; tokens beyond R*C cells are dropped by the synthesis
     # filter so every page is a complete grid of its first R*C tokens
     return f"""
@@ -943,9 +927,8 @@ def table_detect_sql(dialect: str) -> str:
         cells AS (
             SELECT page_id, cell_index, text,
                    CAST(100 + (cell_index % tc) * 120 AS DOUBLE) AS c_l,
-                   CAST(600 - (cell_index / tc -
-                               CAST(cell_index % tc AS DOUBLE) / tc)
-                        * 30 AS DOUBLE) AS c_t
+                   CAST(600 - (cell_index {div} tc) * 30
+                        AS DOUBLE) AS c_t
             FROM grid WHERE cell_index < tr * tc
         ),
         ranked AS (

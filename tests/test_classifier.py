@@ -104,9 +104,13 @@ def test_labeler_kappa_identities(spark):
     n = r.n11 + r.n10 + r.n01 + r.n00
     assert n > 0
     po = (r.n11 + r.n00) / n
-    pe = ((r.n11 + r.n10) * (r.n11 + r.n01)
-          + (r.n00 + r.n01) * (r.n00 + r.n10)) / (n * n)
+    # same left-to-right order as the engines: divide-first marginals
+    pe = ((r.n11 + r.n10) / n) * ((r.n11 + r.n01) / n) \
+        + ((r.n00 + r.n01) / n) * ((r.n00 + r.n10) / n)
     assert abs(r.po - round(po, 6)) < 1e-9
     assert abs(r.pe - round(pe, 6)) < 1e-9
-    assert abs(r.kappa - round((po - pe) / (1 - pe), 6)) < 1e-9
-    assert -1.0 <= r.kappa <= 1.0
+    if pe == 1.0:
+        assert r.kappa is None
+    else:
+        assert abs(r.kappa - round((po - pe) / (1 - pe), 6)) < 1e-9
+        assert -1.0 <= r.kappa <= 1.0

@@ -59,6 +59,10 @@ def test_segment_ppl_bounds(spark):
 
     from docling_core_spark.corpus.lm import q_segment_ppl, sql_segment_ppl
 
+    import math
+
+    from docling_core_spark.corpus.dedup import SEG_WORDS
+
     rows = q_segment_ppl(spark, SF).collect()
     assert rows
     for r in rows:
@@ -72,3 +76,11 @@ def test_segment_ppl_bounds(spark):
     )
     orc = set(map(tuple, con.execute(sql_segment_ppl()).fetchall()))
     assert {tuple(r) for r in rows} == orc
+
+    # the promised cross-check: n_segs == ceil(n_tokens / SEG_WORDS)
+    toks = dict(con.execute(
+        "SELECT doc_id, len(regexp_split_to_array(lower(trim(text)),"
+        " '\\s+')) FROM documents"
+    ).fetchall())
+    for r in rows:
+        assert r.n_segs == math.ceil(toks[r.doc_id] / SEG_WORDS), r
