@@ -1107,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": CK.q_zipf_fit,
         "tfidf_topk": CK.q_tfidf_topk,
         "bm25_topk": CB.q_bm25_topk,
+        "rrf_fusion": CB.q_rrf_fusion,
         "cms_heavy_hitters": CK.q_cms_heavy_hitters,
         "kmv_distinct": CK.q_kmv_distinct,
         "hll_distinct": CK.q_hll_distinct,
@@ -1442,6 +1443,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": CK.sql_zipf_fit(),
         "tfidf_topk": CK.sql_tfidf_topk(),
         "bm25_topk": CB.sql_bm25_topk(),
+        "rrf_fusion": CB.sql_rrf_fusion(),
         "cms_heavy_hitters": CK.sql_cms_heavy_hitters(),
         "kmv_distinct": CK.sql_kmv_distinct(),
         "hll_distinct": CK.sql_hll_distinct(),

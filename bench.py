@@ -47,7 +47,8 @@ GROUPS: dict[str, list[str]] = {
         "repetition_ladder",
         "pii_scrub", "corpus_stats", "decontaminate",
         "html_strip", "main_content", "top_ngrams", "pmi_pairs", "zipf_fit", "tfidf_topk",
-        "bm25_topk", "text_normalize", "normalize_uplift", "dehyphenate",
+        "bm25_topk", "rrf_fusion", "text_normalize", "normalize_uplift",
+        "dehyphenate",
         "stratified_sample", "weighted_sample", "pack_sequences",
         "token_budget_select", "pack_efficiency", "mm_pack",
         "shard_manifest",

@@ -192,6 +192,7 @@ def _pairs():
         "crawl_frontier": (CU.q_crawl_frontier, CU.sql_crawl_frontier),
         "crossdedup_lsh": (CD.q_crossdedup_lsh, CD.sql_crossdedup_lsh),
         "bm25_topk": (CB.q_bm25_topk, CB.sql_bm25_topk),
+        "rrf_fusion": (CB.q_rrf_fusion, CB.sql_rrf_fusion),
         "text_normalize": (CN.q_text_normalize, CN.sql_text_normalize),
         "normalize_uplift": (
             CN.q_normalize_uplift, CN.sql_normalize_uplift,
