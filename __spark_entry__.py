@@ -1110,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": CB.q_rrf_fusion,
         "cms_heavy_hitters": CK.q_cms_heavy_hitters,
         "kmv_distinct": CK.q_kmv_distinct,
+        "kmv_source_overlap": CK.q_kmv_source_overlap,
         "hll_distinct": CK.q_hll_distinct,
         "lm_score": CL.q_lm_score,
         "ccnet_buckets": CL.q_ccnet_buckets,
@@ -1446,6 +1447,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": CB.sql_rrf_fusion(),
         "cms_heavy_hitters": CK.sql_cms_heavy_hitters(),
         "kmv_distinct": CK.sql_kmv_distinct(),
+        "kmv_source_overlap": CK.sql_kmv_source_overlap(),
         "hll_distinct": CK.sql_hll_distinct(),
         "lm_score": CL.sql_lm_score(),
         "ccnet_buckets": CL.sql_ccnet_buckets(),

@@ -52,7 +52,8 @@ GROUPS: dict[str, list[str]] = {
         "stratified_sample", "weighted_sample", "pack_sequences",
         "token_budget_select", "pack_efficiency", "mm_pack",
         "shard_manifest",
-        "cms_heavy_hitters", "kmv_distinct", "hll_distinct", "hist_quantiles",
+        "cms_heavy_hitters", "kmv_distinct", "kmv_source_overlap",
+        "hll_distinct", "hist_quantiles",
         "bpe_pair_counts",
         "source_length_quantiles",
         "langid_confusion", "lm_score", "ccnet_buckets", "segment_ppl", "lm2_score", "source_drift", "source_lang_entropy", "heldout_ppl",

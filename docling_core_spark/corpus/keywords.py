@@ -818,3 +818,251 @@ def sql_bpe_pair_counts() -> str:
         ORDER BY pair_count DESC, pair ASC
         LIMIT {BPE_TOPK}
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV cross-source overlap (sketch-based mirror detection)
+# ---------------------------------------------------------------------------
+
+# per-(source, salt) bottom-K cut fan-out (same two-level discipline as
+# bm25's salted top-K: the K smallest of a set are contained in the
+# union over salts of the per-salt K smallest)
+KMV_OVL_SALTS = 16
+
+
+def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-content overlap from bounded-state KMV sketches:
+    per source, the K smallest distinct bigram hashes; per source pair,
+    the standard KMV union/Jaccard estimator (Beyer et al., SIGMOD'07 —
+    the theta-sketch set-operation trick): merge the two bottom-K sets,
+    re-cut to the K smallest, and estimate J = |bottomK(A u B) n A n B|
+    / min(K, |A u B held|). The exact hash-set Jaccard rides along as
+    ground truth.
+
+    This is the SKETCH twin of `source_overlap` (cluster-based mirror
+    matrix): at 100 TB the exact arm's h-keyed self-join is a
+    corpus-wide shuffle, while the sketch arm's state is K longs PER
+    SOURCE no matter how many shingles each source carries — the
+    per-source bottom-K is a salted two-level cut (K per (source,
+    salt), then K over K x SALTS rows), so no partition ever holds a
+    whole source's hash set. Sources are a small dimension: the pair
+    expansion and the estimator run over <= sources^2 x K rows.
+
+    Reference analog: none (SURVEY.md §2.8).
+    """
+    n = TOP_NGRAMS_N
+    docs = read_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.expr(TOKENS_SPARK).alias("toks")
+    )
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"case when size(toks) >= {n} then"
+                f" transform(sequence(1, size(toks) - {n - 1}),"
+                f"   i -> concat_ws(' ', slice(toks, i, {n})))"
+                f" else array() end"
+            )
+        ).alias("gram"),
+    )
+    sh = grams.select(
+        "source", F.expr(_h30_spark("gram")).alias("h")
+    ).distinct()
+
+    # --- sketch arm: salted two-level bottom-K per source -------------
+    salted = sh.withColumn(
+        "salt", F.expr(f"cast(h % {KMV_OVL_SALTS} as int)")
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy(F.asc("h"))
+    w2 = Window.partitionBy("source").orderBy(F.asc("h"))
+    sk = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .where(f"r1 <= {KMV_K}")
+        .withColumn("rnk", F.row_number().over(w2))
+        .where(f"rnk <= {KMV_K}")
+        .select("source", "h")
+    )
+
+    srcs = docs.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .crossJoin(F.broadcast(srcs.alias("b")))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+    )
+    ua = (
+        pairs.join(
+            sk.withColumnRenamed("source", "source_a"), "source_a"
+        ).select(
+            "source_a", "source_b", "h",
+            F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+        )
+    )
+    ub = (
+        pairs.join(
+            sk.withColumnRenamed("source", "source_b"), "source_b"
+        ).select(
+            "source_a", "source_b", "h",
+            F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+        )
+    )
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("source_a", "source_b").orderBy(F.asc("h"))
+    bottom = merged.withColumn("rn", F.row_number().over(wu)).where(
+        f"rn <= {KMV_K}"
+    )
+    est = bottom.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.sum(F.expr("in_a * in_b")).cast("bigint").alias("n_common"),
+    )
+
+    # --- exact arm (report ground truth; dropped at 100 TB) -----------
+    sizes = sh.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_h")
+    )
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "h")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("exact_inter"))
+    )
+    exact = (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")
+                        .withColumnRenamed("n_h", "na")), "source_a"
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b")
+                        .withColumnRenamed("n_h", "nb")), "source_b"
+        )
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a", "source_b",
+            F.coalesce("exact_inter", F.lit(0)).cast("bigint").alias(
+                "exact_inter"
+            ),
+            (F.col("na") + F.col("nb")
+             - F.coalesce("exact_inter", F.lit(0))).cast("bigint").alias(
+                "exact_union"
+            ),
+        )
+    )
+    return exact.join(est, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "exact_inter",
+        "exact_union",
+        F.expr(
+            "case when exact_union = 0 then 0.0 else round("
+            "cast(exact_inter as double) / cast(exact_union as double),"
+            " 6) end"
+        ).alias("exact_jaccard"),
+        F.coalesce("k_used", F.lit(0)).cast("bigint").alias("k_used"),
+        F.coalesce("n_common", F.lit(0)).cast("bigint").alias(
+            "n_common_bottomk"
+        ),
+        F.expr(
+            "case when coalesce(k_used, 0) = 0 then 0.0 else round("
+            "cast(coalesce(n_common, 0) as double)"
+            " / cast(k_used as double), 6) end"
+        ).alias("kmv_jaccard"),
+    )
+
+
+def sql_kmv_source_overlap() -> str:
+    n = TOP_NGRAMS_N
+    h = _h30_duck("gram")
+    return f"""
+        WITH grams AS (
+            SELECT source, unnest(
+                CASE WHEN len(toks) >= {n} THEN
+                    list_transform(range(1, len(toks) - {n - 2}),
+                        i -> array_to_string(toks[i:i + {n - 1}], ' '))
+                ELSE [] END) AS gram
+            FROM (SELECT source, {TOKENS_DUCK} AS toks FROM documents)
+        ),
+        sh AS (
+            SELECT DISTINCT source, {h} AS h FROM grams
+        ),
+        sk AS (
+            SELECT source, h FROM (
+                SELECT source, h, row_number() OVER (
+                    PARTITION BY source ORDER BY h ASC
+                ) AS rnk FROM sh
+            ) WHERE rnk <= {KMV_K}
+        ),
+        srcs AS (SELECT DISTINCT source FROM documents),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b
+            FROM srcs a JOIN srcs b ON a.source < b.source
+        ),
+        merged AS (
+            SELECT source_a, source_b, h,
+                   MAX(in_a) AS in_a, MAX(in_b) AS in_b
+            FROM (
+                SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+                FROM pairs p JOIN sk s ON s.source = p.source_a
+                UNION ALL
+                SELECT p.source_a, p.source_b, s.h, 0 AS in_a, 1 AS in_b
+                FROM pairs p JOIN sk s ON s.source = p.source_b
+            ) GROUP BY source_a, source_b, h
+        ),
+        bottom AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source_a, source_b ORDER BY h ASC
+                ) AS rn FROM merged
+            ) WHERE rn <= {KMV_K}
+        ),
+        est AS (
+            SELECT source_a, source_b,
+                   COUNT(*)::BIGINT AS k_used,
+                   SUM(in_a * in_b)::BIGINT AS n_common
+            FROM bottom GROUP BY source_a, source_b
+        ),
+        sizes AS (
+            SELECT source, COUNT(*)::BIGINT AS n_h FROM sh GROUP BY source
+        ),
+        inter AS (
+            SELECT x.source AS source_a, y.source AS source_b,
+                   COUNT(*)::BIGINT AS exact_inter
+            FROM sh x JOIN sh y
+              ON x.h = y.h AND x.source < y.source
+            GROUP BY x.source, y.source
+        ),
+        exact AS (
+            SELECT p.source_a, p.source_b,
+                   COALESCE(i.exact_inter, 0)::BIGINT AS exact_inter,
+                   (sa.n_h + sb.n_h - COALESCE(i.exact_inter, 0))::BIGINT
+                       AS exact_union
+            FROM pairs p
+            JOIN sizes sa ON sa.source = p.source_a
+            JOIN sizes sb ON sb.source = p.source_b
+            LEFT JOIN inter i
+              ON i.source_a = p.source_a AND i.source_b = p.source_b
+        )
+        SELECT e.source_a, e.source_b, e.exact_inter, e.exact_union,
+               CASE WHEN e.exact_union = 0 THEN 0.0 ELSE round(
+                   e.exact_inter::DOUBLE / e.exact_union::DOUBLE, 6) END
+                   AS exact_jaccard,
+               COALESCE(s.k_used, 0)::BIGINT AS k_used,
+               COALESCE(s.n_common, 0)::BIGINT AS n_common_bottomk,
+               CASE WHEN COALESCE(s.k_used, 0) = 0 THEN 0.0 ELSE round(
+                   COALESCE(s.n_common, 0)::DOUBLE / s.k_used::DOUBLE,
+                   6) END AS kmv_jaccard
+        FROM exact e
+        LEFT JOIN est s
+          ON s.source_a = e.source_a AND s.source_b = e.source_b
+    """

@@ -218,6 +218,9 @@ def _pairs():
             CFE.q_tok_fertility, lambda: CFE.sql_tok_fertility(SF_DIR),
         ),
         "pmi_pairs": (CK.q_pmi_pairs, CK.sql_pmi_pairs),
+        "kmv_source_overlap": (
+            CK.q_kmv_source_overlap, CK.sql_kmv_source_overlap,
+        ),
         "zipf_fit": (CK.q_zipf_fit, CK.sql_zipf_fit),
         "token_budget_select": (
             CBU.q_token_budget_select, CBU.sql_token_budget_select,
