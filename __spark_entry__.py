@@ -1147,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agreement": CD.q_dedup_agreement,
         "split_ks": CSP.q_split_ks,
         "template_dedup": CTP.q_template_dedup,
+        "bow_dedup": CTP.q_bow_dedup,
         "mojibake_census": CF.q_mojibake_census,
         "vocab_growth": CT.q_vocab_growth,
         "bpe_pair_counts": CK.q_bpe_pair_counts,
@@ -1482,6 +1483,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_agreement": CD.sql_dedup_agreement(),
         "split_ks": CSP.sql_split_ks(),
         "template_dedup": CTP.sql_template_dedup(),
+        "bow_dedup": CTP.sql_bow_dedup(),
         "mojibake_census": CF.sql_mojibake_census(),
         "vocab_growth": CT.sql_vocab_growth(),
         "bpe_pair_counts": CK.sql_bpe_pair_counts(),

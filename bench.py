@@ -73,7 +73,7 @@ GROUPS: dict[str, list[str]] = {
         # shingle table and runs after them. curation_funnel composes
         # quality + decontamination + the memoized cluster table, so it
         # runs last where the clusters are already warm.
-        "dedup_exact", "template_dedup", "seg_dedup",
+        "dedup_exact", "template_dedup", "bow_dedup", "seg_dedup",
         "dup_passages", "dup_passages_apply",
         "winnow_fingerprint", "winnow_overlap", "cdc_segments",
         "cdc_dup_chunks",

@@ -147,3 +147,120 @@ def sql_template_dedup() -> str:
         GROUP BY tpl_hash
         HAVING COUNT(*) > 1
     """
+
+
+# ---------------------------------------------------------------------------
+# bag-of-words (order-insensitive) dedup
+# ---------------------------------------------------------------------------
+
+# one base doc in BOW_INJECT_MOD gets a token-reversed render appended
+BOW_INJECT_MOD = 5
+BOW_VARIANT_BASE = 4_000_000_000
+
+
+def _bow_key(spark: bool) -> str:
+    """md5 of the SORTED token multiset (sort keeps duplicates): two
+    documents with the same words in a different order collide; any
+    word added/removed/repeated a different number of times does not."""
+    if spark:
+        return (
+            "md5(encode(concat_ws(' ',"
+            " array_sort(split(lower(trim(text)), '\\\\s+'))), 'UTF-8'))"
+        )
+    return (
+        "md5(array_to_string(list_sort("
+        r"regexp_split_to_array(lower(trim(text)), '\s+')), ' '))"
+    )
+
+
+def _bow_variant(spark: bool) -> str:
+    """Deterministic word-shuffle render: the document's tokens in
+    reverse order — same multiset, different text and different
+    shingles."""
+    if spark:
+        return (
+            "concat_ws(' ', reverse(split(lower(trim(text)), '\\\\s+')))"
+        )
+    return (
+        "array_to_string(list_reverse("
+        r"regexp_split_to_array(lower(trim(text)), '\s+')), ' ')"
+    )
+
+
+def q_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive duplicate groups: md5 of the sorted token
+    multiset as the collision key. Catches word-shuffled re-renders
+    that BOTH exact dedup (different bytes) and shingle MinHash
+    (k-grams change under reordering, so Jaccard collapses) miss —
+    scraped tables re-sorted by a different column, RSS items
+    re-ordered, templated listings with permuted fields.
+
+    Like template_dedup, the driver's word-salad corpus has no natural
+    word-shuffles, so the query deterministically INJECTS one
+    token-reversed render per selected base doc (h30(doc_id) %
+    {BOW_INJECT_MOD} == 0) before detection; both engines run the
+    identical rule, so the cross-engine gate checks the detector, not
+    the fixture.
+
+    Scale shape: sort-within-row is a narrow per-row expression (no
+    exchange); the only shuffle is the groupBy on (bow_hash) carrying
+    (16B hash, 16B text hash, doc_id) — O(rows) shuffle bytes, never
+    document text, map-side combinable. Output is capped to collision
+    groups (n_docs > 1). Reference analog: none (SURVEY.md §2.8).
+    """
+    docs = read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    sel = f"{_h30_spark('cast(doc_id as string)')} % {BOW_INJECT_MOD} = 0"
+    aug = docs.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN {sel} THEN array("
+                " struct(doc_id, text),"
+                f" struct(doc_id + {BOW_VARIANT_BASE} AS doc_id,"
+                f"        {_bow_variant(True)} AS text))"
+                " ELSE array(struct(doc_id, text)) END"
+            )
+        ).alias("r")
+    ).select(F.col("r.doc_id").alias("doc_id"), F.col("r.text").alias("text"))
+    hashed = aug.select(
+        "doc_id",
+        F.expr(_bow_key(True)).alias("bow_hash"),
+        F.md5(F.encode("text", "UTF-8")).alias("text_hash"),
+    )
+    return (
+        hashed.groupBy("bow_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("text_hash").cast("bigint").alias(
+                "n_distinct_texts"
+            ),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .where("n_docs > 1")
+    )
+
+
+def sql_bow_dedup() -> str:
+    h = _h30_duck("doc_id::VARCHAR")
+    return f"""
+        WITH base AS (SELECT doc_id, text FROM documents),
+        aug AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + {BOW_VARIANT_BASE} AS doc_id,
+                   {_bow_variant(False)} AS text
+            FROM base WHERE {h} % {BOW_INJECT_MOD} = 0
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   {_bow_key(False)} AS bow_hash,
+                   md5(text) AS text_hash
+            FROM aug
+        )
+        SELECT bow_hash,
+               COUNT(*)::BIGINT AS n_docs,
+               COUNT(DISTINCT text_hash)::BIGINT AS n_distinct_texts,
+               MIN(doc_id)::BIGINT AS keep_doc_id
+        FROM hashed
+        GROUP BY bow_hash
+        HAVING COUNT(*) > 1
+    """

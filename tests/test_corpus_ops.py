@@ -78,6 +78,7 @@ def _pairs():
         "template_dedup": (
             CTP.q_template_dedup, CTP.sql_template_dedup,
         ),
+        "bow_dedup": (CTP.q_bow_dedup, CTP.sql_bow_dedup),
         "token_stats": (CT.q_token_stats, CT.sql_token_stats),
         "token_entropy": (CT.q_token_entropy, CT.sql_token_entropy),
         "lang_id": (CT.q_lang_id, CT.sql_lang_id),
