@@ -1077,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "corpus_stats": CT.q_corpus_stats,
         "gopher_quality": CF.q_gopher_quality,
+        "readability": CF.q_readability,
         "code_detect": CF.q_code_detect,
         "dup_ngrams": CF.q_dup_ngrams,
         "repetition_ladder": CF.q_repetition_ladder,
@@ -1411,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": CC.sql_corpus_curation(),
         "corpus_stats": CT.sql_corpus_stats(),
         "gopher_quality": CF.sql_gopher_quality(),
+        "readability": CF.sql_readability(),
         "code_detect": CF.sql_code_detect(),
         "dup_ngrams": CF.sql_dup_ngrams(),
         "repetition_ladder": CF.sql_repetition_ladder(),

@@ -43,7 +43,8 @@ if _REPO not in sys.path:
 GROUPS: dict[str, list[str]] = {
     "text": [
         "token_stats", "token_entropy", "lang_id", "quality_score", "fingerprint",
-        "lang_stats", "corpus_curation", "gopher_quality", "code_detect", "dup_ngrams",
+        "lang_stats", "corpus_curation", "gopher_quality", "readability",
+        "code_detect", "dup_ngrams",
         "repetition_ladder",
         "pii_scrub", "corpus_stats", "decontaminate",
         "html_strip", "main_content", "top_ngrams", "pmi_pairs", "zipf_fit", "tfidf_topk",

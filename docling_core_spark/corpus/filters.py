@@ -1267,3 +1267,134 @@ def sql_badwords_filter() -> str:
                n_token_hits + n_phrase_hits = 0 AS keep
         FROM sig
     """
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease census
+# ---------------------------------------------------------------------------
+
+# Flesch (1948) reading-ease bands, the standard public thresholds
+FRE_EASY = 70.0    # >= 70: easy ("plain English" and below)
+FRE_HARD = 50.0    # <  50: hard (college and above)
+
+
+def _fre_micro(duck: bool) -> str:
+    """Per-doc Flesch reading ease in micro units:
+    206.835 - 1.015 * (words / sentences) - 84.6 * (syllables / words).
+    `n_words`, `n_sents`, `n_syll` are BIGINT (>= 1 by construction);
+    the double expression is written once, identical operator order in
+    both dialects (the lm_score rule)."""
+    def d(col: str) -> str:
+        return col if duck else f"cast({col} as double)"
+
+    expr = (
+        f"206.835 - 1.015 * ({d('n_words')} / {d('n_sents')})"
+        f" - 84.6 * ({d('n_syll')} / {d('n_words')})"
+    )
+    if duck:
+        return f"floor(({expr}) * 1000000)::BIGINT"
+    return f"cast(floor(({expr}) * 1000000) as bigint)"
+
+
+def _fre_parts_spark() -> dict:
+    """n_words / n_sents / n_syll Spark expressions. Syllables per word
+    = max(1, count of [aeiouy]+ vowel groups) — the standard cheap
+    heuristic; sentences = non-blank [.!?]+ segments (min 1)."""
+    return {
+        "n_words": f"cast(greatest(1, size({TOKENS_SPARK})) as bigint)",
+        "n_sents": (
+            "cast(greatest(1, size(filter(split(text, '[.!?]+'),"
+            " s -> length(trim(s)) > 0))) as bigint)"
+        ),
+        "n_syll": (
+            f"cast(aggregate({TOKENS_SPARK}, 0L, (acc, w) -> acc +"
+            " greatest(1, size(regexp_extract_all(w, '[aeiouy]+', 0))))"
+            " as bigint)"
+        ),
+    }
+
+
+def _fre_parts_duck() -> dict:
+    return {
+        "n_words": f"greatest(1, len({TOKENS_DUCK}))::BIGINT",
+        "n_sents": (
+            "greatest(1, len(list_filter(regexp_split_to_array(text,"
+            " '[.!?]+'), s -> length(trim(s)) > 0)))::BIGINT"
+        ),
+        "n_syll": (
+            f"coalesce(list_sum(list_transform({TOKENS_DUCK}, w ->"
+            " greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),"
+            " 0)::BIGINT"
+        ),
+    }
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease census: doc count, mean FRE, and
+    band counts (easy >= 70, 50 <= medium < 70, hard < 50) — the
+    curation dashboard's readability axis, complementing the Gopher
+    rule ladder (pass/fail) with a graded difficulty signal quality
+    classifiers routinely bucket on.
+
+    Scale shape: all three FRE components are narrow per-row
+    expressions over the tokenized text (syllable counting is a
+    per-word vowel-group regex inside one array-aggregate — no
+    explode, no exchange); the only shuffle is the map-side-combinable
+    groupBy(source), a tiny dimension. Per-doc FRE is integerised to
+    micro BEFORE the sum so aggregation order cannot move the mean.
+    Reference analog: none (SURVEY.md §2.8)."""
+    p = _fre_parts_spark()
+    docs = read_spread(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.expr(p["n_words"]).alias("n_words"),
+        F.expr(p["n_sents"]).alias("n_sents"),
+        F.expr(p["n_syll"]).alias("n_syll"),
+    ).select("source", F.expr(_fre_micro(False)).alias("fre_micro"))
+    easy = int(FRE_EASY * 1_000_000)
+    hard = int(FRE_HARD * 1_000_000)
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr(
+            "round(sum(fre_micro) / (count(*) * cast(1000000 as"
+            " double)), 6)"
+        ).alias("avg_fre"),
+        F.sum(F.expr(f"case when fre_micro >= {easy} then 1 else 0 end"))
+        .cast("bigint").alias("n_easy"),
+        F.sum(F.expr(
+            f"case when fre_micro >= {hard} and fre_micro < {easy}"
+            " then 1 else 0 end"
+        )).cast("bigint").alias("n_medium"),
+        F.sum(F.expr(f"case when fre_micro < {hard} then 1 else 0 end"))
+        .cast("bigint").alias("n_hard"),
+    )
+
+
+def sql_readability() -> str:
+    p = _fre_parts_duck()
+    easy = int(FRE_EASY * 1_000_000)
+    hard = int(FRE_HARD * 1_000_000)
+    return f"""
+        WITH parts AS (
+            SELECT source,
+                   {p['n_words']} AS n_words,
+                   {p['n_sents']} AS n_sents,
+                   {p['n_syll']} AS n_syll
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT source, {_fre_micro(True)} AS fre_micro FROM parts
+        )
+        SELECT source,
+               COUNT(*)::BIGINT AS n_docs,
+               round(SUM(fre_micro) / (COUNT(*) * 1000000.0), 6)
+                   AS avg_fre,
+               SUM(CASE WHEN fre_micro >= {easy} THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_easy,
+               SUM(CASE WHEN fre_micro >= {hard} AND fre_micro < {easy}
+                   THEN 1 ELSE 0 END)::BIGINT AS n_medium,
+               SUM(CASE WHEN fre_micro < {hard} THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_hard
+        FROM per_doc
+        GROUP BY source
+    """

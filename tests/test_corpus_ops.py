@@ -178,6 +178,7 @@ def _pairs():
             CT.q_langid_confusion, CT.sql_langid_confusion,
         ),
         "gopher_quality": (CF.q_gopher_quality, CF.sql_gopher_quality),
+        "readability": (CF.q_readability, CF.sql_readability),
         "dup_ngrams": (CF.q_dup_ngrams, CF.sql_dup_ngrams),
         "repetition_ladder": (
             CF.q_repetition_ladder, CF.sql_repetition_ladder,
