@@ -1184,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_segments": CD.q_cdc_segments,
         "cdc_dup_chunks": CD.q_cdc_dup_chunks,
         "crossdedup_lsh": CD.q_crossdedup_lsh,
+        "fuzzy_decontaminate": CD.q_fuzzy_decontaminate,
         "split_leakage": CSP.q_split_leakage,
         # similarity search
         "knn_bruteforce": CS.q_knn_bruteforce,
@@ -1376,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_segments": CD.sql_cdc_segments(),
         "cdc_dup_chunks": CD.sql_cdc_dup_chunks(),
         "crossdedup_lsh": CD.sql_crossdedup_lsh(),
+        "fuzzy_decontaminate": CD.sql_fuzzy_decontaminate(),
         "split_leakage": CSP.sql_split_leakage(),
         "knn_bruteforce": CS.sql_knn_bruteforce(),
         "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),

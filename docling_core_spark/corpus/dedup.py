@@ -2669,3 +2669,184 @@ def sql_dedup_agreement() -> str:
                 END)::BIGINT AS minhash_covered_micro
         FROM counts
     """
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (MinHash-banded) decontamination
+# ---------------------------------------------------------------------------
+
+# minimum containment of the EVAL doc's shingle set inside the training
+# doc to flag contamination (asymmetric: a lightly-edited benchmark item
+# is contamination even when pair Jaccard is diluted)
+FUZZY_DECON_MIN = 0.3
+# injected contaminated renders live far above any real doc_id; the
+# offset's residue mod DECON_MOD (5e9 % 97 = 73) keeps renders out of
+# the eval split at every sf
+FUZZY_VARIANT_BASE = 5_000_000_000
+# every FUZZY_EDIT_STEP-th token of the injected render is replaced —
+# a ~1/24 edit rate kills ~1/8 of the 3-shingles, leaving pair Jaccard
+# ~0.78: high enough that most renders band-collide (S-curve
+# P = 1-(1-J^4)^4 ~ 0.84), low enough that the exact 8-gram
+# decontaminate no longer matches every window — the gap this fuzzy
+# pass exists to cover
+FUZZY_EDIT_STEP = 24
+
+
+def _fuzzy_render_spark() -> str:
+    return (
+        "concat_ws(' ', transform(split(lower(trim(text)), '\\\\s+'),"
+        f" (w, i) -> case when (i + 1) % {FUZZY_EDIT_STEP} = 0"
+        " then 'zzqx' else w end))"
+    )
+
+
+def _fuzzy_render_duck() -> str:
+    return (
+        "array_to_string(list_transform(range(1, len(toks0) + 1),"
+        f" i -> CASE WHEN i % {FUZZY_EDIT_STEP} = 0"
+        " THEN 'zzqx' ELSE toks0[i] END), ' ')"
+    )
+
+
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-match decontamination: flag (training doc, eval doc) pairs
+    whose banded MinHash signatures collide AND whose exact shingle
+    CONTAINMENT of the eval doc — |S_t n S_e| / |S_e| — clears
+    {FUZZY_DECON_MIN}. The fuzzy twin of `filters.decontaminate`
+    (exact 8-gram hit): catches lightly-edited benchmark dumps whose
+    long grams no longer match verbatim.
+
+    The eval split is the same pseudo-benchmark carve-out decontaminate
+    uses (doc_id % DECON_MOD == DECON_RESIDUE). Like template_dedup,
+    the corpus has no organic edited benchmark copies, so the query
+    deterministically INJECTS one render per eval doc (every
+    {FUZZY_EDIT_STEP}-th token replaced) before detection — both
+    engines run the identical rule, so the gate checks the detector.
+    Banding recall follows the Jaccard S-curve, so a render can
+    legitimately evade the candidate stage; the verify metric is
+    containment, not Jaccard, because a benchmark item inside a longer
+    page has tiny pair Jaccard but containment ~1.
+
+    100 TB story: the eval side is benchmark-sized regardless of
+    corpus scale, so BOTH its band keys and its shingle sets
+    broadcast; candidates are eval x colliding-train only (the train
+    side never self-pairs), and the exact containment verify joins
+    shingles at candidate-set size. Reference analog: none
+    (SURVEY.md §2.8).
+    """
+    from .filters import DECON_MOD, DECON_RESIDUE
+
+    ev_pred = f"doc_id % {DECON_MOD} = {DECON_RESIDUE}"
+    docs = read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN {ev_pred} THEN array("
+                " struct(doc_id, text),"
+                f" struct(doc_id + {FUZZY_VARIANT_BASE} AS doc_id,"
+                f"        {_fuzzy_render_spark()} AS text))"
+                " ELSE array(struct(doc_id, text)) END"
+            )
+        ).alias("r")
+    ).select(F.col("r.doc_id").alias("doc_id"), F.col("r.text").alias("text"))
+    sh = aug.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    ).select("doc_id", F.expr(_shingles_spark()).alias("sh"))
+    bands = _bands_from_sig(_sig_from_shingles(sh))
+    tr_b = bands.where(f"NOT ({ev_pred})")
+    ev_b = bands.where(ev_pred)
+    cand = (
+        tr_b.alias("t")
+        .join(
+            F.broadcast(ev_b.alias("e")),
+            (F.col("t.band_id") == F.col("e.band_id"))
+            & (F.col("t.band_key") == F.col("e.band_key")),
+        )
+        .select(
+            F.col("t.doc_id").alias("doc_id"),
+            F.col("e.doc_id").alias("eval_doc_id"),
+        )
+        .distinct()
+    )
+    thr = int(FUZZY_DECON_MIN * 1_000_000)
+    return (
+        cand.alias("c")
+        .join(sh.alias("st"), F.col("c.doc_id") == F.col("st.doc_id"))
+        .join(
+            F.broadcast(sh.where(ev_pred).alias("se")),
+            F.col("c.eval_doc_id") == F.col("se.doc_id"),
+        )
+        .where("size(se.sh) > 0")
+        .select(
+            F.col("c.doc_id").alias("doc_id"),
+            F.col("c.eval_doc_id").alias("eval_doc_id"),
+            F.expr("cast(size(array_intersect(st.sh, se.sh)) as bigint)")
+            .alias("n_shared"),
+            F.expr("cast(size(se.sh) as bigint)").alias("n_eval_shingles"),
+            F.expr(
+                "cast(size(array_intersect(st.sh, se.sh)) * 1000000"
+                " div size(se.sh) as bigint)"
+            ).alias("cont_micro"),
+        )
+        .where(f"cont_micro >= {thr}")
+        .select(
+            "doc_id", "eval_doc_id", "n_shared", "n_eval_shingles",
+            F.expr(
+                "round(cont_micro / cast(1000000 as double), 6)"
+            ).alias("containment"),
+        )
+    )
+
+
+def sql_fuzzy_decontaminate() -> str:
+    from .filters import DECON_MOD, DECON_RESIDUE
+
+    ev = f"doc_id % {DECON_MOD} = {DECON_RESIDUE}"
+    sigs = ", ".join(
+        f"{e} AS mh_{i}" for i, e in enumerate(_sig_exprs_duck())
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {_band_key_duck(b)} AS band_key"
+        f" FROM sig"
+        for b in range(C.LSH_BANDS)
+    )
+    thr = int(FUZZY_DECON_MIN * 1_000_000)
+    return f"""
+        WITH base0 AS (
+            SELECT doc_id, text, {TOKENS_DUCK} AS toks0 FROM documents
+        ),
+        aug AS (
+            SELECT doc_id, text FROM base0
+            UNION ALL
+            SELECT doc_id + {FUZZY_VARIANT_BASE} AS doc_id,
+                   {_fuzzy_render_duck()} AS text
+            FROM base0 WHERE {ev}
+        ),
+        toks AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM aug),
+        shs AS (SELECT doc_id, {_shingles_duck()} AS sh FROM toks),
+        hss AS (SELECT doc_id, sh,
+                       list_transform(sh, g -> {_h30_duck('g')}) AS hs
+                FROM shs),
+        sig AS (SELECT doc_id, {sigs} FROM hss),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_doc_id
+            FROM bands t JOIN bands e
+              ON t.band_id = e.band_id AND t.band_key = e.band_key
+            WHERE NOT (t.{ev}) AND e.{ev}
+        ),
+        verified AS (
+            SELECT c.doc_id, c.eval_doc_id,
+                   len(list_intersect(st.sh, se.sh))::BIGINT AS n_shared,
+                   len(se.sh)::BIGINT AS n_eval_shingles,
+                   (len(list_intersect(st.sh, se.sh)) * 1000000
+                    // len(se.sh))::BIGINT AS cont_micro
+            FROM cand c
+            JOIN shs st ON c.doc_id = st.doc_id
+            JOIN shs se ON c.eval_doc_id = se.doc_id
+            WHERE len(se.sh) > 0 AND se.{ev}
+        )
+        SELECT doc_id, eval_doc_id, n_shared, n_eval_shingles,
+               round(cont_micro / 1000000.0, 6) AS containment
+        FROM verified WHERE cont_micro >= {thr}
+    """

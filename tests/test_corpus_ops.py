@@ -193,6 +193,9 @@ def _pairs():
         "robots_filter": (CU.q_robots_filter, CU.sql_robots_filter),
         "crawl_frontier": (CU.q_crawl_frontier, CU.sql_crawl_frontier),
         "crossdedup_lsh": (CD.q_crossdedup_lsh, CD.sql_crossdedup_lsh),
+        "fuzzy_decontaminate": (
+            CD.q_fuzzy_decontaminate, CD.sql_fuzzy_decontaminate,
+        ),
         "bm25_topk": (CB.q_bm25_topk, CB.sql_bm25_topk),
         "rrf_fusion": (CB.q_rrf_fusion, CB.sql_rrf_fusion),
         "text_normalize": (CN.q_text_normalize, CN.sql_text_normalize),
@@ -1778,3 +1781,22 @@ def test_dehyphenate_repairs_crafted(spark):
     )
     orc = set(map(tuple, con.execute(sql_dehyphenate()).fetchall()))
     assert {tuple(r) for r in rows} == orc
+
+
+def test_fuzzy_decontaminate_catches_injected_renders(spark):
+    """The injected lightly-edited eval renders (1/24 tokens replaced)
+    must be flagged with high containment, and every flagged row must
+    clear the containment floor."""
+    from docling_core_spark.corpus import dedup as CD
+
+    rows = CD.q_fuzzy_decontaminate(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    inj = [r for r in rows
+           if r["doc_id"] >= CD.FUZZY_VARIANT_BASE]
+    assert len(inj) > 0
+    for r in inj:
+        # a 1/24 edit rate keeps >= ~7/8 of the eval shingles
+        assert r["containment"] >= 0.8
+        assert (r["doc_id"] - CD.FUZZY_VARIANT_BASE) == r["eval_doc_id"]
+    for r in rows:
+        assert r["containment"] >= CD.FUZZY_DECON_MIN
