@@ -1185,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dup_chunks": CD.q_cdc_dup_chunks,
         "crossdedup_lsh": CD.q_crossdedup_lsh,
         "fuzzy_decontaminate": CD.q_fuzzy_decontaminate,
+        "neardup_transitivity": CD.q_neardup_transitivity,
+        "corpus_rollup": CT.q_corpus_rollup,
         "split_leakage": CSP.q_split_leakage,
         # similarity search
         "knn_bruteforce": CS.q_knn_bruteforce,
@@ -1378,6 +1380,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dup_chunks": CD.sql_cdc_dup_chunks(),
         "crossdedup_lsh": CD.sql_crossdedup_lsh(),
         "fuzzy_decontaminate": CD.sql_fuzzy_decontaminate(),
+        "neardup_transitivity": CD.sql_neardup_transitivity(),
+        "corpus_rollup": CT.sql_corpus_rollup(),
         "split_leakage": CSP.sql_split_leakage(),
         "knn_bruteforce": CS.sql_knn_bruteforce(),
         "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),

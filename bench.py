@@ -46,7 +46,8 @@ GROUPS: dict[str, list[str]] = {
         "lang_stats", "corpus_curation", "gopher_quality", "readability",
         "code_detect", "dup_ngrams",
         "repetition_ladder",
-        "pii_scrub", "corpus_stats", "decontaminate", "fuzzy_decontaminate",
+        "pii_scrub", "corpus_stats", "corpus_rollup", "decontaminate",
+        "fuzzy_decontaminate",
         "html_strip", "main_content", "top_ngrams", "pmi_pairs", "zipf_fit", "tfidf_topk",
         "bm25_topk", "rrf_fusion", "text_normalize", "normalize_uplift",
         "dehyphenate",
@@ -82,6 +83,7 @@ GROUPS: dict[str, list[str]] = {
         "minhash_signatures",
         "lsh_buckets",
         "neardup_pairs", "crossdedup_lsh", "minhash_est_error",
+        "neardup_transitivity",
         "dedup_agreement",
         "neardup_edit", "lsh_scurve",
         "dedup_clusters",

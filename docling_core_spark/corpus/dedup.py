@@ -2850,3 +2850,94 @@ def sql_fuzzy_decontaminate() -> str:
                round(cont_micro / 1000000.0, 6) AS containment
         FROM verified WHERE cont_micro >= {thr}
     """
+
+
+# ---------------------------------------------------------------------------
+# near-dup graph transitivity (triangle census)
+# ---------------------------------------------------------------------------
+
+def q_neardup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row triangle census of the verified near-dup graph: node /
+    edge / wedge / triangle counts and the global clustering
+    coefficient 3T / W. The dedup-graph diagnostic behind keeper
+    election: connected-component collapse treats near-duplication as
+    transitive, and this measures how closed the graph actually is —
+    a LOW closure means chains (a~b~c with a!~c) where a single keeper
+    silently drops pairwise-distinct text.
+
+    100 TB story: runs entirely on the memoized VERIFIED pair table
+    (candidate-sized, orders of magnitude smaller than the corpus —
+    the same artifact clustering reads), never on documents. Triangles
+    use the compact-forward ordered join (Latapy 2008): edges oriented
+    a < b, so each triangle a<b<c matches exactly once as
+    (a,b)x(b,c)x(a,c); wedge mass is a per-node degree aggregate. The
+    hot-bucket cap upstream bounds the worst-case node degree, which
+    bounds both the wedge blowup and the join fan-out (production
+    would orient by (degree, id) — identical result, flatter skew).
+    Reference analog: none (SURVEY.md §2.8)."""
+    e = q_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        e.select(F.col("doc_a").alias("v"))
+        .unionAll(e.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    nodes_edges = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias(
+            "n_wedges"
+        ),
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.doc_a") == F.col("e3.doc_a"))
+            & (F.col("e2.doc_b") == F.col("e3.doc_b")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return nodes_edges.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "case when n_wedges = 0 then 0.0 else round("
+            "(3 * n_triangles * 1000000 div n_wedges)"
+            " / cast(1000000 as double), 6) end"
+        ).alias("closure"),
+    )
+
+
+def sql_neardup_transitivity() -> str:
+    return f"""
+        WITH pairs AS ({sql_neardup_pairs()}),
+        e AS (SELECT doc_a, doc_b FROM pairs),
+        deg AS (
+            SELECT v, COUNT(*)::BIGINT AS deg FROM (
+                SELECT doc_a AS v FROM e
+                UNION ALL
+                SELECT doc_b AS v FROM e
+            ) GROUP BY v
+        ),
+        ne AS (
+            SELECT COUNT(*)::BIGINT AS n_nodes,
+                   (SUM(deg) / 2)::BIGINT AS n_edges,
+                   SUM(deg * (deg - 1) // 2)::BIGINT AS n_wedges
+            FROM deg
+        ),
+        tri AS (
+            SELECT COUNT(*)::BIGINT AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.doc_b = e2.doc_a
+            JOIN e e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b
+        )
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges = 0 THEN 0.0 ELSE round(
+                   (3 * n_triangles * 1000000 // n_wedges)
+                   / 1000000.0, 6) END AS closure
+        FROM ne CROSS JOIN tri
+    """

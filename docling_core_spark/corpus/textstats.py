@@ -796,3 +796,59 @@ def sql_vocab_growth() -> str:
                 END)::BIGINT AS ttr_ppm
         FROM cumed
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus_rollup: multi-dimensional datasheet (ROLLUP source, lang)
+# ---------------------------------------------------------------------------
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet at every aggregation level in one pass:
+    GROUP BY ROLLUP(source, lang) — per (source, lang) cell, per
+    source, and the grand total, each row tagged with its grouping id
+    (0 = cell, 1 = source subtotal, 3 = grand total). The one-shuffle
+    replacement for the three separate dashboards a curation report
+    stitches together.
+
+    100 TB story: ROLLUP is a single map-side-combinable hash
+    aggregate whose key space is (sources x langs) + sources + 1 —
+    dimension-sized regardless of corpus rows; Spark plans it as one
+    Expand + one Exchange, not three scans. Token counts integerise
+    before the sum (bigint), so partial aggregation order is
+    irrelevant."""
+    docs = read_spread(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", "lang",
+        F.expr(f"cast(size({TOKENS_SPARK}) as bigint)").alias("n_toks"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return (
+        base.rollup("source", "lang")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            "source", "lang", "gid", "n_docs", "n_tokens", "sum_chars",
+        )
+    )
+
+
+def sql_corpus_rollup() -> str:
+    return f"""
+        WITH base AS (
+            SELECT source, lang,
+                   len({TOKENS_DUCK})::BIGINT AS n_toks,
+                   n_chars::BIGINT AS n_chars
+            FROM documents
+        )
+        SELECT source, lang,
+               (GROUPING(source) * 2 + GROUPING(lang))::BIGINT AS gid,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(n_toks)::BIGINT AS n_tokens,
+               SUM(n_chars)::BIGINT AS sum_chars
+        FROM base
+        GROUP BY ROLLUP (source, lang)
+    """

@@ -196,6 +196,10 @@ def _pairs():
         "fuzzy_decontaminate": (
             CD.q_fuzzy_decontaminate, CD.sql_fuzzy_decontaminate,
         ),
+        "neardup_transitivity": (
+            CD.q_neardup_transitivity, CD.sql_neardup_transitivity,
+        ),
+        "corpus_rollup": (CT.q_corpus_rollup, CT.sql_corpus_rollup),
         "bm25_topk": (CB.q_bm25_topk, CB.sql_bm25_topk),
         "rrf_fusion": (CB.q_rrf_fusion, CB.sql_rrf_fusion),
         "text_normalize": (CN.q_text_normalize, CN.sql_text_normalize),
