@@ -1196,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": CS.q_ann_ivf_topk,
         "ann_recall": CS.q_ann_recall,
         "ivf_cluster_stats": CS.q_ivf_cluster_stats,
+        "cluster_purity": CS.q_cluster_purity,
         "cluster_topics": CS.q_cluster_topics,
         "emb_quantize_int8": CS.q_emb_quantize_int8,
         "bitext_mine": CS.q_bitext_mine,
@@ -1391,6 +1392,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_step": CS.sql_kmeans_step(f"/root/testdata/sf{gate_sf}"),
         "ann_recall": CS.sql_ann_recall(f"/root/testdata/sf{gate_sf}"),
         "ivf_cluster_stats": CS.sql_ivf_cluster_stats(
+            f"/root/testdata/sf{gate_sf}"
+        ),
+        "cluster_purity": CS.sql_cluster_purity(
             f"/root/testdata/sf{gate_sf}"
         ),
         "cluster_topics": CS.sql_cluster_topics(f"/root/testdata/sf{gate_sf}"),

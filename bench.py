@@ -99,7 +99,8 @@ GROUPS: dict[str, list[str]] = {
         "decode_features", "media_resize", "frame_sample", "media_dedup",
         "knn_bruteforce", "lsh_bucket_stats", "ann_lsh_topk",
         "ann_lsh_multiprobe",
-        "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "kmeans_step",
+        "ann_ivf_topk", "ann_recall", "ivf_cluster_stats", "cluster_purity",
+        "kmeans_step",
         "cluster_topics",
         "pq_encode",
         "pq_search", "ivfpq_search", "pq_recall", "neardup_cosine",

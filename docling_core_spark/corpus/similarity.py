@@ -2126,3 +2126,159 @@ def sql_bitext_mine() -> str:
                )::BIGINT AS margin_ppm
         FROM topk GROUP BY q_id, q_lang
     """
+
+
+# ---------------------------------------------------------------------------
+# cluster external validation: purity + NMI vs labels
+# ---------------------------------------------------------------------------
+
+def _mi_term_micro(duck: bool) -> str:
+    """Per-(cluster, label) mutual-information term in micro nats:
+    (n_cl / N) * ln((N * n_cl) / (n_c * n_l)). All counts BIGINT; the
+    double expression is written once with identical operator order."""
+    def d(col: str) -> str:
+        return col if duck else f"cast({col} as double)"
+
+    expr = (
+        f"({d('n_cl')} / {d('n_pts')})"
+        f" * ln(({d('n_pts')} * {d('n_cl')}) / ({d('n_c')} * {d('n_l')}))"
+    )
+    if duck:
+        return f"floor(({expr}) * 1000000)::BIGINT"
+    return f"cast(floor(({expr}) * 1000000) as bigint)"
+
+
+def _ent_term_micro(cnt: str, duck: bool) -> str:
+    """-(cnt / N) * ln(cnt / N) in micro nats (floor toward -inf is
+    identical in both engines, so per-term integerisation commutes
+    with the sum)."""
+    def d(col: str) -> str:
+        return col if duck else f"cast({col} as double)"
+
+    expr = f"-({d(cnt)} / {d('n_pts')}) * ln({d(cnt)} / {d('n_pts')})"
+    if duck:
+        return f"floor(({expr}) * 1000000)::BIGINT"
+    return f"cast(floor(({expr}) * 1000000) as bigint)"
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External validation of the IVF k-means cells against the
+    embedding labels: one-row report with purity (sum over cells of
+    the majority-label count / N) and normalized mutual information
+    I(C;L) / sqrt(H(C) H(L)) — the standard pair every clustering
+    eval prints. Low purity with balanced cells means the index
+    partitions the space orthogonally to the semantic labels (probe
+    counts then pay for it); NMI adds the information-theoretic view
+    that is not fooled by many tiny pure cells.
+
+    100 TB story: the only corpus-sized stages are the broadcast
+    centroid assignment (shared `_centroid_assign` artifact) and one
+    map-side-combinable groupBy onto the (k x labels) contingency
+    table; every entropy/MI term is computed per contingency CELL,
+    integerised to micro nats, and integer-summed, so partition order
+    cannot move the result. Reference analog: none (SURVEY.md §2.8).
+    """
+    labels = read_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    a = _centroid_assign(spark, sf_dir).select("vec_id", "c_id")
+    cont = (
+        a.join(labels, "vec_id")
+        .groupBy("c_id", "label")
+        .agg(F.count("*").cast("bigint").alias("n_cl"))
+    )
+    n_c = cont.groupBy("c_id").agg(
+        F.sum("n_cl").cast("bigint").alias("n_c"),
+        F.max("n_cl").cast("bigint").alias("max_cl"),
+    )
+    n_l = cont.groupBy("label").agg(
+        F.sum("n_cl").cast("bigint").alias("n_l")
+    )
+    tot = cont.agg(F.sum("n_cl").cast("bigint").alias("n_pts"))
+    mi = (
+        cont.join(F.broadcast(n_c), "c_id")
+        .join(F.broadcast(n_l), "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.expr(_mi_term_micro(False))).cast("bigint").alias(
+                "mi_micro"
+            )
+        )
+    )
+    hc = n_c.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(_ent_term_micro("n_c", False))).cast("bigint").alias(
+            "hc_micro"
+        ),
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("max_cl").cast("bigint").alias("sum_max"),
+    )
+    hl = n_l.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(_ent_term_micro("n_l", False))).cast("bigint").alias(
+            "hl_micro"
+        ),
+        F.count("*").cast("bigint").alias("n_labels"),
+    )
+    return (
+        hc.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_clusters",
+            "n_labels",
+            "n_pts",
+            F.expr(
+                "round(cast(sum_max as double) / cast(n_pts as double),"
+                " 6)"
+            ).alias("purity"),
+            F.expr(
+                "case when hc_micro <= 0 or hl_micro <= 0 then 0.0"
+                " else round(cast(mi_micro as double)"
+                " / sqrt(cast(hc_micro as double)"
+                " * cast(hl_micro as double)), 6) end"
+            ).alias("nmi"),
+        )
+    )
+
+
+def sql_cluster_purity(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return f"""
+        WITH {_assign_cte_duck(sf_dir)},
+        cont AS (
+            SELECT a.c_id, e.label, COUNT(*)::BIGINT AS n_cl
+            FROM assigned a JOIN embeddings e USING (vec_id)
+            GROUP BY a.c_id, e.label
+        ),
+        nc AS (
+            SELECT c_id, SUM(n_cl)::BIGINT AS n_c,
+                   MAX(n_cl)::BIGINT AS max_cl
+            FROM cont GROUP BY c_id
+        ),
+        nl AS (
+            SELECT label, SUM(n_cl)::BIGINT AS n_l
+            FROM cont GROUP BY label
+        ),
+        tot AS (SELECT SUM(n_cl)::BIGINT AS n_pts FROM cont),
+        mi AS (
+            SELECT SUM({_mi_term_micro(True)})::BIGINT AS mi_micro
+            FROM cont JOIN nc USING (c_id) JOIN nl USING (label)
+            CROSS JOIN tot
+        ),
+        hc AS (
+            SELECT SUM({_ent_term_micro('n_c', True)})::BIGINT AS hc_micro,
+                   COUNT(*)::BIGINT AS n_clusters,
+                   SUM(max_cl)::BIGINT AS sum_max
+            FROM nc CROSS JOIN tot
+        ),
+        hl AS (
+            SELECT SUM({_ent_term_micro('n_l', True)})::BIGINT AS hl_micro,
+                   COUNT(*)::BIGINT AS n_labels
+            FROM nl CROSS JOIN tot
+        )
+        SELECT n_clusters, n_labels, n_pts,
+               round(sum_max::DOUBLE / n_pts::DOUBLE, 6) AS purity,
+               CASE WHEN hc_micro <= 0 OR hl_micro <= 0 THEN 0.0
+                    ELSE round(mi_micro::DOUBLE
+                         / sqrt(hc_micro::DOUBLE * hl_micro::DOUBLE), 6)
+               END AS nmi
+        FROM hc CROSS JOIN hl CROSS JOIN mi CROSS JOIN tot
+    """

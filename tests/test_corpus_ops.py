@@ -156,6 +156,10 @@ def _pairs():
             CS.q_ivf_cluster_stats,
             lambda: CS.sql_ivf_cluster_stats(SF_DIR),
         ),
+        "cluster_purity": (
+            CS.q_cluster_purity,
+            lambda: CS.sql_cluster_purity(SF_DIR),
+        ),
         "pq_encode": (
             CS.q_pq_encode, lambda: CS.sql_pq_encode(SF_DIR),
         ),
