@@ -64,6 +64,17 @@ _SQL_TPCH_Q1 = """
     GROUP BY l_returnflag, l_linestatus
 """
 
+_SQL_TPCH_Q6 = """
+    SELECT count(*) AS n_lines,
+           CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM {lineitem}
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
 _SQL_TOP_CUSTOMERS = """
     SELECT c_custkey, c_name, c_mktsegment,
            count(*) AS n_orders,
@@ -656,6 +667,20 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_TPCH_Q1.format(lineitem="li_q1_src"))
 
 
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): a pure scan-side query —
+    all four predicates and the two-column projection push into the
+    parquet reader, the per-row revenue integerizes with ONE IEEE
+    product (floor(extprice * disc * 100 + 0.5), identical in both
+    engines), and the aggregate is a single map-side-combined global
+    sum: the canonical 'no shuffle beyond the final 1-row reduce'
+    plan. At 100 TB this is the query shape that proves predicate
+    pushdown + column pruning are wired: the scan reads 4 columns,
+    not the table."""
+    _spread_view(spark, sf_dir, "lineitem", "li_q6_src")
+    return spark.sql(_SQL_TPCH_Q6.format(lineitem="li_q6_src"))
+
+
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + agg with a broadcast-able dimension (customer). The
     explicit broadcast() keeps the dim on the map side at any scale;
@@ -1238,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_table_detect": _q_page_table_detect,
         # relational sanity (scan/filter/agg/join/window/sessionize)
         "tpch_q1": _q_tpch_q1,
+        "tpch_q6": _q_tpch_q6,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
@@ -1520,6 +1546,7 @@ def oracle_sql() -> dict[str, str]:
         "page_table_detect": _pages_oracle("table_detect"),
         "lang_stats": _SQL_LANG_STATS.format(documents="documents"),
         "tpch_q1": _SQL_TPCH_Q1.format(lineitem="lineitem"),
+        "tpch_q6": _SQL_TPCH_Q6.format(lineitem="lineitem"),
         "tpch_q3": _SQL_TPCH_Q3_ORACLE,
         "tpch_q4": _SQL_TPCH_Q4_ORACLE,
         "tpch_q5": _SQL_TPCH_Q5_ORACLE,

@@ -114,7 +114,8 @@ GROUPS: dict[str, list[str]] = {
         "page_textlines", "page_render_svg", "page_reading_order",
         "page_xycut_blocks", "page_ocr_quality", "page_furniture",
         "page_table_detect",
-        "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "top_customers", "events_by_type",
+        "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+        "top_customers", "events_by_type",
         "events_sessionize", "events_asof", "events_range_join",
         "events_retention", "events_funnel", "events_spikes",
         "orders_running_total",

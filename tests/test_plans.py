@@ -790,3 +790,18 @@ def test_tpch_q4_uses_semi_join(spark):
     assert li_scans and all(
         "l_extendedprice" not in ln for ln in li_scans
     ), plan
+
+
+def test_tpch_q6_scanside_no_exchange_before_agg(spark):
+    """Q6: all four predicates push to the parquet scan, the scan reads
+    only the needed columns, and the plan is scan -> partial agg ->
+    single-row final agg (no join, no wide exchange beyond the 1-row
+    reduce)."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["tpch_q6"](spark, SF))
+    assert "l_shipdate" in plan and "l_discount" in plan, plan
+    assert "PushedFilters" in plan or "Filter" in plan, plan
+    assert "Join" not in plan, plan
+    # projection pruning: the untouched wide columns never appear
+    assert "l_comment" not in plan and "l_returnflag" not in plan, plan
