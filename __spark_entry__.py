@@ -423,6 +423,16 @@ def _q_pipeline_span_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section segmentation over the ENGINE's parsed span sequence; the
+    oracle runs the identical derivation SQL over the
+    reference-parity-checked golden span table (the pipeline_toc
+    oracle strategy)."""
+    from docling_core_spark.ops.outline import q_pipeline_sections
+
+    return q_pipeline_sections(spark, _q_pipeline_span_seq(spark, sf_dir))
+
+
 def _q_pipeline_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outline/TOC derived from the ENGINE's parsed tree; oracle runs
     the same SQL over the reference-parity golden span table."""
@@ -1081,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # document engine (SURVEY.md §2; parity gate = tests/)
         "pipeline_span_seq": _q_pipeline_span_seq,
         "pipeline_toc": _q_pipeline_toc,
+        "pipeline_sections": _q_pipeline_sections,
         "pipeline_exports": _q_pipeline_exports,
         "pipeline_metrics": _q_pipeline_metrics,
         "pipeline_doctags_roundtrip": _q_pipeline_doctags_roundtrip,
@@ -1368,9 +1379,12 @@ def oracle_sql() -> dict[str, str]:
         if os.path.exists(f"{g}/{name}.parquet")
     }
     if os.path.exists(f"{g}/pipeline_span_seq.parquet"):
-        from docling_core_spark.ops.outline import toc_sql
+        from docling_core_spark.ops.outline import sections_sql, toc_sql
 
         golden["pipeline_toc"] = toc_sql(
+            f"read_parquet('{g}/pipeline_span_seq.parquet')"
+        )
+        golden["pipeline_sections"] = sections_sql(
             f"read_parquet('{g}/pipeline_span_seq.parquet')"
         )
 

@@ -26,9 +26,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 MAX_LEVEL = 6
 
-_LEVEL = (
-    "CASE WHEN kind = 'title' THEN 0"
-    " ELSE CAST(substring(kind, 22) AS INT) END"
+def _level(col: str) -> str:
+    """Header level from the span kind. The reference's span kind for
+    section headers is the flat DocItemLabel value 'section_header'
+    (document.py DocItemLabel) — the SectionHeaderItem level attribute
+    does not survive into the (kind, text, media_ref, order) span
+    tuple, so every section header enters the outline at level 1 under
+    the title; a leveled 'section_header_level_N' kind (future parse
+    variants) parses its suffix."""
+    return (
+        f"CASE WHEN {col} = 'title' THEN 0"
+        f" WHEN {col} = 'section_header' THEN 1"
+        f" ELSE CAST(substring({col}, 22) AS INT) END"
+    )
+
+
+_LEVEL = _level("kind")
+
+_IS_HDR = (
+    "kind = 'title' OR kind = 'section_header'"
+    " OR kind LIKE 'section_header_level_%'"
 )
 
 
@@ -49,7 +66,7 @@ def toc_sql(src: str) -> str:
         WITH hdrs AS (
             SELECT doc_id, ord, text, {_LEVEL} AS level
             FROM {src}
-            WHERE kind = 'title' OR kind LIKE 'section_header_level_%'
+            WHERE {_IS_HDR}
         ),
         linked AS (
             SELECT doc_id, ord, text, level, {last_cols}
@@ -74,3 +91,61 @@ def toc_sql(src: str) -> str:
 def q_pipeline_toc(spark: SparkSession, span_seq: DataFrame) -> DataFrame:
     span_seq.createOrReplaceTempView("toc_spans_src")
     return spark.sql(toc_sql("toc_spans_src"))
+
+
+def sections_sql(src: str) -> str:
+    """Dialect-identical section segmentation over a span table: every
+    span is assigned to its governing section (the nearest preceding
+    header span, title or section_header); per (doc, section) the
+    table reports span counts, text mass and the ord range — the
+    section-boundary table a RAG splitter or section-aware chunk
+    budgeter consumes. Preamble spans before any header form section
+    -1.
+
+    100 TB story: one running-max window per doc (uniform doc_id
+    partitions, bounded spans/doc), one map-side-combinable groupBy,
+    and a header-info join keyed by (doc_id, ord) at section-count
+    size. No self-join, no recursion."""
+    return f"""
+        WITH spans AS (
+            SELECT doc_id, ord, kind, text FROM {src}
+        ),
+        assigned AS (
+            SELECT doc_id, ord, kind, text,
+                   max(CASE WHEN {_IS_HDR} THEN ord END) OVER (
+                       PARTITION BY doc_id ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sec_ord
+            FROM spans
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(coalesce(sec_ord, -1) AS BIGINT) AS section_ord,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN kind = 'text'
+                                   OR kind = 'paragraph'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_text_spans,
+                   CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+                       AS sum_chars,
+                   CAST(min(ord) AS BIGINT) AS first_ord,
+                   CAST(max(ord) AS BIGINT) AS last_ord
+            FROM assigned
+            GROUP BY doc_id, coalesce(sec_ord, -1)
+        )
+        SELECT a.doc_id, a.section_ord,
+               CAST(CASE WHEN a.section_ord = -1 THEN -1
+                         ELSE {_level('h.kind')} END AS BIGINT) AS level,
+               a.n_spans, a.n_text_spans, a.sum_chars,
+               a.first_ord, a.last_ord
+        FROM agg a
+        LEFT JOIN spans h
+          ON h.doc_id = a.doc_id AND h.ord = a.section_ord
+    """
+
+
+def q_pipeline_sections(
+    spark: SparkSession, span_seq: DataFrame
+) -> DataFrame:
+    span_seq.createOrReplaceTempView("sections_spans_src")
+    return spark.sql(sections_sql("sections_spans_src"))

@@ -110,3 +110,38 @@ def test_pipeline_toc_hierarchy_invariants(spark):
         for g in groups.values():
             g.sort(key=lambda r: r.ord)
             assert [r.sib_idx for r in g] == list(range(1, len(g) + 1))
+
+
+def test_pipeline_sections_cover_all_spans(spark):
+    """Sections tile each document exactly: ord ranges are disjoint,
+    contiguous, and their span counts sum to the document's span
+    count; every non-preamble section starts at its own header ord."""
+    import __spark_entry__ as E
+
+    spans = E.queries()["pipeline_span_seq"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    secs = E.queries()["pipeline_sections"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_spans = {}
+    for s in spans:
+        n_spans[s.doc_id] = n_spans.get(s.doc_id, 0) + 1
+    by_doc = {}
+    for r in secs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_spans)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.first_ord)
+        assert sum(r.n_spans for r in rs) == n_spans[doc]
+        prev_end = -1
+        for r in rs:
+            assert r.first_ord == prev_end + 1
+            assert r.last_ord >= r.first_ord
+            assert r.n_spans == r.last_ord - r.first_ord + 1
+            prev_end = r.last_ord
+            if r.section_ord != -1:
+                assert r.first_ord == r.section_ord
+                assert r.level in (0, 1)
+            else:
+                assert r.level == -1
