@@ -1222,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossdedup_lsh": CD.q_crossdedup_lsh,
         "fuzzy_decontaminate": CD.q_fuzzy_decontaminate,
         "neardup_transitivity": CD.q_neardup_transitivity,
+        "minhash_oph": CD.q_minhash_oph,
         "corpus_rollup": CT.q_corpus_rollup,
         "split_leakage": CSP.q_split_leakage,
         # similarity search
@@ -1422,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "crossdedup_lsh": CD.sql_crossdedup_lsh(),
         "fuzzy_decontaminate": CD.sql_fuzzy_decontaminate(),
         "neardup_transitivity": CD.sql_neardup_transitivity(),
+        "minhash_oph": CD.sql_minhash_oph(),
         "corpus_rollup": CT.sql_corpus_rollup(),
         "split_leakage": CSP.sql_split_leakage(),
         "knn_bruteforce": CS.sql_knn_bruteforce(),

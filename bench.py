@@ -83,7 +83,7 @@ GROUPS: dict[str, list[str]] = {
         "minhash_signatures",
         "lsh_buckets",
         "neardup_pairs", "crossdedup_lsh", "minhash_est_error",
-        "neardup_transitivity",
+        "neardup_transitivity", "minhash_oph",
         "dedup_agreement",
         "neardup_edit", "lsh_scurve",
         "dedup_clusters",

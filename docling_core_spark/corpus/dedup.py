@@ -2941,3 +2941,146 @@ def sql_neardup_transitivity() -> str:
                    / 1000000.0, 6) END AS closure
         FROM ne CROSS JOIN tri
     """
+
+
+# ---------------------------------------------------------------------------
+# one-permutation MinHash with rotation densification (OPH)
+# ---------------------------------------------------------------------------
+
+# slot count of the one-permutation sketch (same width as the classic
+# signature so the two estimators are comparable slot-for-slot)
+OPH_SLOTS = C.NUM_PERMS
+
+
+def _oph_sig(duck: bool) -> str:
+    """OPH signature from the permuted hash array `ph`: hash each
+    shingle ONCE (one permutation — Li, Owen & Zhang NIPS'12), bin by
+    h % {OPH_SLOTS}, keep the min per bin, and densify empty bins by
+    borrowing from the next non-empty bin clockwise with a +j*P offset
+    per step (rotation densification, Shrivastava & Li ICML'14 — the
+    offset keeps borrowed slots from colliding with genuine ones).
+    The whole expression is GENERATED once for both dialects: 16
+    coalesce chains over the binned minima."""
+    k = OPH_SLOTS
+    if duck:
+        bins = (
+            f"list_transform(range(0, {k}),"
+            f" i -> list_min(list_filter(ph, x -> x % {k} = i)))"
+        )
+        def el(arr: str, idx: str) -> str:
+            return f"{arr}[{idx} + 1]"
+    else:
+        bins = (
+            f"transform(sequence(0, {k - 1}),"
+            f" i -> array_min(filter(ph, x -> x % {k} = i)))"
+        )
+        def el(arr: str, idx: str) -> str:
+            return f"element_at({arr}, {idx} + 1)"
+    # offsets precomputed in Python and emitted as 64-bit literals —
+    # a bare `j * 1000000007` multiplies 32-bit ints in Spark's ANSI
+    # mode and overflows at j >= 3
+    def off(j: int) -> str:
+        if not j:
+            return ""
+        v = j * C.MINHASH_P
+        return f" + {v}" if duck else f" + {v}L"
+
+    slots = ", ".join(
+        "coalesce(" + ", ".join(
+            el("b", str((i + j) % k)) + off(j)
+            for j in range(k)
+        ) + ")"
+        for i in range(k)
+    )
+    arr = "[{}]".format(slots) if duck else f"array({slots})"
+    # bind `b` via a one-element lambda so the bin array is computed
+    # once, not 256 times
+    if duck:
+        return f"list_transform([{bins}], b -> {arr})[1]"
+    return f"transform(array({bins}), b -> {arr})[0]"
+
+
+def q_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPH-vs-classic sketch calibration: for every verified near-dup
+    pair, the one-permutation densified estimate (matching slots /
+    {OPH_SLOTS}) next to the exact shingle Jaccard. The point of OPH at
+    100 TB: the classic signature evaluates NUM_PERMS permutations per
+    shingle hash; OPH evaluates ONE and bins — a {OPH_SLOTS}x cheaper
+    signature pass over the dominant cost of the dedup chain, with
+    densification keeping the estimator usable on short documents
+    (documents with < {OPH_SLOTS} shingles leave empty bins).
+
+    Rides the memoized shingle + verified-pair artifacts; the only new
+    work is a narrow per-doc expression and two candidate-scale joins
+    on uniform doc ids. Reference analog: none (SURVEY.md §2.8)."""
+    a0, b0 = C.MINHASH_PERMS[0]
+    pairs = q_neardup_pairs(spark, sf_dir)
+    sh = _persisted_shingles(spark, sf_dir)
+    sig = sh.select(
+        "doc_id",
+        F.expr(
+            f"transform(sh, g -> ({_h30_spark('g')} * {a0}L + {b0}L)"
+            f" % {C.MINHASH_P})"
+        ).alias("ph"),
+    ).select("doc_id", F.expr(_oph_sig(False)).alias("sg"))
+    k = OPH_SLOTS
+    matches = (
+        f"size(filter(zip_with(a.sg, b.sg, (x, y) -> x = y), t -> t))"
+    )
+    micro_per_slot = 1_000_000 // k
+    return (
+        pairs.alias("p")
+        .join(sig.alias("a"), F.col("p.doc_a") == F.col("a.doc_id"))
+        .join(sig.alias("b"), F.col("p.doc_b") == F.col("b.doc_id"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.expr(f"cast({matches} as bigint)").alias("n_slot_matches"),
+            F.expr(
+                f"cast({matches} * {micro_per_slot} as bigint)"
+            ).alias("oph_micro"),
+            F.expr(
+                "cast(floor(p.jaccard * 1000000 + 0.5) as bigint)"
+            ).alias("exact_micro"),
+        )
+        .select(
+            "doc_a", "doc_b", "n_slot_matches", "oph_micro",
+            "exact_micro",
+            F.expr(
+                "cast(oph_micro - exact_micro as bigint)"
+            ).alias("err_micro"),
+        )
+    )
+
+
+def sql_minhash_oph() -> str:
+    a0, b0 = C.MINHASH_PERMS[0]
+    k = OPH_SLOTS
+    micro_per_slot = 1_000_000 // k
+    matches = (
+        f"list_sum(list_transform(range(1, {k + 1}),"
+        " i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END))"
+    )
+    return f"""
+        WITH pairs AS ({sql_neardup_pairs()}),
+        toks AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+        shs AS (SELECT doc_id, {_shingles_duck()} AS sh FROM toks),
+        phs AS (
+            SELECT doc_id,
+                   list_transform(sh, g -> ({_h30_duck('g')} * {a0}
+                       + {b0}) % {C.MINHASH_P}) AS ph
+            FROM shs
+        ),
+        sigs AS (
+            SELECT doc_id, {_oph_sig(True)} AS sg FROM phs
+        )
+        SELECT p.doc_a, p.doc_b,
+               {matches}::BIGINT AS n_slot_matches,
+               ({matches} * {micro_per_slot})::BIGINT AS oph_micro,
+               floor(p.jaccard * 1000000 + 0.5)::BIGINT AS exact_micro,
+               (({matches} * {micro_per_slot})
+                - floor(p.jaccard * 1000000 + 0.5))::BIGINT AS err_micro
+        FROM pairs p
+        JOIN sigs a ON p.doc_a = a.doc_id
+        JOIN sigs b ON p.doc_b = b.doc_id
+    """

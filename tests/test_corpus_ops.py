@@ -203,6 +203,7 @@ def _pairs():
         "neardup_transitivity": (
             CD.q_neardup_transitivity, CD.sql_neardup_transitivity,
         ),
+        "minhash_oph": (CD.q_minhash_oph, CD.sql_minhash_oph),
         "corpus_rollup": (CT.q_corpus_rollup, CT.sql_corpus_rollup),
         "bm25_topk": (CB.q_bm25_topk, CB.sql_bm25_topk),
         "rrf_fusion": (CB.q_rrf_fusion, CB.sql_rrf_fusion),
