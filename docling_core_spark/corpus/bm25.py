@@ -75,65 +75,69 @@ def _query_rows() -> list[tuple[str, str]]:
     return [(qid, t) for qid, terms in BM25_QUERIES for t in terms]
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _retrieval_base(spark: SparkSession, sf_dir: str) -> dict:
+    """ONE shared set of retrieval tables for every lexical ranker —
+    the query-vocab broadcast semi-join cut of the token stream, the
+    tf/df/ctf aggregates and the corpus scalars are defined exactly
+    once, so bm25_topk and rrf_fusion cannot drift. Doc lengths +
+    scalars come from the full stream; the expensive per-term work
+    only from the query-vocab subset."""
     docs = read_spread(spark, sf_dir, "documents")
     qterms = spark.createDataFrame(_query_rows(), ["query_id", "term"])
     terms = docs.select(
         "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("term")
     )
-    # doc lengths + corpus scalars come from the full stream; the
-    # expensive per-term work only from the query-vocab subset
     dls = docs.select(
         "doc_id", F.expr(f"cast(size({TOKENS_SPARK}) as bigint)").alias("dl")
     )
     scalars = dls.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.expr("sum(dl) / cast(count(*) as double)").alias("avgdl"),
+        F.sum("dl").cast("bigint").alias("total_toks"),
     )
     vocab = qterms.select("term").distinct()
     hits = terms.join(F.broadcast(vocab), "term")
     tf = hits.groupBy("doc_id", "term").agg(
         F.count("*").cast("bigint").alias("tf")
     )
-    df_t = tf.groupBy("term").agg(
-        F.count("*").cast("bigint").alias("df")
+    df_t = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    ctf_t = hits.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("ctf")
     )
+    return {"qterms": qterms, "dls": dls, "scalars": scalars,
+            "tf": tf, "df_t": df_t, "ctf_t": ctf_t}
+
+
+def _bm25_per_query(base: dict) -> DataFrame:
+    """Per-(query, doc) BM25 score_micro + n_terms_hit from the shared
+    base — the single definition both bm25_topk and rrf_fusion rank."""
     scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(dls, "doc_id")
-        .crossJoin(F.broadcast(scalars))
+        base["tf"].join(F.broadcast(base["df_t"]), "term")
+        .join(base["dls"], "doc_id")
+        .crossJoin(F.broadcast(base["scalars"]))
         .select("doc_id", "term", F.expr(_score_micro(False)).alias("s"))
     )
-    per_query = (
-        scored.join(F.broadcast(qterms), "term")
+    return (
+        scored.join(F.broadcast(base["qterms"]), "term")
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum("s").cast("bigint").alias("score_micro"),
             F.count("*").cast("bigint").alias("n_terms_hit"),
         )
     )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_query = _bm25_per_query(_retrieval_base(spark, sf_dir))
     # salted two-level top-K (see module docstring)
-    salted = per_query.withColumn(
-        "salt", F.expr(f"cast(doc_id % {BM25_SALTS} as int)")
-    )
-    w1 = Window.partitionBy("query_id", "salt").orderBy(
-        F.desc("score_micro"), F.asc("doc_id")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("score_micro"), F.asc("doc_id")
-    )
-    return (
-        salted.withColumn("r1", F.row_number().over(w1))
-        .where(f"r1 <= {BM25_TOPK}")
-        .withColumn("rk", F.row_number().over(w2).cast("bigint"))
-        .where(f"rk <= {BM25_TOPK}")
-        .select(
-            "query_id",
-            "rk",
-            "doc_id",
-            "n_terms_hit",
-            F.expr("round(score_micro / cast(1000000 as double), 6)").alias("score"),
-        )
+    return _salted_topk(per_query, BM25_TOPK).select(
+        "query_id",
+        "rk",
+        "doc_id",
+        "n_terms_hit",
+        F.expr("round(score_micro / cast(1000000 as double), 6)").alias(
+            "score"
+        ),
     )
 
 
@@ -271,42 +275,12 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (SURVEY.md §2.8) — this is the hybrid
     lexical-fusion step of an eval-retrieval / RAG-diagnostics stack.
     """
-    docs = read_spread(spark, sf_dir, "documents")
-    qterms = spark.createDataFrame(_query_rows(), ["query_id", "term"])
-    terms = docs.select(
-        "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("term")
-    )
-    dls = docs.select(
-        "doc_id", F.expr(f"cast(size({TOKENS_SPARK}) as bigint)").alias("dl")
-    )
-    scalars = dls.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.expr("sum(dl) / cast(count(*) as double)").alias("avgdl"),
-        F.sum("dl").cast("bigint").alias("total_toks"),
-    )
-    vocab = qterms.select("term").distinct()
-    hits = terms.join(F.broadcast(vocab), "term")
-    tf = hits.groupBy("doc_id", "term").agg(
-        F.count("*").cast("bigint").alias("tf")
-    )
-    df_t = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
-    ctf_t = hits.groupBy("term").agg(
-        F.count("*").cast("bigint").alias("ctf")
-    )
+    base = _retrieval_base(spark, sf_dir)
+    qterms, tf, dls = base["qterms"], base["tf"], base["dls"]
+    scalars, ctf_t = base["scalars"], base["ctf_t"]
 
-    # --- ranker 1: BM25 (identical expression to bm25_topk) ---------
-    bm_scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(dls, "doc_id")
-        .crossJoin(F.broadcast(scalars))
-        .select("doc_id", "term", F.expr(_score_micro(False)).alias("s"))
-    )
-    bm_pq = (
-        bm_scored.join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("s").cast("bigint").alias("score_micro"))
-    )
-    bm_top = _salted_topk(bm_pq, BM25_TOPK).select(
+    # --- ranker 1: BM25 (the SAME per-query builder bm25_topk ranks) --
+    bm_top = _salted_topk(_bm25_per_query(base), BM25_TOPK).select(
         "query_id", "doc_id", F.col("rk").alias("bm25_rank")
     )
 

@@ -2749,9 +2749,18 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select(F.col("r.doc_id").alias("doc_id"), F.col("r.text").alias("text"))
-    sh = aug.select(
-        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
-    ).select("doc_id", F.expr(_shingles_spark()).alias("sh"))
+    # the augmented shingle table fans into FOUR plan branches (two
+    # band sides + both verify joins); memoize-persist it in the same
+    # cache clear_caches() manages, or the corpus-wide
+    # tokenize+shingle subtree is recomputed per branch
+    key = (spark.sparkContext.applicationId, sf_dir, "fuzzy_aug")
+    if key not in _SHINGLE_CACHE:
+        df = aug.select(
+            "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+        ).select("doc_id", F.expr(_shingles_spark()).alias("sh")).persist()
+        df.count()
+        _SHINGLE_CACHE[key] = df
+    sh = _SHINGLE_CACHE[key]
     bands = _bands_from_sig(_sig_from_shingles(sh))
     tr_b = bands.where(f"NOT ({ev_pred})")
     ev_b = bands.where(ev_pred)
@@ -2783,10 +2792,14 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(size(array_intersect(st.sh, se.sh)) as bigint)")
             .alias("n_shared"),
             F.expr("cast(size(se.sh) as bigint)").alias("n_eval_shingles"),
+            # cast BEFORE the multiply: size() is INT and
+            # INT * 1000000 overflows 32-bit at >= 2148 shared
+            # shingles (ANSI ArithmeticException); the OPH offsets
+            # below dodge the same trap
             F.expr(
-                "cast(size(array_intersect(st.sh, se.sh)) * 1000000"
-                " div size(se.sh) as bigint)"
-            ).alias("cont_micro"),
+                "cast(size(array_intersect(st.sh, se.sh)) as bigint)"
+                " * 1000000 div size(se.sh)"
+            ).cast("bigint").alias("cont_micro"),
         )
         .where(f"cont_micro >= {thr}")
         .select(

@@ -2135,9 +2135,13 @@ def sql_bitext_mine() -> str:
 def _mi_term_micro(duck: bool) -> str:
     """Per-(cluster, label) mutual-information term in micro nats:
     (n_cl / N) * ln((N * n_cl) / (n_c * n_l)). All counts BIGINT; the
-    double expression is written once with identical operator order."""
+    double expression is written once with identical operator order —
+    the duck side casts operands to DOUBLE too (a bare BIGINT product
+    would be exact integer math that rounds once at conversion, a
+    different IEEE evaluation from Spark's cast-then-multiply, and
+    overflows outright past 2^63)."""
     def d(col: str) -> str:
-        return col if duck else f"cast({col} as double)"
+        return f"{col}::DOUBLE" if duck else f"cast({col} as double)"
 
     expr = (
         f"({d('n_cl')} / {d('n_pts')})"
@@ -2151,9 +2155,10 @@ def _mi_term_micro(duck: bool) -> str:
 def _ent_term_micro(cnt: str, duck: bool) -> str:
     """-(cnt / N) * ln(cnt / N) in micro nats (floor toward -inf is
     identical in both engines, so per-term integerisation commutes
-    with the sum)."""
+    with the sum). Duck operands cast to DOUBLE for the same IEEE
+    evaluation order as Spark (see _mi_term_micro)."""
     def d(col: str) -> str:
-        return col if duck else f"cast({col} as double)"
+        return f"{col}::DOUBLE" if duck else f"cast({col} as double)"
 
     expr = f"-({d(cnt)} / {d('n_pts')}) * ln({d(cnt)} / {d('n_pts')})"
     if duck:
