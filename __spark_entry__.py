@@ -1133,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": CU.q_crawl_frontier,
         "domain_quality": CDQ.q_domain_quality,
         "data_split": CSP.q_data_split,
+        "split_by_domain": CSP.q_split_by_domain,
         "link_pagerank": CW.q_link_pagerank,
         "link_hits": CW.q_link_hits,
         "anchor_text_agg": CW.q_anchor_text_agg,
@@ -1489,6 +1490,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": CU.sql_crawl_frontier(),
         "domain_quality": CDQ.sql_domain_quality(),
         "data_split": CSP.sql_data_split(),
+        "split_by_domain": CSP.sql_split_by_domain(),
         "link_pagerank": CW.sql_link_pagerank(),
         "link_hits": CW.sql_link_hits(),
         "anchor_text_agg": CW.sql_anchor_text_agg(),

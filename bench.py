@@ -64,7 +64,8 @@ GROUPS: dict[str, list[str]] = {
         "extract_links", "link_pagerank", "link_hits", "anchor_text_agg",
         "link_cocitation", "link_components",
         "url_normalize", "domain_stats", "robots_filter",
-        "crawl_frontier", "domain_quality", "data_split", "split_ks",
+        "crawl_frontier", "domain_quality", "data_split", "split_by_domain",
+        "split_ks",
         "bloom_decontaminate", "mixture_weights", "temperature_mixture",
         "dsir_weights", "dsir_select",
         "adaptive_quality", "mojibake_census", "vocab_growth",

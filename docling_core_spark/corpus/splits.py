@@ -245,3 +245,83 @@ def sql_split_ks() -> str:
           ON a.bucket = b.bucket AND a.split < b.split
         GROUP BY a.split, b.split
     """
+
+
+# ---------------------------------------------------------------------------
+# domain-disjoint (group-aware) split
+# ---------------------------------------------------------------------------
+
+# group split percentages: hashing the GROUP key means actual doc-mass
+# fractions wobble with group sizes — the price of leakage-safety
+GSPLIT_TRAIN_PCT = 80
+GSPLIT_VAL_PCT = 10
+
+
+def _gsplit_expr(duck: bool) -> str:
+    """Split by the hash of the SOURCE (the group key), not the doc:
+    every document of a domain lands in the same split by
+    construction."""
+    h = _h30_duck("source") if duck else _h30_spark("source")
+    return (
+        f"CASE WHEN {h} % 100 < {GSPLIT_TRAIN_PCT} THEN 'train'"
+        f" WHEN {h} % 100 < {GSPLIT_TRAIN_PCT + GSPLIT_VAL_PCT}"
+        f" THEN 'val' ELSE 'test' END"
+    )
+
+
+def q_split_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware split: assign every SOURCE (domain) wholly to one
+    split by hashing the source key, and report per-split doc/token/
+    domain mass plus the built-in leakage proof — n_split_domains
+    summed over splits equals the corpus's distinct-domain count iff
+    no domain straddles a boundary (per-doc hash splits leak templated
+    near-dups through domain boundaries; the standard fix is to split
+    by the group, exactly this).
+
+    100 TB story: the split key is a narrow per-row expression (hash
+    of an existing column — no join against a domain table); the only
+    exchange is the map-side-combinable groupBy(split); the domain
+    count per split aggregates the (domains x splits)-sized distinct.
+    Reference analog: none (SURVEY.md §2.8)."""
+    docs = read_spread(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(_gsplit_expr(False)).alias("split"),
+        F.expr(f"cast(size({TOKENS_SPARK}) as bigint)").alias("n_tokens"),
+        F.expr(_h30_spark("cast(doc_id as string)")).alias("h"),
+    )
+    per_split = docs.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.countDistinct("source").cast("bigint").alias("n_domains"),
+        F.expr("cast(bit_xor(h) as bigint)").alias("lineage_xor"),
+    )
+    total_domains = (
+        read_spread(spark, sf_dir, "documents")
+        .agg(F.countDistinct("source").cast("bigint").alias("domains_corpus"))
+    )
+    return per_split.crossJoin(F.broadcast(total_domains)).select(
+        "split", "n_docs", "tokens_total", "n_domains", "lineage_xor",
+        "domains_corpus",
+    )
+
+
+def sql_split_by_domain() -> str:
+    h = _h30_duck("doc_id::VARCHAR")
+    return f"""
+        WITH per_split AS (
+            SELECT {_gsplit_expr(True)} AS split,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(len({TOKENS_DUCK}))::BIGINT AS tokens_total,
+                   COUNT(DISTINCT source)::BIGINT AS n_domains,
+                   bit_xor({h})::BIGINT AS lineage_xor
+            FROM documents
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT COUNT(DISTINCT source)::BIGINT AS domains_corpus
+            FROM documents
+        )
+        SELECT split, n_docs, tokens_total, n_domains, lineage_xor,
+               domains_corpus
+        FROM per_split CROSS JOIN tot
+    """

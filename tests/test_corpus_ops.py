@@ -214,6 +214,9 @@ def _pairs():
         "lm2_score": (CL2.q_lm2_score, CL2.sql_lm2_score),
         "domain_quality": (CDQ.q_domain_quality, CDQ.sql_domain_quality),
         "data_split": (CSP.q_data_split, CSP.sql_data_split),
+        "split_by_domain": (
+            CSP.q_split_by_domain, CSP.sql_split_by_domain,
+        ),
         "split_leakage": (CSP.q_split_leakage, CSP.sql_split_leakage),
         "hard_negatives": (CMI.q_hard_negatives, CMI.sql_hard_negatives),
         "source_drift": (CDR.q_source_drift, CDR.sql_source_drift),
