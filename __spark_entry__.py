@@ -1251,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norm_hist": CCO.q_emb_norm_hist,
         "emb_pca_var": CCO.q_emb_pca_var,
         "emb_outliers": CCO.q_emb_outliers,
+        "coreset_kcenter": CCO.q_coreset_kcenter,
         # multimodal plumbing
         "decode_features": CM.q_decode_features,
         "media_resize": CM.q_media_resize,
@@ -1458,6 +1459,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_norm_hist": CCO.sql_emb_norm_hist(),
         "emb_pca_var": CCO.sql_emb_pca_var(f"/root/testdata/sf{gate_sf}"),
         "emb_outliers": CCO.sql_emb_outliers(),
+        "coreset_kcenter": CCO.sql_coreset_kcenter(),
         "decode_features": CM.sql_decode_features(),
         "media_resize": CM.sql_media_resize(),
         "frame_sample": CM.sql_frame_sample(),

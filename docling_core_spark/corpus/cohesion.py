@@ -679,3 +679,143 @@ def sql_emb_outliers() -> str:
         ORDER BY scaled_d2 DESC, vec_id ASC
         LIMIT {EMB_OUTLIER_TOPK}
     """
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset selection
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def _md_spark() -> str:
+    """Micro-integerised embedding: floor(v * 1e6) per dim — squared L2
+    distances between md vectors are EXACT BIGINT arithmetic (the
+    emb_outliers identity discipline), so farthest-point ties break
+    identically in both engines."""
+    return (
+        "transform(embedding, v -> cast(floor(cast(v as double)"
+        " * 1000000) as bigint))"
+    )
+
+
+def _md_duck() -> str:
+    return (
+        f"list_transform(embedding, v -> floor(v::DOUBLE * 1000000)"
+        f"::BIGINT)"
+    )
+
+
+def _d2_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, t) -> acc + t)"
+    )
+
+
+def _d2_duck(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985; the facility-location
+    data-selection recipe): seed with vec 0, then {KCENTER_K - 1}
+    times add the point FARTHEST from the selected set (exact integer
+    micro-L2², deterministic vec_id tie-break). Output: selection rank,
+    the chosen vector, and the coverage radius (its min-dist² when
+    chosen — the k-center objective value, non-increasing by
+    construction).
+
+    The plan is the honest cost of k-center made explicit: K UNROLLED
+    passes, each = one broadcast of the (1-row) newly selected center
+    onto the corpus scan + a running least() column + a global
+    TakeOrdered(1) — no |corpus| x |corpus| distance matrix ever
+    forms, and the only driver-side state is the k selected rows
+    (the k-means-centroid collect precedent). 100 TB: K scans of a
+    cached integerised projection; each argmax is a
+    TakeOrderedAndProject, never a global sort.
+
+    Reference analog: none (SURVEY.md §2.8)."""
+    e = read_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_md_spark()).alias("md")
+    )
+    seed = e.orderBy(F.asc("vec_id")).limit(1).select(
+        F.col("vec_id").alias("c_vid"), F.col("md").alias("c_md")
+    )
+    picks = [seed.select(
+        F.lit(1).cast("bigint").alias("rank"),
+        F.col("c_vid").alias("vec_id"),
+        F.lit(-1).cast("bigint").alias("min_dist2"),
+    )]
+    # running min-dist table; rebuilt functionally per round (lazy —
+    # Catalyst sees one unrolled plan, nothing collects)
+    cur = (
+        e.crossJoin(F.broadcast(seed))
+        .select(
+            "vec_id", "md",
+            F.expr(_d2_spark("md", "c_md")).alias("dmin"),
+        )
+    )
+    for rk in range(2, KCENTER_K + 1):
+        far = (
+            cur.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1)
+            .select(
+                F.col("vec_id").alias("c_vid"),
+                F.col("md").alias("c_md"),
+                F.col("dmin").alias("c_d"),
+            )
+        )
+        picks.append(far.select(
+            F.lit(rk).cast("bigint").alias("rank"),
+            F.col("c_vid").alias("vec_id"),
+            F.col("c_d").cast("bigint").alias("min_dist2"),
+        ))
+        cur = (
+            cur.crossJoin(F.broadcast(far.select("c_vid", "c_md")))
+            .select(
+                "vec_id", "md",
+                F.expr(
+                    f"least(dmin, {_d2_spark('md', 'c_md')})"
+                ).alias("dmin"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sql_coreset_kcenter() -> str:
+    dim = C.EMB_DIM
+    parts = [f"""e AS (
+            SELECT vec_id, {_md_duck()} AS md FROM embeddings
+        ),
+        s1 AS (
+            SELECT vec_id AS c_vid, md AS c_md, -1::BIGINT AS c_d
+            FROM e ORDER BY vec_id ASC LIMIT 1
+        ),
+        d1 AS (
+            SELECT e.vec_id, e.md,
+                   {_d2_duck('e.md', 's1.c_md', dim)} AS dmin
+            FROM e CROSS JOIN s1
+        )"""]
+    for rk in range(2, KCENTER_K + 1):
+        parts.append(f"""s{rk} AS (
+            SELECT vec_id AS c_vid, md AS c_md, dmin::BIGINT AS c_d
+            FROM d{rk - 1} ORDER BY dmin DESC, vec_id ASC LIMIT 1
+        ),
+        d{rk} AS (
+            SELECT d.vec_id, d.md,
+                   least(d.dmin,
+                         {_d2_duck('d.md', f's{rk}.c_md', dim)}) AS dmin
+            FROM d{rk - 1} d CROSS JOIN s{rk}
+        )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {rk}::BIGINT AS rank, c_vid AS vec_id,"
+        f" c_d::BIGINT AS min_dist2 FROM s{rk}"
+        for rk in range(1, KCENTER_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects

