@@ -1225,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_transitivity": CD.q_neardup_transitivity,
         "minhash_oph": CD.q_minhash_oph,
         "corpus_rollup": CT.q_corpus_rollup,
+        "texttiling": CT.q_texttiling,
         "split_leakage": CSP.q_split_leakage,
         # similarity search
         "knn_bruteforce": CS.q_knn_bruteforce,
@@ -1427,6 +1428,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_transitivity": CD.sql_neardup_transitivity(),
         "minhash_oph": CD.sql_minhash_oph(),
         "corpus_rollup": CT.sql_corpus_rollup(),
+        "texttiling": CT.sql_texttiling(),
         "split_leakage": CSP.sql_split_leakage(),
         "knn_bruteforce": CS.sql_knn_bruteforce(),
         "lsh_bucket_stats": CS.sql_lsh_bucket_stats(),

@@ -46,7 +46,8 @@ GROUPS: dict[str, list[str]] = {
         "lang_stats", "corpus_curation", "gopher_quality", "readability",
         "code_detect", "dup_ngrams",
         "repetition_ladder",
-        "pii_scrub", "corpus_stats", "corpus_rollup", "decontaminate",
+        "pii_scrub", "corpus_stats", "corpus_rollup", "texttiling",
+        "decontaminate",
         "fuzzy_decontaminate",
         "html_strip", "main_content", "top_ngrams", "pmi_pairs", "zipf_fit", "tfidf_topk",
         "bm25_topk", "rrf_fusion", "text_normalize", "normalize_uplift",

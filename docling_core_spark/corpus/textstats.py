@@ -852,3 +852,120 @@ def sql_corpus_rollup() -> str:
         FROM base
         GROUP BY ROLLUP (source, lang)
     """
+
+
+# ---------------------------------------------------------------------------
+# TextTiling topic-boundary detection
+# ---------------------------------------------------------------------------
+
+TILE_W = 20  # tokens per tile window
+
+
+def q_texttiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst, CL 1997, reduced
+    to its deterministic core): cut each document into fixed
+    {TILE_W}-token tiles, score every adjacent tile pair by the
+    Jaccard of their token SETS (exact integer micro units), and
+    report the below-average valleys as candidate topic boundaries —
+    one row per (doc, gap) with the gap's similarity and the doc's
+    mean. The lexical-cohesion segmenter a long-document chunker or
+    topic-drift detector runs before embedding-based methods exist.
+
+    100 TB story: the ENTIRE computation is per-row array expressions
+    — tiling, per-tile distinct, adjacent-pair Jaccard, the per-doc
+    mean, and the valley filter all happen inside one projection with
+    no explode before the final boundary fan-out (output-sized, not
+    tile-sized), no join, no window, no shuffle at all before the
+    sink. A 10^6-token document costs one task linear work.
+    Reference analog: none (SURVEY.md §2.8)."""
+    w = TILE_W
+    docs = read_spread(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    ).select(
+        "doc_id", "toks",
+        F.expr(f"cast(size(toks) div {w} as int)").alias("m"),
+    ).where("m >= 2")
+    tiled = base.select(
+        "doc_id", "m",
+        F.expr(
+            f"transform(sequence(0, m - 1),"
+            f" i -> array_distinct(slice(toks, i * {w} + 1, {w})))"
+        ).alias("wins"),
+    )
+    simmed = tiled.select(
+        "doc_id", "m",
+        F.expr(
+            "transform(sequence(1, m - 1), i -> named_struct("
+            " 'gap', i,"
+            " 'jac', cast(size(array_intersect(element_at(wins, i),"
+            "   element_at(wins, i + 1))) as bigint) * 1000000 div"
+            "  (size(element_at(wins, i))"
+            "   + size(element_at(wins, i + 1))"
+            "   - size(array_intersect(element_at(wins, i),"
+            "       element_at(wins, i + 1))))))"
+        ).alias("sims"),
+    ).select(
+        "doc_id", "m", "sims",
+        F.expr(
+            "cast(aggregate(sims, cast(0 as bigint),"
+            " (acc, s) -> acc + s.jac) div size(sims) as bigint)"
+        ).alias("avg_micro"),
+    )
+    return simmed.select(
+        "doc_id",
+        F.col("m").cast("bigint").alias("n_tiles"),
+        "avg_micro",
+        F.explode(
+            F.expr("filter(sims, s -> s.jac < avg_micro)")
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        "n_tiles",
+        F.col("b.gap").cast("bigint").alias("gap_idx"),
+        F.col("b.jac").cast("bigint").alias("sim_micro"),
+        "avg_micro",
+    )
+
+
+def sql_texttiling() -> str:
+    w = TILE_W
+    jac = (
+        "len(list_intersect(wins[i], wins[i + 1]))::BIGINT * 1000000"
+        " // (len(wins[i]) + len(wins[i + 1])"
+        "     - len(list_intersect(wins[i], wins[i + 1])))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, toks, (len(toks) // {w})::INT AS m
+            FROM (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents)
+        ),
+        tiled AS (
+            SELECT doc_id, m,
+                   list_transform(range(0, m),
+                       i -> list_distinct(toks[i * {w} + 1 : i * {w} + {w}]))
+                       AS wins
+            FROM base WHERE m >= 2
+        ),
+        simmed AS (
+            SELECT doc_id, m,
+                   list_transform(range(1, m),
+                       i -> struct_pack(gap := i, jac := {jac})) AS sims
+            FROM tiled
+        ),
+        avgd AS (
+            SELECT doc_id, m, sims,
+                   (list_sum(list_transform(sims, s -> s.jac))
+                    // len(sims))::BIGINT AS avg_micro
+            FROM simmed
+        )
+        SELECT doc_id, m::BIGINT AS n_tiles,
+               struct_extract(b, 'gap')::BIGINT AS gap_idx,
+               struct_extract(b, 'jac')::BIGINT AS sim_micro,
+               avg_micro
+        FROM (
+            SELECT doc_id, m, avg_micro,
+                   unnest(list_filter(sims, s -> s.jac < avg_micro)) AS b
+            FROM avgd
+        )
+    """

@@ -205,6 +205,7 @@ def _pairs():
         ),
         "minhash_oph": (CD.q_minhash_oph, CD.sql_minhash_oph),
         "corpus_rollup": (CT.q_corpus_rollup, CT.sql_corpus_rollup),
+        "texttiling": (CT.q_texttiling, CT.sql_texttiling),
         "bm25_topk": (CB.q_bm25_topk, CB.sql_bm25_topk),
         "rrf_fusion": (CB.q_rrf_fusion, CB.sql_rrf_fusion),
         "text_normalize": (CN.q_text_normalize, CN.sql_text_normalize),
