@@ -687,6 +687,19 @@ def sql_emb_outliers() -> str:
 
 KCENTER_K = 8
 
+# memoized per-(session, sf) integerised embedding projection (same
+# leak discipline as dedup.clear_caches)
+_KCENTER_CACHE: dict = {}
+
+
+def clear_caches() -> None:
+    for df in _KCENTER_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # owning SparkContext already stopped
+    _KCENTER_CACHE.clear()
+
 
 def _md_spark() -> str:
     """Micro-integerised embedding: floor(v * 1e6) per dim — squared L2
@@ -724,90 +737,83 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset (Gonzalez 1985; the facility-location
     data-selection recipe): seed with vec 0, then {KCENTER_K - 1}
     times add the point FARTHEST from the selected set (exact integer
-    micro-L2², deterministic vec_id tie-break). Output: selection rank,
-    the chosen vector, and the coverage radius (its min-dist² when
-    chosen — the k-center objective value, non-increasing by
-    construction).
+    micro-L2², deterministic vec_id tie-break, already-picked points
+    excluded so a corpus with fewer than K distinct vectors still
+    yields K distinct picks). Output: selection rank, the chosen
+    vector, and the coverage radius (its min-dist² when chosen — the
+    k-center objective, non-increasing by construction).
 
-    The plan is the honest cost of k-center made explicit: K UNROLLED
-    passes, each = one broadcast of the (1-row) newly selected center
-    onto the corpus scan + a running least() column + a global
-    TakeOrdered(1) — no |corpus| x |corpus| distance matrix ever
-    forms, and the only driver-side state is the k selected rows
-    (the k-means-centroid collect precedent). 100 TB: K scans of a
-    cached integerised projection; each argmax is a
-    TakeOrderedAndProject, never a global sort.
+    The plan is the honest cost of k-center made explicit: the
+    integerised projection is persisted ONCE, and each of the K-1
+    rounds is a single pass over it — the round's dmin folds the
+    least() over all centers picked so far as broadcast LITERALS, and
+    the argmax is a TakeOrderedAndProject collecting exactly one row
+    (the k-means-centroid driver-collect precedent: driver state is
+    the K selected rows, never corpus data). No |corpus| x |corpus|
+    distance matrix ever forms. Reference analog: none
+    (SURVEY.md §2.8)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "kcenter_md")
+    if key not in _KCENTER_CACHE:
+        df = read_spread(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr(_md_spark()).alias("md")
+        ).persist()
+        df.count()
+        _KCENTER_CACHE[key] = df
+    e = _KCENTER_CACHE[key]
 
-    Reference analog: none (SURVEY.md §2.8)."""
-    e = read_spread(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_md_spark()).alias("md")
-    )
-    seed = e.orderBy(F.asc("vec_id")).limit(1).select(
-        F.col("vec_id").alias("c_vid"), F.col("md").alias("c_md")
-    )
-    picks = [seed.select(
-        F.lit(1).cast("bigint").alias("rank"),
-        F.col("c_vid").alias("vec_id"),
-        F.lit(-1).cast("bigint").alias("min_dist2"),
-    )]
-    # running min-dist table; rebuilt functionally per round (lazy —
-    # Catalyst sees one unrolled plan, nothing collects)
-    cur = (
-        e.crossJoin(F.broadcast(seed))
-        .select(
-            "vec_id", "md",
-            F.expr(_d2_spark("md", "c_md")).alias("dmin"),
+    def lit_md(vals):
+        return "array(" + ", ".join(f"{v}L" for v in vals) + ")"
+
+    seed = e.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    centers = [(seed["vec_id"], list(seed["md"]), -1)]
+    for _ in range(2, KCENTER_K + 1):
+        dmin = "least(" + ", ".join(
+            _d2_spark("md", lit_md(md)) for _, md, _ in centers
+        ) + ")" if len(centers) > 1 else _d2_spark(
+            "md", lit_md(centers[0][1])
         )
-    )
-    for rk in range(2, KCENTER_K + 1):
+        picked = ", ".join(str(v) for v, _, _ in centers)
         far = (
-            cur.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1)
-            .select(
-                F.col("vec_id").alias("c_vid"),
-                F.col("md").alias("c_md"),
-                F.col("dmin").alias("c_d"),
-            )
+            e.where(f"vec_id NOT IN ({picked})")
+            .select("vec_id", "md", F.expr(dmin).alias("dmin"))
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
         )
-        picks.append(far.select(
-            F.lit(rk).cast("bigint").alias("rank"),
-            F.col("c_vid").alias("vec_id"),
-            F.col("c_d").cast("bigint").alias("min_dist2"),
-        ))
-        cur = (
-            cur.crossJoin(F.broadcast(far.select("c_vid", "c_md")))
-            .select(
-                "vec_id", "md",
-                F.expr(
-                    f"least(dmin, {_d2_spark('md', 'c_md')})"
-                ).alias("dmin"),
-            )
-        )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
+        centers.append((far["vec_id"], list(far["md"]), far["dmin"]))
+    rows = [
+        (rk + 1, int(vid), int(d)) for rk, (vid, _, d) in enumerate(centers)
+    ]
+    return spark.createDataFrame(
+        rows, "rank bigint, vec_id bigint, min_dist2 bigint"
+    )
 
 
 def sql_coreset_kcenter() -> str:
     dim = C.EMB_DIM
-    parts = [f"""e AS (
+    parts = [f"""e AS MATERIALIZED (
             SELECT vec_id, {_md_duck()} AS md FROM embeddings
         ),
-        s1 AS (
+        s1 AS MATERIALIZED (
             SELECT vec_id AS c_vid, md AS c_md, -1::BIGINT AS c_d
             FROM e ORDER BY vec_id ASC LIMIT 1
         ),
-        d1 AS (
+        d1 AS MATERIALIZED (
             SELECT e.vec_id, e.md,
                    {_d2_duck('e.md', 's1.c_md', dim)} AS dmin
             FROM e CROSS JOIN s1
         )"""]
     for rk in range(2, KCENTER_K + 1):
-        parts.append(f"""s{rk} AS (
+        prev = " UNION ALL ".join(
+            f"SELECT c_vid FROM s{j}" for j in range(1, rk)
+        )
+        parts.append(f"""s{rk} AS MATERIALIZED (
             SELECT vec_id AS c_vid, md AS c_md, dmin::BIGINT AS c_d
-            FROM d{rk - 1} ORDER BY dmin DESC, vec_id ASC LIMIT 1
+            FROM d{rk - 1}
+            WHERE vec_id NOT IN ({prev})
+            ORDER BY dmin DESC, vec_id ASC LIMIT 1
         ),
-        d{rk} AS (
+        d{rk} AS MATERIALIZED (
             SELECT d.vec_id, d.md,
                    least(d.dmin,
                          {_d2_duck('d.md', f's{rk}.c_md', dim)}) AS dmin

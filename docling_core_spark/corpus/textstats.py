@@ -895,15 +895,17 @@ def q_texttiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     simmed = tiled.select(
         "doc_id", "m",
+        # let-bind the intersection size via a singleton transform
+        # (HOF lambdas get no common-subexpression elimination — the
+        # dominant per-gap set intersect would otherwise run twice)
         F.expr(
-            "transform(sequence(1, m - 1), i -> named_struct("
+            "transform(sequence(1, m - 1), i ->"
+            " transform(array(size(array_intersect(element_at(wins, i),"
+            "   element_at(wins, i + 1)))), inter -> named_struct("
             " 'gap', i,"
-            " 'jac', cast(size(array_intersect(element_at(wins, i),"
-            "   element_at(wins, i + 1))) as bigint) * 1000000 div"
+            " 'jac', cast(inter as bigint) * 1000000 div"
             "  (size(element_at(wins, i))"
-            "   + size(element_at(wins, i + 1))"
-            "   - size(array_intersect(element_at(wins, i),"
-            "       element_at(wins, i + 1))))))"
+            "   + size(element_at(wins, i + 1)) - inter)))[0])"
         ).alias("sims"),
     ).select(
         "doc_id", "m", "sims",
@@ -930,10 +932,12 @@ def q_texttiling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_texttiling() -> str:
     w = TILE_W
+    # same singleton let-binding as the Spark side: the intersect is
+    # computed once per gap
     jac = (
-        "len(list_intersect(wins[i], wins[i + 1]))::BIGINT * 1000000"
-        " // (len(wins[i]) + len(wins[i + 1])"
-        "     - len(list_intersect(wins[i], wins[i + 1])))"
+        "list_transform([len(list_intersect(wins[i], wins[i + 1]))],"
+        " inter -> inter::BIGINT * 1000000"
+        " // (len(wins[i]) + len(wins[i + 1]) - inter))[1]"
     )
     return f"""
         WITH base AS (
