@@ -914,14 +914,22 @@ def q_texttiling(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, s) -> acc + s.jac) div size(sims) as bigint)"
         ).alias("avg_micro"),
     )
+    # explode_OUTER, then drop the null rows: a plain explode triggers
+    # InferFiltersFromGenerate, whose inferred size(...)>0 predicate is
+    # pushed below the tiling projections and INLINES the whole chain —
+    # re-splitting the document per tile, O(tokens^2) per row (measured
+    # 16 s -> 0.36 s at 1,000-token docs on a fixed 200k-token budget;
+    # tools/longdoc_stress.py carries the sweep). The rule skips outer
+    # generates, and the null filter on the generator OUTPUT cannot be
+    # pushed below the Generate.
     return simmed.select(
         "doc_id",
         F.col("m").cast("bigint").alias("n_tiles"),
         "avg_micro",
-        F.explode(
+        F.explode_outer(
             F.expr("filter(sims, s -> s.jac < avg_micro)")
         ).alias("b"),
-    ).select(
+    ).where("b is not null").select(
         "doc_id",
         "n_tiles",
         F.col("b.gap").cast("bigint").alias("gap_idx"),

@@ -887,3 +887,22 @@ def test_readability_no_explode_no_window(spark):
     plan = _plan(q_readability(spark, SF))
     assert "Generate" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_texttiling_no_inferred_generate_filter(spark):
+    """The boundary explode must be an OUTER generate: a plain explode
+    lets InferFiltersFromGenerate push a size(...)>0 predicate below
+    the tiling projections, inlining the whole chain (re-splitting the
+    document per tile — O(tokens^2) per row, measured 45x at
+    1,000-token docs). The optimized plan must carry no Filter that
+    evaluates the tile pipeline."""
+    import re
+
+    from docling_core_spark.corpus.textstats import q_texttiling
+
+    df = q_texttiling(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if line.strip().startswith("Filter") or "+- Filter" in line:
+            assert "array_intersect" not in line, line[:400]
+            assert "array_distinct" not in line, line[:400]

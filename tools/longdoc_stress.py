@@ -6,7 +6,7 @@ O(tokens^2)-per-row defect (see SCALE.md "Loop-invariant hoisting");
 a web corpus routinely carries 10^4-token documents. This script
 synthesizes (deterministically, in-process) corpora with the SAME
 total token count but doc lengths 100 / 1,000 / 5,000 / 10,000, runs
-the three gram-exploding queries over each, and prints seconds per
+the gram-exploding + tiling queries over each, and prints seconds per
 length. Linear pipelines hold roughly constant across the row
 (total work is fixed); a quadratic one grows ~10x per step.
 
@@ -92,6 +92,37 @@ def main(total_tokens: int = 2_000_000, cpus: int = 8):
             "doc_id", F.explode(F.expr(CD._winnow_expr(False))).alias("fp")
         ).count()
         t["winnow"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        from docling_core_spark.corpus.textstats import TILE_W
+        w_ = TILE_W
+        base = toks_df.select(
+            "doc_id", "toks",
+            F.expr(f"cast(size(toks) div {w_} as int)").alias("m"),
+        ).where("m >= 2")
+        tiled = base.select(
+            "doc_id", "m",
+            F.expr(
+                f"transform(sequence(0, m - 1),"
+                f" i -> array_distinct(slice(toks, i * {w_} + 1, {w_})))"
+            ).alias("wins"),
+        )
+        simmed = tiled.select(
+            "doc_id", "m",
+            F.expr(
+                "transform(sequence(1, m - 1), i ->"
+                " transform(array(size(array_intersect("
+                "element_at(wins, i), element_at(wins, i + 1)))),"
+                " inter -> named_struct('gap', i,"
+                " 'jac', cast(inter as bigint) * 1000000 div"
+                "  (size(element_at(wins, i))"
+                "   + size(element_at(wins, i + 1)) - inter)))[0])"
+            ).alias("sims"),
+        )
+        tt = simmed.select(
+            F.explode_outer("sims").alias("b")
+        ).where("b is not null").count()
+        t["texttiling"] = round(time.time() - t0, 2)
 
         docs.unpersist()
         results[toks] = t
