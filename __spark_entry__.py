@@ -1134,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": CDQ.q_domain_quality,
         "data_split": CSP.q_data_split,
         "split_by_domain": CSP.q_split_by_domain,
+        "split_emb_drift": CSP.q_split_emb_drift,
         "link_pagerank": CW.q_link_pagerank,
         "link_hits": CW.q_link_hits,
         "anchor_text_agg": CW.q_anchor_text_agg,
@@ -1495,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quality": CDQ.sql_domain_quality(),
         "data_split": CSP.sql_data_split(),
         "split_by_domain": CSP.sql_split_by_domain(),
+        "split_emb_drift": CSP.sql_split_emb_drift(),
         "link_pagerank": CW.sql_link_pagerank(),
         "link_hits": CW.sql_link_hits(),
         "anchor_text_agg": CW.sql_anchor_text_agg(),

@@ -109,7 +109,7 @@ GROUPS: dict[str, list[str]] = {
         "semdedup_clusters", "hard_negatives", "label_cohesion",
         "emb_dim_stats", "emb_covariance", "emb_norm_hist", "emb_pca_var",
         "emb_quantize_int8", "bitext_mine",
-        "emb_outliers", "coreset_kcenter",
+        "emb_outliers", "coreset_kcenter", "split_emb_drift",
     ],
     "rel": [
         "bbox_ops", "page_cells_in_bbox", "page_crop_text",

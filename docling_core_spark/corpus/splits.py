@@ -325,3 +325,124 @@ def sql_split_by_domain() -> str:
                domains_corpus
         FROM per_split CROSS JOIN tot
     """
+
+
+# ---------------------------------------------------------------------------
+# embedding drift between splits
+# ---------------------------------------------------------------------------
+
+def _vsplit_expr(duck: bool) -> str:
+    """The doc split rule applied to vec_id (embeddings are 1:1 with
+    documents by id in this corpus)."""
+    h = (_h30_duck if duck else _h30_spark)(
+        "vec_id::VARCHAR" if duck else "cast(vec_id as string)"
+    )
+    return (
+        f"CASE WHEN {h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'"
+        f" WHEN {h} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}"
+        f" THEN 'val' ELSE 'test' END"
+    )
+
+
+def q_split_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between splits: the cosine between
+    each pair of split MEAN vectors (scaling cancels, so cos(mean_a,
+    mean_b) == cos(sum_a, sum_b) and the sums are EXACT micro-integer
+    sufficient statistics — no float mean ever materializes, the
+    emb_outliers identity discipline). On a corpus with a strong mean
+    direction, near-1.0 cosines mean the hash split preserved the
+    distribution; on a ZERO-CENTERED corpus (this fixture) each split
+    mean is O(1/sqrt(n)) noise and the cosines hover near 0 — the
+    drift flag is then one PAIR deviating from the others, not an
+    absolute threshold (the embedding-space twin of split_ks's
+    length-CDF check, with the same read-the-matrix discipline).
+
+    100 TB story: one posexplode + a map-side-combinable groupBy onto
+    the (splits x dims) key — 192 cells regardless of corpus size;
+    the pairwise cosine runs over a 3-row table of 64-long arrays.
+    Reference analog: none (SURVEY.md §2.8)."""
+    emb = read_spread(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.expr(_vsplit_expr(False)).alias("split"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding, v -> cast(floor(cast(v as double)"
+                " * 1000000) as bigint))"
+            )
+        ).alias("dim", "md"),
+    )
+    sums = dims.groupBy("split", "dim").agg(
+        F.sum("md").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    vecs = sums.groupBy("split").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, s))),"
+            " p -> p.s)"
+        ).alias("sv"),
+        F.max("n").cast("bigint").alias("n_vecs"),
+    )
+    dot = (
+        "aggregate(zip_with(a.sv, b.sv, (x, y) ->"
+        " cast(x as double) * cast(y as double)),"
+        " cast(0 as double), (acc, t) -> acc + t)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({v}, x -> cast(x as double)"
+        " * cast(x as double)), cast(0 as double), (acc, t) -> acc + t))"
+    )
+    return (
+        vecs.alias("a")
+        .join(
+            F.broadcast(vecs.alias("b")),
+            F.col("a.split") < F.col("b.split"),
+        )
+        .select(
+            F.col("a.split").alias("split_a"),
+            F.col("b.split").alias("split_b"),
+            F.col("a.n_vecs").alias("n_a"),
+            F.col("b.n_vecs").alias("n_b"),
+            F.expr(
+                f"round(({dot}) / ({nrm.format(v='a.sv')}"
+                f" * {nrm.format(v='b.sv')}), 6)"
+            ).alias("mean_cosine"),
+        )
+    )
+
+
+def sql_split_emb_drift() -> str:
+    dot = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> a.sv[i]::DOUBLE * b.sv[i]::DOUBLE))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform({v},"
+        " x -> x::DOUBLE * x::DOUBLE)))"
+    )
+    return f"""
+        WITH dims AS (
+            SELECT {_vsplit_expr(True)} AS split,
+                   unnest(range(len(embedding))) AS dim,
+                   unnest(list_transform(embedding,
+                       v -> floor(v::DOUBLE * 1000000)::BIGINT)) AS md
+            FROM embeddings
+        ),
+        sums AS (
+            SELECT split, dim, SUM(md)::BIGINT AS s,
+                   COUNT(*)::BIGINT AS n
+            FROM dims GROUP BY split, dim
+        ),
+        vecs AS (
+            SELECT split,
+                   list_transform(
+                       list_sort(list(struct_pack(dim := dim, s := s))),
+                       p -> p.s) AS sv,
+                   MAX(n)::BIGINT AS n_vecs
+            FROM sums GROUP BY split
+        )
+        SELECT a.split AS split_a, b.split AS split_b,
+               a.n_vecs AS n_a, b.n_vecs AS n_b,
+               round(({dot}) / ({nrm.format(v='a.sv')}
+                     * {nrm.format(v='b.sv')}), 6) AS mean_cosine
+        FROM vecs a JOIN vecs b ON a.split < b.split
+    """

@@ -218,6 +218,9 @@ def _pairs():
         "split_by_domain": (
             CSP.q_split_by_domain, CSP.sql_split_by_domain,
         ),
+        "split_emb_drift": (
+            CSP.q_split_emb_drift, CSP.sql_split_emb_drift,
+        ),
         "split_leakage": (CSP.q_split_leakage, CSP.sql_split_leakage),
         "hard_negatives": (CMI.q_hard_negatives, CMI.sql_hard_negatives),
         "source_drift": (CDR.q_source_drift, CDR.sql_source_drift),
