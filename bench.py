@@ -136,7 +136,8 @@ GROUPS: dict[str, list[str]] = {
 # Runs inside the pipeline subprocess (it is the only suite query that
 # executes the `_synth` mapInPandas stage; isolating it keeps its Arrow
 # python-worker pressure away from the JVM-side suite groups).
-PIPELINE_SUITE = ["media_externalize", "media_captions"]
+PIPELINE_SUITE = ["media_externalize", "media_captions",
+                  "doc_render_overlay"]
 
 
 def build_spark(cpus: int):
@@ -360,16 +361,27 @@ def main():
     q_times: dict[str, float] = {}
     host_ctl: dict[str, float] = {}
     host_par: dict[str, float] = {}
+    # Per-group subtotals (n_queries + sec) so cross-round totals are
+    # self-normalizing as the registry grows (round-4 VERDICT ask #8).
+    group_totals: dict[str, dict] = {}
     pipe_res = _run_subprocess(["--pipeline-only"], "PIPEJSON:")
     pipe = pipe_res["pipeline"]
     q_times.update(pipe_res["queries"])
     host_ctl.update(pipe_res["host_ctl"])
     host_par.update(pipe_res["host_ctl_par"])
+    group_totals["pipeline"] = {
+        "n_queries": len(pipe_res["queries"]) + 1,  # + flagship extract
+        "sec": round(sum(pipe_res["queries"].values()) + pipe["sec"], 3),
+    }
     for group in GROUPS:
         res = _run_subprocess(["--group", group], "GROUPJSON:")
         q_times.update(res["queries"])
         host_ctl.update(res["host_ctl"])
         host_par.update(res["host_ctl_par"])
+        group_totals[group] = {
+            "n_queries": len(res["queries"]),
+            "sec": round(sum(res["queries"].values()), 3),
+        }
 
     q_times = {n: q_times[n] for n in grouped}  # stable display order
     q_times["pipeline_extract"] = round(pipe["sec"], 3)
@@ -388,6 +400,7 @@ def main():
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": q_times,
+                "groups": group_totals,
                 "sf": sf,
                 "docs_per_sec_extract": round(pipe["docs_per_sec"], 1),
                 "pipeline": pipe,

@@ -764,7 +764,12 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     def lit_md(vals):
         return "array(" + ", ".join(f"{v}L" for v in vals) + ")"
 
-    seed = e.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    seeds = e.orderBy(F.asc("vec_id")).limit(1).collect()
+    if not seeds:
+        return spark.createDataFrame(
+            [], "rank bigint, vec_id bigint, min_dist2 bigint"
+        )
+    seed = seeds[0]
     centers = [(seed["vec_id"], list(seed["md"]), -1)]
     for _ in range(2, KCENTER_K + 1):
         dmin = "least(" + ", ".join(
@@ -773,13 +778,18 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "md", lit_md(centers[0][1])
         )
         picked = ", ".join(str(v) for v, _, _ in centers)
-        far = (
+        cands = (
             e.where(f"vec_id NOT IN ({picked})")
             .select("vec_id", "md", F.expr(dmin).alias("dmin"))
             .orderBy(F.desc("dmin"), F.asc("vec_id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not cands:
+            # fewer than K vectors in the corpus: emit however many
+            # centers exist, matching the DuckDB CTE chain's behavior
+            break
+        far = cands[0]
         centers.append((far["vec_id"], list(far["md"]), far["dmin"]))
     rows = [
         (rk + 1, int(vid), int(d)) for rk, (vid, _, d) in enumerate(centers)

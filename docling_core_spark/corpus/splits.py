@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import read_spread
+from . import constants as C, read_spread
 from .dedup import q_dedup_clusters, sql_dedup_clusters
 from .textstats import TOKENS_DUCK, TOKENS_SPARK, _h30_duck, _h30_spark
 
@@ -412,7 +412,7 @@ def q_split_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_split_emb_drift() -> str:
     dot = (
-        "list_sum(list_transform(range(1, 65),"
+        f"list_sum(list_transform(range(1, {C.EMB_DIM + 1}),"
         " i -> a.sv[i]::DOUBLE * b.sv[i]::DOUBLE))"
     )
     nrm = (

@@ -393,6 +393,55 @@ def _scalarize(rows: list) -> list:
     return out
 
 
+def overlay_gold_for_doc(did: str) -> dict:
+    """Engine vs reference item-flatten for one layout doc (the
+    doc_render_overlay gate's golden): parse gen_layout_doctags(did)
+    through BOTH the engine's parse_doctags + iterate_items chain and
+    the reference's load_from_doctags + iterate_items chain
+    (document.py:3324ff), flatten each to visualizer pixel rows
+    (reading_order_visualizer.py:115-120 quantization on the 500px loc
+    canvas), and assert equality — the committed golden rows are the
+    REFERENCE-derived ones."""
+    from docling_core.types.doc.document import (
+        ContentLayer,
+        DocItem,
+        DoclingDocument,
+        DocTagsDocument,
+    )
+
+    from docling_core_spark.ops.overlay import (
+        _px,
+        flatten_doc_id,
+        gen_layout_doctags,
+    )
+
+    s = gen_layout_doctags(did)
+    dt = DocTagsDocument.from_multipage_doctags_and_images(s, None)
+    doc = DoclingDocument.load_from_doctags(dt, document_name=did)
+    rows, rank = [], 0
+    layers = {ContentLayer.BODY, ContentLayer.FURNITURE}
+    for elem, _ in doc.iterate_items(included_content_layers=layers):
+        if not isinstance(elem, DocItem):
+            continue
+        for prov in elem.prov:
+            page = doc.pages[prov.page_no]
+            tlo = prov.bbox.to_top_left_origin(
+                page_height=page.size.height
+            )
+            n = tlo.normalized(page.size)
+            ys = sorted((_px(n.t), _px(n.b)))
+            rows.append({
+                "doc_id": did, "page_no": int(prov.page_no),
+                "rank": rank, "layer": elem.content_layer.value,
+                "label": elem.label.value,
+                "x0": _px(n.l), "y0": ys[0],
+                "x1": _px(n.r), "y1": ys[1],
+            })
+            rank += 1
+    errs = [] if flatten_doc_id(did) == rows else ["overlay_items"]
+    return {"doc_id": did, "rows": rows, "errs": errs}
+
+
 def _write(outdir: str, name: str, rows: list, int_cols=()):
     df = pd.DataFrame(rows)
     for c in int_cols:
@@ -484,6 +533,29 @@ def generate(sf: str, pool=None) -> dict:
     _write(outdir, "pipeline_doctags_roundtrip_ref", ref_rt_rows)
     _write(outdir, "pipeline_json_roundtrip", jrt_rows,
            int_cols=("json_bytes",))
+
+    # --- doc_render_overlay: reference-derived item-flatten golden ---
+    from docling_core_spark.ops.overlay import layout_doc_ids
+
+    lay_ids = layout_doc_ids(
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    )
+    lay_results = (
+        pool.map(overlay_gold_for_doc, lay_ids, chunksize=16)
+        if pool is not None
+        else [overlay_gold_for_doc(d) for d in lay_ids]
+    )
+    lay_bad = [(r["doc_id"], r["errs"]) for r in lay_results if r["errs"]]
+    if lay_bad:
+        for did, errs in lay_bad[:20]:
+            print(f"PARITY FAILURE {did}: {errs}", file=sys.stderr)
+        raise SystemExit(
+            f"{len(lay_bad)} layout docs diverge from the reference"
+        )
+    item_rows = [row for r in lay_results for row in r["rows"]]
+    _write(outdir, "doc_items", item_rows,
+           int_cols=("page_no", "rank", "x0", "y0", "x1", "y1"))
+
     stats = {
         "sf": sf,
         "docs": len(ids),
@@ -496,6 +568,8 @@ def generate(sf: str, pool=None) -> dict:
         "hybrid_ref_derived": f"{ref_hybrid_docs}/{len(ids)}",
         "hybrid_ref_rows": len(ref_hybrid_rows),
         "json_dump_matches_reference": f"{json_ref_matches}/{len(ids)}",
+        "overlay_docs": len(lay_ids),
+        "overlay_item_rows": len(item_rows),
         "gen_sec": round(time.time() - t0, 1),
     }
     with open(os.path.join(outdir, "MANIFEST.json"), "w") as f:

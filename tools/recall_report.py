@@ -58,7 +58,8 @@ def main(sfs) -> None:
                 f" {sum(recalls) / len(recalls):.3f}"
                 f" over {len(recalls)} queries"
             )
-        CS.clear_caches()
+        from docling_core_spark.corpus import clear_all_caches
+        clear_all_caches()
     spark.stop()
 
 

@@ -264,7 +264,8 @@ def main():
         report["exact_sec"] = round(time.time() - t0, 1)
 
         pairs.unpersist()
-        D.clear_caches()
+        from docling_core_spark.corpus import clear_all_caches
+        clear_all_caches()
         print(json.dumps(report))
     finally:
         shutil.rmtree(base, ignore_errors=True)
