@@ -560,20 +560,18 @@ def _q_pipeline_chunks_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_pipeline_chunks_hybrid_ref(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Reference-derived twin of pipeline_chunks_hybrid: restricted to
-    docs that never enter the plain-text splitter — for those, the
-    golden is produced by the REFERENCE's own HybridChunker
+    """Reference-derived twin of pipeline_chunks_hybrid. The golden is
+    produced by the REFERENCE's own HybridChunker
     (hybrid_chunker.py:295-323) running on the engine's vendored
     WordPiece tokenizer through the reference's public BaseTokenizer
-    protocol (tokenizer/base.py:9-27). Docs needing the split are
-    excluded because that branch's semantics live in the external
-    semchunk library, absent in both engine and sandbox."""
+    protocol (tokenizer/base.py:9-27) and — since round 5 — the
+    vendored semantic splitter (chunk/semsplit.py) through a
+    semchunk-shaped stub, so it covers ALL docs including the
+    oversized-plain-text branch (previously excluded, 404/503)."""
     from docling_core_spark.pipeline import chunk_docs
 
-    df = chunk_docs(
-        _synth(spark, sf_dir), hybrid=True, max_tokens=64, with_flag=True
-    )
-    return _scalarize_chunks(df.filter(~F.col("needs_text_split")))
+    df = chunk_docs(_synth(spark, sf_dir), hybrid=True, max_tokens=64)
+    return _scalarize_chunks(df)
 
 
 def _q_pipeline_export_variants(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -6,12 +6,13 @@ Parity target: HybridChunker (transforms/chunker/hybrid_chunker.py):
     CONTEXTUALIZED text token-counted against max_tokens; an oversized
     single item passes through (the plain-text splitter handles it);
   - `_split_using_plain_text` (:220-244): budget = max_tokens minus the
-    non-text (headings) share; oversized text is split by a greedy
-    paragraph/sentence/word packer. The reference delegates this step to
-    the `semchunk` library (unavailable here); our packer is a
-    deterministic stand-in with the same contract (each piece fits the
-    budget; pieces concatenate to the original text modulo separator
-    normalization);
+    non-text (headings) share; oversized text is split by the vendored
+    semantic splitter (chunk/semsplit.py — the published semchunk
+    algorithm, since the upstream package the reference delegates to is
+    unavailable here). The SAME splitter is injected into the
+    reference's own HybridChunker via a semchunk-shaped stub when
+    generating goldens, so the reference-derived twin covers every doc
+    including the oversized-text branch;
   - `_merge_chunks_with_matching_metadata` (:246-293): adjacent chunks
     with identical headings re-merge while the contextualized total
     stays within budget.
@@ -39,6 +40,7 @@ from .hierarchical import (
     contextualize,
 )
 from ..serialize.common import DocSerializerState
+from .semsplit import semsplit_chunk
 from .wordpiece import wordpiece_count_tokens
 
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
@@ -120,56 +122,6 @@ def _split_by_doc_items(
     return chunks
 
 
-_PARA_RE = re.compile(r"\n\n+")
-_SENT_RE = re.compile(r"(?<=[.!?])\s+")
-
-
-def _pack_text(
-    cfg: HybridChunkerConfig, text: str, budget: int
-) -> List[str]:
-    """Greedy hierarchical packer (paragraphs -> sentences -> words):
-    deterministic stand-in for semchunk with the same contract."""
-    if cfg.count_tokens(text) <= budget:
-        return [text]
-
-    def split_level(t: str, level: int) -> List[str]:
-        if level == 0:
-            return [p for p in _PARA_RE.split(t) if p.strip()]
-        if level == 1:
-            return [s for s in _SENT_RE.split(t) if s.strip()]
-        return t.split()
-
-    def pack(units: List[str], joiner: str) -> List[str]:
-        out: List[str] = []
-        cur = ""
-        for u in units:
-            cand = f"{cur}{joiner}{u}" if cur else u
-            if cfg.count_tokens(cand) <= budget:
-                cur = cand
-            else:
-                if cur:
-                    out.append(cur)
-                cur = u
-        if cur:
-            out.append(cur)
-        return out
-
-    for level, joiner in ((0, "\n\n"), (1, " "), (2, " ")):
-        units = split_level(text, level)
-        if len(units) <= 1 and level < 2:
-            continue
-        pieces = pack(units, joiner)
-        # recurse into still-oversized pieces with the next level
-        final: List[str] = []
-        for p in pieces:
-            if cfg.count_tokens(p) <= budget or level == 2:
-                final.append(p)
-            else:
-                final.extend(_pack_text(cfg, p, budget))
-        return final
-    return [text]
-
-
 def _split_using_plain_text(
     cfg: HybridChunkerConfig, chunk: Chunk,
     stats: Optional[dict] = None,
@@ -178,8 +130,10 @@ def _split_using_plain_text(
     if total <= cfg.max_tokens:
         return [chunk]
     # the reference delegates this branch to semchunk
-    # (hybrid_chunker.py:231-233) — flag it so reference-derived
-    # goldens know this doc's chunking depends on the stand-in packer
+    # (hybrid_chunker.py:231-243); the engine runs the vendored
+    # semantic splitter (chunk/semsplit.py), which the reference-derived
+    # goldens inject into the reference's OWN HybridChunker through a
+    # semchunk-shaped stub — the flag records which docs exercised it
     if stats is not None:
         stats["needs_text_split"] = True
     text_len = cfg.count_tokens(chunk.text)
@@ -189,7 +143,7 @@ def _split_using_plain_text(
         return []  # headings alone exceed the budget (warned upstream)
     return [
         Chunk(text=s, doc_items=chunk.doc_items, headings=chunk.headings)
-        for s in _pack_text(cfg, chunk.text, available)
+        for s in semsplit_chunk(chunk.text, available, cfg.count_tokens)
     ]
 
 

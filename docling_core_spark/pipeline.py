@@ -152,7 +152,11 @@ def _roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def doctags_roundtrip(docs: DataFrame) -> DataFrame:
     """DocTags adapter exercised distributedly: serialize -> parse ->
     re-serialize must reach a fixed point after one (lossy, reference-
-    faithful) reload. `stable` must be uniformly true."""
+    faithful) reload. `stable` is true for all but the rare OTSL
+    xcel-span docs where the REFERENCE's own re-encoding needs two
+    reloads to converge (fragment-verified against the reference in
+    tools/gen_goldens.py:_check_unstable_ref_faithful; 3/5043 docs at
+    sf0.1, 0/503 at sf0.01)."""
     return docs.mapInPandas(
         _roundtrip_batches,
         schema="doc_id string, reload_md5 string, stable boolean,"

@@ -50,7 +50,8 @@ def enrich_stream(
     enriched in the parquet sink exactly once."""
     src = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
+        # one staged file per micro-batch (see sessions.py note)
+        .option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
     )
     return (

@@ -6,9 +6,11 @@ The stateful dedup (stateful.py) and the watermarked window aggregation
 state, watermark-driven eviction, append-mode emission. Those semantics
 are not directly SQL-expressible, but a DETERMINISTIC replay of them
 is: split the input table into K batch files by a pure function of the
-row key, drain one AvailableNow run per file against a shared
-checkpoint (exactly the cadence of successive cron-triggered
-incremental runs, and the shape tests/test_windowed_stream.py pins),
+row key, feed them in order through AvailableNow drains against a
+shared checkpoint — batch 0 in its own run, the rest as one-file
+micro-batches of a second run resuming from the checkpoint (so both
+the restart path and per-micro-batch state/watermark progression are
+exercised; tests/test_windowed_stream.py pins the per-run cadence) —
 and the final sink table becomes a pure function of the input — which a
 DuckDB oracle can reproduce with window functions:
 
@@ -81,12 +83,37 @@ def _drain(q, what: str) -> None:
 
 def _stage_batch(df, input_dir: str, idx: int) -> None:
     """One flat parquet FILE per batch (the file-stream source lists
-    files, not nested dirs): write to staging, move the part file in."""
+    files, not nested dirs): write to staging, move the part file in.
+    The file's mtime is pinned to a strictly increasing per-index
+    instant so the file-stream source (which orders unseen files by
+    modification time) processes batch k as micro-batch k even when
+    several batches are staged before one drain."""
     staging = os.path.join(input_dir, f"_staging-{idx}")
     df.coalesce(1).write.parquet(staging, mode="overwrite")
     part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
-    shutil.move(part, os.path.join(input_dir, f"batch-{idx}.parquet"))
+    dst = os.path.join(input_dir, f"batch-{idx}.parquet")
+    shutil.move(part, dst)
     shutil.rmtree(staging)
+    t = 1_700_000_000 + idx * 60
+    os.utime(dst, (t, t))
+
+
+def _run_replay(spark, what: str, stage_k, make_query) -> None:
+    """Drive one replay: stage batch 0 and drain it in its OWN run —
+    the checkpoint-restart boundary the replay certifies (the second
+    run must resume state/watermark/commit-log from the first's
+    checkpoint) — then stage batches 1..N_BATCHES-1 and drain them in
+    a SINGLE AvailableNow run. The sources read with
+    maxFilesPerTrigger=1, so staged file k becomes micro-batch k and
+    per-micro-batch state/watermark progression is identical to the
+    round-4 one-run-per-batch cadence, at 2 stream startups instead of
+    N_BATCHES (the startups dominated the replays' wall time)."""
+    with _stream_width(spark):
+        stage_k(0)
+        _drain(make_query(), what)
+        for k in range(1, N_BATCHES):
+            stage_k(k)
+        _drain(make_query(), what)
 
 
 def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,16 +138,16 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
         batch_schema = docs.drop("b").schema
-        with _stream_width(spark):
-            for k in range(N_BATCHES):
-                _stage_batch(
-                    docs.filter(F.col("b") == k).select("doc_id", "text"),
-                    input_dir, k,
-                )
-                q = dedup_text_stream(
-                    spark, input_dir, output_dir, ckpt, schema=batch_schema
-                )
-                _drain(q, "stream_dedup_replay")
+        _run_replay(
+            spark, "stream_dedup_replay",
+            lambda k: _stage_batch(
+                docs.filter(F.col("b") == k).select("doc_id", "text"),
+                input_dir, k,
+            ),
+            lambda: dedup_text_stream(
+                spark, input_dir, output_dir, ckpt, schema=batch_schema
+            ),
+        )
         return spark.read.parquet(output_dir).select(
             "content_hash", "doc_id",
             F.col("n_spans").cast("bigint").alias("n_chars"),
@@ -187,18 +214,18 @@ def q_stream_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         batch_schema = events.drop("b", "ts_us").schema
-        with _stream_width(spark):
-            for k in range(N_BATCHES):
-                _stage_batch(
-                    events.filter(F.col("b") == k)
-                    .select("event_id", "user_id", "ts"),
-                    input_dir, k,
-                )
-                q = sessionize_stream(
-                    spark, input_dir, output_dir, ckpt,
-                    schema=batch_schema, timeout_mode="none",
-                )
-                _drain(q, "stream_sessionize_replay")
+        _run_replay(
+            spark, "stream_sessionize_replay",
+            lambda k: _stage_batch(
+                events.filter(F.col("b") == k)
+                .select("event_id", "user_id", "ts"),
+                input_dir, k,
+            ),
+            lambda: sessionize_stream(
+                spark, input_dir, output_dir, ckpt,
+                schema=batch_schema, timeout_mode="none",
+            ),
+        )
         return spark.read.parquet(output_dir).select(
             F.col("user_id").cast("bigint").alias("user_id"),
             F.col("session_start_us").cast("bigint")
@@ -266,17 +293,17 @@ def q_stream_windowed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "event_type", "ts", "value",
             (F.col("event_id") % N_BATCHES).alias("b"),
         )
-        with _stream_width(spark):
-            for k in range(N_BATCHES):
-                _stage_batch(
-                    events.filter(F.col("b") == k).drop("b"), input_dir, k,
-                )
-                q = run_windowed_stream(
-                    spark, input_dir, output_dir, ckpt,
-                    window_size=f"{WINDOW_S} seconds",
-                    watermark_delay=f"{DELAY_S} seconds",
-                )
-                _drain(q, "stream_windowed_replay")
+        _run_replay(
+            spark, "stream_windowed_replay",
+            lambda k: _stage_batch(
+                events.filter(F.col("b") == k).drop("b"), input_dir, k,
+            ),
+            lambda: run_windowed_stream(
+                spark, input_dir, output_dir, ckpt,
+                window_size=f"{WINDOW_S} seconds",
+                watermark_delay=f"{DELAY_S} seconds",
+            ),
+        )
         return spark.read.parquet(output_dir).select(
             F.unix_timestamp("window_start").cast("bigint")
             .alias("window_start_s"),
@@ -374,17 +401,17 @@ def q_stream_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         batch_schema = orders.drop("b").schema
-        with _stream_width(spark):
-            for k in range(N_BATCHES):
-                _stage_batch(
-                    orders.filter(F.col("b") == k).drop("b"),
-                    input_dir, k,
-                )
-                q = enrich_stream(
-                    spark, input_dir, output_dir, ckpt,
-                    schema=batch_schema, dim=dim, join_key="o_custkey",
-                )
-                _drain(q, "stream_enrich_replay")
+        _run_replay(
+            spark, "stream_enrich_replay",
+            lambda k: _stage_batch(
+                orders.filter(F.col("b") == k).drop("b"),
+                input_dir, k,
+            ),
+            lambda: enrich_stream(
+                spark, input_dir, output_dir, ckpt,
+                schema=batch_schema, dim=dim, join_key="o_custkey",
+            ),
+        )
         return (
             spark.read.parquet(output_dir)
             .groupBy("n_name")

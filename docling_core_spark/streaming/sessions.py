@@ -148,7 +148,10 @@ def sessionize_stream(
     the deterministic configuration the gate replays."""
     src = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
+        # one staged file per micro-batch: the replay gate maps file k
+        # to micro-batch k (replay.py), and a real ingest gets per-file
+        # commit granularity
+        .option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
     )
     # ts is TIMESTAMP_NTZ: diff from the epoch as NTZ-to-NTZ, which is

@@ -112,7 +112,9 @@ def dedup_text_stream(
     rendered to string only at the output boundary."""
     src = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
+        # one staged file per micro-batch: the replay gate maps file k
+        # to micro-batch k (replay.py)
+        .option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
     )
     keyed = src.select(

@@ -26,11 +26,11 @@ _installed = False
 
 
 class SemchunkNeeded(RuntimeError):
-    """Raised by the semchunk stub when the reference HybridChunker
-    reaches its oversized-plain-text branch (hybrid_chunker.py:220-244)
-    — the one code path whose semantics live in the external semchunk
-    library rather than in docling-core. Callers catch this to exclude
-    such docs from reference-derived hybrid goldens."""
+    """Legacy marker (rounds 3-4): the semchunk stub used to raise this
+    when the reference HybridChunker reached its oversized-plain-text
+    branch. Since round 5 the stub delegates to the vendored semantic
+    splitter (docling_core_spark/chunk/semsplit.py) instead, so this is
+    never raised; kept so older callers' except clauses stay valid."""
 
 
 def install_reference():
@@ -137,17 +137,20 @@ def install_reference():
 
     if "semchunk" not in sys.modules:
         # hybrid_chunker.py hard-fails at import without semchunk
-        # (hybrid_chunker.py:19-27) yet only calls
-        # semchunk.chunkerify() inside the oversized-plain-text branch
-        # of _split_using_plain_text (hybrid_chunker.py:231-233). The
-        # stub imports fine and raises SemchunkNeeded the moment that
-        # branch is taken, so reference-derived goldens can run the
-        # split/merge machinery and cleanly skip the docs whose
-        # chunking would depend on semchunk's (external) split rule.
-        def _chunkerify(*a, **k):
-            raise SemchunkNeeded(
-                "reference HybridChunker entered the semchunk branch"
-            )
+        # (hybrid_chunker.py:19-27) and calls semchunk.chunkerify()
+        # inside the oversized-plain-text branch of
+        # _split_using_plain_text (hybrid_chunker.py:231-243). The stub
+        # delegates to the engine's vendored semantic splitter
+        # (docling_core_spark/chunk/semsplit.py — the published
+        # semchunk algorithm), injected identically on both sides like
+        # the vendored WordPiece tokenizer, so the reference's OWN
+        # HybridChunker can replay EVERY doc including the
+        # oversized-text branch. (Until round 5 the stub raised
+        # SemchunkNeeded and that branch was engine-snapshot-pinned.)
+        def _chunkerify(tokenizer_or_counter, chunk_size, **k):
+            from docling_core_spark.chunk.semsplit import chunkerify
+
+            return chunkerify(tokenizer_or_counter, chunk_size)
 
         _stub("semchunk", chunkerify=_chunkerify)
 
@@ -160,8 +163,9 @@ def make_ref_hybrid_chunker(max_tokens: int = 64):
     (transforms/chunker/hybrid_chunker.py:133-323) driven through its
     public BaseTokenizer protocol (tokenizer/base.py:9-27) by the
     engine's vendored WordPiece tokenizer — so the reference itself
-    produces hybrid-chunk goldens for every doc that never enters the
-    semchunk plain-text branch (SemchunkNeeded marks the rest)."""
+    produces hybrid-chunk goldens for EVERY doc (the oversized-text
+    branch runs the vendored semantic splitter through the
+    semchunk-shaped stub installed by install_reference)."""
     install_reference()
     from docling_core.transforms.chunker.hybrid_chunker import (
         HybridChunker,
@@ -182,9 +186,10 @@ def make_ref_hybrid_chunker(max_tokens: int = 64):
             return self.max_tokens
 
         def get_tokenizer(self):
-            # consulted only by the semchunk branch, which raises
-            # SemchunkNeeded before this value is ever used
-            return None
+            # consulted only by the semchunk branch: the stub's
+            # chunkerify accepts a bare token-counter callable (the
+            # same vendored WordPiece count the engine budget uses)
+            return wordpiece_count_tokens
 
     return HybridChunker(
         tokenizer=_WordPieceRefTokenizer(max_tokens=max_tokens)

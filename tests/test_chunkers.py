@@ -12,7 +12,6 @@ from docling_core_spark.chunk import Chunk, chunk_doc, hybrid_chunk_doc
 from docling_core_spark.chunk.hierarchical import contextualize
 from docling_core_spark.chunk.hybrid import (
     HybridChunkerConfig,
-    _pack_text,
     regex_count_tokens,
 )
 from docling_core_spark.fixtures import SHAPE_IDS, gen_spans
@@ -56,14 +55,14 @@ def _doc(doc_id="doc-00000003"):
 
 
 @pytest.mark.parametrize("doc_id", DOC_IDS)
-def test_hybrid_matches_reference_outside_semchunk_branch(doc_id):
+def test_hybrid_matches_reference(doc_id):
     """The reference's OWN HybridChunker (hybrid_chunker.py:295-323),
     fed the engine's vendored WordPiece tokenizer via the reference's
-    BaseTokenizer protocol, must yield the same (text, headings, refs)
-    chunks as the engine — for every doc that never enters the semchunk
-    plain-text branch; for docs that do, engine and reference must
-    AGREE it was entered (flag vs SemchunkNeeded)."""
-    from ref_oracle import SemchunkNeeded, make_ref_hybrid_chunker
+    BaseTokenizer protocol AND the vendored semantic splitter via the
+    semchunk-shaped stub (ref_oracle.install_reference), must yield the
+    same (text, headings, refs) chunks as the engine — for EVERY doc,
+    including those that enter the oversized-plain-text branch."""
+    from ref_oracle import make_ref_hybrid_chunker
 
     from docling_core_spark.pipeline import chunk_rows_doc
 
@@ -71,19 +70,13 @@ def test_hybrid_matches_reference_outside_semchunk_branch(doc_id):
     rows = chunk_rows_doc(
         doc_id, spans, hybrid=True, max_tokens=64, with_flag=True
     )
-    needs_split = any(r["needs_text_split"] for r in rows)
     ck = make_ref_hybrid_chunker(max_tokens=64)
     refdoc = build_ref_doc(spans, name=doc_id)
-    try:
-        ref = [
-            (c.text, tuple(c.meta.headings or []),
-             tuple(it.self_ref for it in c.meta.doc_items))
-            for c in ck.chunk(refdoc)
-        ]
-    except SemchunkNeeded:
-        assert needs_split
-        return
-    assert not needs_split
+    ref = [
+        (c.text, tuple(c.meta.headings or []),
+         tuple(it.self_ref for it in c.meta.doc_items))
+        for c in ck.chunk(refdoc)
+    ]
     mine = [
         (r["text"], tuple(r["headings"]), tuple(r["item_refs"]))
         for r in rows
@@ -153,12 +146,36 @@ def test_hybrid_preserves_all_text():
     assert sorted(base_words) == sorted(hybrid_words)
 
 
-def test_pack_text_contract():
+def test_semsplit_contract():
+    from docling_core_spark.chunk.semsplit import semsplit_chunk
+
     cfg = HybridChunkerConfig(max_tokens=8)
     text = "one two three. four five six seven. eight nine ten eleven."
-    pieces = _pack_text(cfg, text, 8)
+    pieces = semsplit_chunk(text, 8, cfg.count_tokens)
     assert all(cfg.count_tokens(p) <= 8 for p in pieces)
     assert " ".join(pieces).split() == text.split()
+
+
+def test_semsplit_splitter_hierarchy():
+    from docling_core_spark.chunk.semsplit import semsplit_chunk
+
+    count = lambda t: len(t.split())  # noqa: E731
+    # newline runs outrank sentence terminators
+    out = semsplit_chunk("a b. c\n\nd e f g\n\nh", 4, count)
+    assert out == ["a b. c", "d e f g", "h"]
+    # an unsplittable long word falls through to character splitting
+    out = semsplit_chunk("abcdefgh", 1, lambda t: len(t))
+    assert "".join(out) == "abcdefgh"
+    assert all(len(p) == 1 for p in out)
+
+
+def test_semsplit_reattaches_terminators():
+    from docling_core_spark.chunk.semsplit import semsplit_chunk
+
+    count = lambda t: len(t.split())  # noqa: E731
+    out = semsplit_chunk("one two three. four five six. seven", 3, count)
+    assert out[0].endswith(".")
+    assert " ".join(out).split() == "one two three. four five six. seven".split()
 
 
 def test_headings_exceeding_budget_drop_chunk():

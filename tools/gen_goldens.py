@@ -202,24 +202,16 @@ def gold_for_doc(did: str) -> dict:
 
     # --- hybrid chunks, reference-derived twin: run the REFERENCE's
     # own HybridChunker on the engine's vendored WordPiece tokenizer
-    # (BaseTokenizer adapter). Docs whose chunking enters the semchunk
-    # plain-text branch are excluded (SemchunkNeeded) — the subset flag
-    # must agree between engine and reference, and for included docs
-    # the reference rows must equal the engine rows exactly. ---
-    from ref_oracle import SemchunkNeeded
-
+    # (BaseTokenizer adapter) AND, since round 5, the vendored semantic
+    # splitter (chunk/semsplit.py) through the semchunk-shaped stub —
+    # so the twin now covers EVERY doc, including the oversized-text
+    # branch the reference hands to semchunk (the split rule itself is
+    # shared-injected, not independently oracled; goldens/README.md). ---
     from docling_core_spark.chunk.wordpiece import wordpiece_count_tokens
 
     ref_hybrid_rows = None
-    try:
-        ref_hy_chunks = list(_ref_hybrid_ck().chunk(rdoc))
-    except SemchunkNeeded:
-        ref_hy_chunks = None
-        if not needs_split:
-            errs.append("hybrid_ref(ref_skipped_engine_did_not)")
+    ref_hy_chunks = list(_ref_hybrid_ck().chunk(rdoc))
     if ref_hy_chunks is not None:
-        if needs_split:
-            errs.append("hybrid_ref(engine_flagged_ref_ran)")
         ref_hybrid_rows = [
             {
                 "doc_id": did,
@@ -332,7 +324,16 @@ def gold_for_doc(did: str) -> dict:
 
     jrt = json_roundtrip_doc(did, spans)
     if not rt["stable"]:
-        errs.append("doctags_roundtrip_unstable")
+        # The reference's OWN OTSL xcel-span re-encoding is not a fixed
+        # point after one reload (a 2D-span <xcel> run can re-encode as
+        # <lcel> on the next reload; verified against the reference's
+        # load_from_doctags -> export_to_doctags chain on the isolated
+        # fragment — first seen at sf0.1, docs 1478/3733/4299). Accept
+        # the instability only when it is reference-faithful: confined
+        # to <otsl> fragments, every such fragment replays byte-equal
+        # to the reference at two reload depths, and the chain
+        # converges by the third reload.
+        errs.extend(_check_unstable_ref_faithful(did, spans))
     if not jrt["stable"]:
         errs.append("json_roundtrip_unstable")
     # json dump is REFERENCE-DERIVED: the engine's canonical JSON must
@@ -391,6 +392,56 @@ def _scalarize(rows: list) -> list:
             }
         )
     return out
+
+
+_OTSL_RE = None
+
+
+def _check_unstable_ref_faithful(did: str, spans) -> list:
+    """A doc whose doctags roundtrip is not a fixed point after one
+    reload is acceptable ONLY if the instability is the reference's own
+    OTSL xcel-span behavior (see call site). Returns error labels (empty
+    = verified reference-faithful)."""
+    import re as _re
+
+    from docling_core.types.doc.document import (
+        DocTagsDocument as _RefDT,
+        DoclingDocument as _RefDoc,
+    )
+
+    from docling_core_spark.parse.doctags import parse_doctags
+    from docling_core_spark.pipeline import parse_span_doc
+    from docling_core_spark.serialize.doctags import export_to_doctags as ex
+
+    doc, _ = parse_span_doc(did, list(spans) if spans is not None else [])
+    chain = [ex(doc)]
+    for _ in range(4):
+        chain.append(ex(parse_doctags(chain[-1], name=did)))
+    errs = []
+    if chain[3] != chain[4]:
+        errs.append("doctags_roundtrip_divergent")
+    otsl_re = _re.compile(r"<otsl>.*?</otsl>", _re.S)
+    # instability must be confined to otsl fragments
+    if otsl_re.sub("", chain[2]) != otsl_re.sub("", chain[3]):
+        errs.append("doctags_roundtrip_unstable_nonotsl")
+    # every otsl fragment must replay byte-equal to the reference at
+    # two reload depths (the reference cannot replay the WHOLE doc when
+    # charts are present — document.py:3841ff — but isolated otsl
+    # fragments always can)
+    def _ref_reload(s: str) -> str:
+        dt = _RefDT.from_multipage_doctags_and_images(s, None)
+        return _RefDoc.load_from_doctags(
+            dt, document_name=did
+        ).export_to_doctags()
+
+    for frag in otsl_re.findall(chain[0]):
+        fdoc = f"<doctag>{frag}</doctag>"
+        e1 = ex(parse_doctags(fdoc, name="frag"))
+        e2 = ex(parse_doctags(e1, name="frag"))
+        if e1 != _ref_reload(fdoc) or e2 != _ref_reload(e1):
+            errs.append("doctags_roundtrip_otsl_ref_diverge")
+            break
+    return errs
 
 
 def overlay_gold_for_doc(did: str) -> dict:
@@ -565,6 +616,11 @@ def generate(sf: str, pool=None) -> dict:
         "media_rows": len(media_rows),
         "caption_rows": len(caption_rows),
         "doctags_rt_ref_derived": f"{len(ref_rt_rows)}/{len(ids)}",
+        # docs whose roundtrip needs >1 reload to reach a fixed point
+        # (reference-faithful OTSL xcel behavior, fragment-verified)
+        "doctags_rt_unstable": sum(
+            1 for r in results if not r["rt_row"]["stable"]
+        ),
         "hybrid_ref_derived": f"{ref_hybrid_docs}/{len(ids)}",
         "hybrid_ref_rows": len(ref_hybrid_rows),
         "json_dump_matches_reference": f"{json_ref_matches}/{len(ids)}",
