@@ -242,9 +242,9 @@ def meta_error_fields(
         if err.validator == "required":
             fields.add(err.message.split("'")[1])
         elif err.validator == "additionalProperties":
-            fields.update(re.findall(r"'([^']+)' (?:was|were)",
-                                     err.message) or
-                          re.findall(r"'([^']+)'", err.message))
+            # "Additional properties are not allowed ('a', 'b' were
+            # unexpected)" — every quoted token is an offending key
+            fields.update(re.findall(r"'([^']+)'", err.message))
         elif len(err.path):
             fields.add(str(list(err.path)[0]))
     fields.update(_rule_errors(obj))

@@ -172,6 +172,20 @@ def test_mutation_verdict_parity(mut, label):
     assert eng_ok == ref_ok, f"{label}: eng={eng_ok} ({msg})"
 
 
+def test_multi_extra_error_field_parity():
+    """Several extra keys + a missing field in one payload: the engine's
+    error-field sequence must match Pydantic's (extras first in payload
+    insertion order, then declared fields in declaration order)."""
+    obj = copy.deepcopy(_base())
+    obj["zzz"] = 1
+    obj["aaa"] = 2
+    obj.pop("source")
+    payload = json.dumps(obj)
+    ref_ok, ref_locs = _ref_verdict(payload)
+    assert not ref_ok
+    assert meta_error_fields(payload, TAXONOMY, DOMAIN) == ref_locs
+
+
 def test_valid_base_accepted():
     payload = json.dumps(_base())
     assert _ref_verdict(payload)[0]
