@@ -525,6 +525,18 @@ def _q_doc_render_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_doc_render_overlay(spark, sf_dir, _docs_count(spark, sf_dir))
 
 
+def _q_doc_table_cells_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-cell overlay (reference TableVisualizer re-expression,
+    table_visualizer.py:32-117): one translucent rect per TableData
+    cell of every single-prov table, grid derived from each side's OWN
+    OTSL parse (reference twin asserted equal at golden generation)."""
+    from docling_core_spark.ops.overlay import q_doc_table_cells_overlay
+
+    return q_doc_table_cells_overlay(
+        spark, sf_dir, _docs_count(spark, sf_dir)
+    )
+
+
 def _q_pipeline_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_core_spark.pipeline import json_roundtrip
 
@@ -1116,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_externalize": _q_media_externalize,
         "media_captions": _q_media_captions,
         "doc_render_overlay": _q_doc_render_overlay,
+        "doc_table_cells_overlay": _q_doc_table_cells_overlay,
         # text analysis
         "token_stats": CT.q_token_stats,
         "token_entropy": CT.q_token_entropy,
@@ -1323,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_WINDOW_ORDER = [
     # new this round
     "doc_render_overlay",
+    "doc_table_cells_overlay",
     # streaming replays (never driver-captured)
     "stream_dedup_replay",
     "stream_windowed_replay",
@@ -1532,6 +1546,12 @@ def oracle_sql() -> dict[str, str]:
 
         golden["doc_render_overlay"] = overlay_svg_sql(
             f"read_parquet('{g}/doc_items.parquet')", "duck"
+        )
+    if os.path.exists(f"{g}/doc_table_cells.parquet"):
+        from docling_core_spark.ops.overlay import table_cells_svg_sql
+
+        golden["doc_table_cells_overlay"] = table_cells_svg_sql(
+            f"read_parquet('{g}/doc_table_cells.parquet')", "duck"
         )
     if os.path.exists(f"{g}/pipeline_span_seq.parquet"):
         from docling_core_spark.ops.outline import sections_sql, toc_sql

@@ -137,7 +137,7 @@ GROUPS: dict[str, list[str]] = {
 # executes the `_synth` mapInPandas stage; isolating it keeps its Arrow
 # python-worker pressure away from the JVM-side suite groups).
 PIPELINE_SUITE = ["media_externalize", "media_captions",
-                  "doc_render_overlay"]
+                  "doc_render_overlay", "doc_table_cells_overlay"]
 
 
 def build_spark(cpus: int):

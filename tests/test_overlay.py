@@ -107,6 +107,69 @@ def test_arrow_chain_resets_per_page(spark):
         assert r["n_arrows"] == r["n_items"] - 1
 
 
+@pytest.mark.parametrize("i", [0, 3, 11, 42])
+def test_table_cells_flatten_matches_reference(i):
+    import sys
+
+    sys.path.insert(0, "tools")
+    from gen_goldens import table_cells_gold_for_doc
+
+    from docling_core_spark.ops.overlay import flatten_table_cells_doc_id
+
+    did = f"lay-{i:08d}"
+    r = table_cells_gold_for_doc(did)
+    assert r["errs"] == []
+    assert flatten_table_cells_doc_id(did) == r["rows"]
+
+
+def test_table_cells_dual_dialect(spark):
+    from docling_core_spark.ops.overlay import (
+        table_cells_df,
+        table_cells_svg_sql,
+    )
+
+    cells = table_cells_df(spark, 60, partitions=4)
+    pdf = cells.toPandas()
+    assert len(pdf) > 0
+    cells.createOrReplaceTempView("t_cells")
+    sp = (
+        spark.sql(table_cells_svg_sql("t_cells", "spark"))
+        .toPandas()
+        .sort_values(["doc_id", "page_no"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("g_cells", pdf)
+    du = (
+        con.execute(table_cells_svg_sql("g_cells", "duck"))
+        .df()
+        .sort_values(["doc_id", "page_no"])
+        .reset_index(drop=True)
+    )
+    du.columns = sp.columns
+    assert (sp == du).all().all()
+
+
+def test_cell_grid_spans_tile_exactly():
+    """Cells with row/col spans merge to the union of their base
+    rectangles, and a full row of unit cells tiles the table width."""
+    from docling_core_spark.ops.overlay import cell_px_bbox
+
+    tb = (100, 200, 401, 287)  # deliberately non-divisible extents
+    nr, nc = 3, 4
+    # full-row tiling: adjacent cells share boundaries, row covers table
+    xs = [cell_px_bbox(tb, nr, nc, 0, 1, c, c + 1) for c in range(nc)]
+    assert xs[0][0] == tb[0] and xs[-1][2] == tb[2]
+    for a, b in zip(xs, xs[1:]):
+        assert a[2] == b[0]
+    # a 2x2 span equals the union of its four unit cells
+    span = cell_px_bbox(tb, nr, nc, 1, 3, 1, 3)
+    u = [cell_px_bbox(tb, nr, nc, r, r + 1, c, c + 1)
+         for r in (1, 2) for c in (1, 2)]
+    assert span == (min(x[0] for x in u), min(x[1] for x in u),
+                    max(x[2] for x in u), max(x[3] for x in u))
+
+
 def test_svg_shape(spark):
     """The SVG body contains one rect+text per item and one line+polygon
     per arrow, nothing else (deterministic construction)."""

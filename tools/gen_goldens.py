@@ -493,6 +493,62 @@ def overlay_gold_for_doc(did: str) -> dict:
     return {"doc_id": did, "rows": rows, "errs": errs}
 
 
+def table_cells_gold_for_doc(did: str) -> dict:
+    """Engine vs reference table-cell flatten for one layout doc (the
+    doc_table_cells_overlay gate's golden): the grid SHAPE (iterate
+    order, single-prov routing per table_visualizer.py:88-117, table
+    bbox, num_rows/num_cols and every cell's offsets/spans in
+    table_cells order) comes from each side's OWN OTSL parser; the
+    pixel-boundary arithmetic is the shared cell_px_bbox (the
+    semsplit/WordPiece injection pattern)."""
+    from docling_core.types.doc.document import (
+        ContentLayer,
+        DoclingDocument,
+        DocTagsDocument,
+        TableItem,
+    )
+
+    from docling_core_spark.ops.overlay import (
+        _px,
+        cell_px_bbox,
+        flatten_table_cells_doc_id,
+        gen_layout_doctags,
+    )
+
+    s = gen_layout_doctags(did)
+    dt = DocTagsDocument.from_multipage_doctags_and_images(s, None)
+    doc = DoclingDocument.load_from_doctags(dt, document_name=did)
+    rows, t_rank = [], 0
+    layers = {ContentLayer.BODY, ContentLayer.FURNITURE}
+    for elem, _ in doc.iterate_items(included_content_layers=layers):
+        if not isinstance(elem, TableItem):
+            continue
+        if len(elem.prov) != 1:
+            continue
+        prov = elem.prov[0]
+        page = doc.pages[prov.page_no]
+        tlo = prov.bbox.to_top_left_origin(page_height=page.size.height)
+        n = tlo.normalized(page.size)
+        ys = sorted((_px(n.t), _px(n.b)))
+        tb = (_px(n.l), ys[0], _px(n.r), ys[1])
+        data = elem.data
+        for ci, cell in enumerate(data.table_cells):
+            x0, y0, x1, y1 = cell_px_bbox(
+                tb, data.num_rows, data.num_cols,
+                cell.start_row_offset_idx, cell.end_row_offset_idx,
+                cell.start_col_offset_idx, cell.end_col_offset_idx,
+            )
+            rows.append({
+                "doc_id": did, "page_no": int(prov.page_no),
+                "t_rank": t_rank, "cell_index": ci,
+                "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+            })
+        t_rank += 1
+    errs = ([] if flatten_table_cells_doc_id(did) == rows
+            else ["table_cells_overlay"])
+    return {"doc_id": did, "rows": rows, "errs": errs}
+
+
 def _write(outdir: str, name: str, rows: list, int_cols=()):
     df = pd.DataFrame(rows)
     for c in int_cols:
@@ -607,6 +663,24 @@ def generate(sf: str, pool=None) -> dict:
     _write(outdir, "doc_items", item_rows,
            int_cols=("page_no", "rank", "x0", "y0", "x1", "y1"))
 
+    cell_results = (
+        pool.map(table_cells_gold_for_doc, lay_ids, chunksize=16)
+        if pool is not None
+        else [table_cells_gold_for_doc(d) for d in lay_ids]
+    )
+    cell_bad = [(r["doc_id"], r["errs"]) for r in cell_results
+                if r["errs"]]
+    if cell_bad:
+        for did, errs in cell_bad[:20]:
+            print(f"PARITY FAILURE {did}: {errs}", file=sys.stderr)
+        raise SystemExit(
+            f"{len(cell_bad)} table-cell docs diverge from the reference"
+        )
+    cell_rows = [row for r in cell_results for row in r["rows"]]
+    _write(outdir, "doc_table_cells", cell_rows,
+           int_cols=("page_no", "t_rank", "cell_index",
+                     "x0", "y0", "x1", "y1"))
+
     stats = {
         "sf": sf,
         "docs": len(ids),
@@ -626,6 +700,7 @@ def generate(sf: str, pool=None) -> dict:
         "json_dump_matches_reference": f"{json_ref_matches}/{len(ids)}",
         "overlay_docs": len(lay_ids),
         "overlay_item_rows": len(item_rows),
+        "overlay_cell_rows": len(cell_rows),
         "gen_sec": round(time.time() - t0, 1),
     }
     with open(os.path.join(outdir, "MANIFEST.json"), "w") as f:
