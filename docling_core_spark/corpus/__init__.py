@@ -36,8 +36,9 @@ def clear_all_caches() -> None:
     DataFrames strand executor storage; single aggregate entry point so
     cleanup sites can't miss a module."""
     from . import cohesion, dedup, keywords, similarity
+    from ..ops import overlay
 
-    for mod in (dedup, similarity, keywords, cohesion):
+    for mod in (dedup, similarity, keywords, cohesion, overlay):
         mod.clear_caches()
 
 
